@@ -1,0 +1,517 @@
+"""Analytic extensions beyond the reference surface (SURVEY.md §2.5, §7).
+
+The reference has no joins, windows, set ops, or scalar functions — its
+workload is single-table. A drop-in engine still needs them, and the 100 TB
+north star demands they plan well. Everything here is built-in DataFrame API:
+Catalyst picks broadcast-hash for the small dims (region/nation ≤ a few KB),
+sort-merge + AQE skew handling for the fact-fact joins.
+
+Oracle note: every computed column is aliased identically in the DataFrame
+plan and the DuckDB SQL (driver hash-compare requirement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import duration_to_ms
+from ..schema import load_table
+
+
+# --- aggregation breadth ---------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide partial-agg over the fact table.
+
+    Single scan → map-side partial agg → 4-group final agg. At 100 TB this
+    is scan-bound; no shuffle pressure (≤ |returnflag×linestatus| groups).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — expands to a two-phase agg in Spark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (event_type, day) — grouping-set expansion."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy(F.asc_nulls_first("event_type"), F.asc_nulls_first("day"))
+    )
+
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup — the batch shape of the streaming tumbling
+    window (streaming variant: streaming.windows.hourly_counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small dim⋈dim⋈fact chain — nation/region are broadcast explicitly.
+
+    At 100 TB the fact side streams; the dims are KBs. Never shuffle the
+    fact table for a dimension lookup.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: fact⋈fact join + agg + top-k.
+
+    orders⋈lineitem shuffles on orderkey (co-partitioned by AQE); customer
+    side filtered before the join so the build input is minimal.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1995-03-15 00:00:00"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (2 broadcast dims + 3 shuffle joins)."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers having ≥1 high-value order."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# --- window functions --------------------------------------------------------
+
+
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER top-3 per key — the scalable 'top-N per group' idiom
+    (shuffle once on the partition key; no global sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", "value", "rn")
+        .orderBy("event_type", "rn")
+    )
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per user ordered by event time (analytic frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + cumulative sum.
+
+    Batch shape of session windows; the streaming variant is
+    ``streaming.sessionize`` (applyInPandasWithState). Scales: one shuffle on
+    user_id, everything else window-local.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --- set operations -----------------------------------------------------------
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT: purchasers who never erred, via set ops."""
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    erred = ev.filter(F.col("event_type") == "error").select("user_id")
+    return purchasers.distinct().exceptAll(erred.distinct()).orderBy("user_id")
+
+
+def q_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two filtered streams then re-aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") >= 300).select("event_type")
+    b = ev.filter(F.col("event_type") == "signup").select("event_type")
+    return (
+        a.unionAll(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+# --- scalar-function surface ---------------------------------------------------
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events ``props`` column."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .filter(F.col("k") > 90)
+        .orderBy("event_id")
+    )
+
+
+def q_duration_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-string parse (the reference stores requestTime as string,
+    README.md:183-184). Round-trip: format events.value as "<v>ms" then
+    parse back with :func:`functions.duration_to_ms` — oracle is the
+    identity, so the parse expression itself is what's under test.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dur = F.concat(F.col("value").cast("string"), F.lit("ms"))
+    return ev.select("event_id", F.round(duration_to_ms(dur), 6).alias("request_ms"))
+
+
+def q_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar batch: one row per event with derived cols."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.length("props").alias("props_len"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.round(F.sqrt("value"), 6).alias("value_sqrt"),
+        F.round(F.ln(F.col("value") + 1), 6).alias("value_ln1p"),
+    )
+
+
+# --- as-of join (custom operator the reference lacks; SURVEY.md §7) -----------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's most recent prior-or-equal
+    signup/click event.
+
+    Spark has no ASOF JOIN operator; the scalable composition is the
+    union-marker trick: union both sides tagged, one window sort per user,
+    ``last(right, ignorenulls)`` carries the latest right-side row forward —
+    one shuffle on the join key, no range-explode, no pair blowup. (DuckDB
+    oracle uses its native ASOF JOIN.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ts"), F.col("event_id").alias("event_id")
+    )
+    right = ev.filter(F.col("event_type").isin("signup", "click")).select(
+        "user_id", F.col("ts").alias("ts"), F.col("event_id").alias("r_event_id")
+    )
+    tagged = left.select(
+        "user_id", "ts", F.lit(1).alias("is_left"), "event_id", F.lit(None).cast("long").alias("r_event_id")
+    ).unionByName(
+        right.select(
+            "user_id", "ts", F.lit(0).alias("is_left"), F.lit(None).cast("long").alias("event_id"), "r_event_id"
+        )
+    )
+    # right rows sort before left rows at equal ts (is_left asc) so ties
+    # count as "prior-or-equal".
+    w = Window.partitionBy("user_id").orderBy("ts", "is_left").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    matched = tagged.withColumn("matched_r", F.last("r_event_id", ignorenulls=True).over(w))
+    return (
+        matched.filter(F.col("is_left") == 1)
+        .select("user_id", "event_id", F.col("matched_r").alias("prior_event_id"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --- oracle SQL ---------------------------------------------------------------
+
+ORACLE: dict[str, str] = {
+    "q_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               SUM(l_extendedprice) AS sum_base_price,
+               SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               AVG(l_quantity) AS avg_qty,
+               AVG(l_extendedprice) AS avg_price,
+               AVG(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q_distinct_users": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q_rollup_daily": """
+        SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS cnt,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY ROLLUP (event_type, day)
+        ORDER BY event_type NULLS FIRST, day NULLS FIRST
+    """,
+    "q_hourly_rollup": """
+        SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt,
+               ROUND(AVG(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+    """,
+    "q_broadcast_dim_join": """
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """,
+    "q_revenue_topk": """
+        SELECT l_orderkey, o_orderdate,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "q_local_supplier_volume": """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    "q_semi_join": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+    "q_anti_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q_topn_per_group": """
+        SELECT event_type, event_id, value, rn FROM (
+            SELECT event_type, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id) AS rn
+            FROM events) t
+        WHERE rn <= 3 ORDER BY event_type, rn
+    """,
+    "q_running_total": """
+        SELECT user_id, event_id, ts,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                     AS running_value
+        FROM events
+    """,
+    "q_sessionize": """
+        WITH gaps AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - LAG(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM gaps
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+    "q_set_ops": """
+        SELECT user_id FROM
+        (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT ALL
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'error') t
+        ORDER BY user_id
+    """,
+    "q_union_counts": """
+        SELECT event_type, COUNT(*) AS cnt FROM (
+            SELECT event_type FROM events WHERE value >= 300
+            UNION ALL
+            SELECT event_type FROM events WHERE event_type = 'signup') t
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "q_json_extract": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INT) > 90
+        ORDER BY event_id
+    """,
+    "q_duration_parse_roundtrip": """
+        SELECT event_id, ROUND(value, 6) AS request_ms FROM events
+    """,
+    "q_string_date_math": """
+        SELECT event_id,
+               UPPER(event_type) AS type_upper,
+               LENGTH(props) AS props_len,
+               EXTRACT(year FROM ts) AS y,
+               EXTRACT(month FROM ts) AS m,
+               EXTRACT(day FROM ts) AS d,
+               EXTRACT(hour FROM ts) AS h,
+               ROUND(SQRT(value), 6) AS value_sqrt,
+               ROUND(LN(value + 1), 6) AS value_ln1p
+        FROM events
+    """,
+    "q_asof_join": """
+        SELECT l.user_id, l.event_id, r.r_event_id AS prior_event_id
+        FROM (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id AS r_event_id FROM events
+                        WHERE event_type IN ('signup','click')) r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.user_id, l.event_id
+    """,
+}
+
+QUERIES = {
+    "q_pricing_summary": q_pricing_summary,
+    "q_distinct_users": q_distinct_users,
+    "q_rollup_daily": q_rollup_daily,
+    "q_hourly_rollup": q_hourly_rollup,
+    "q_broadcast_dim_join": q_broadcast_dim_join,
+    "q_revenue_topk": q_revenue_topk,
+    "q_local_supplier_volume": q_local_supplier_volume,
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
+    "q_topn_per_group": q_topn_per_group,
+    "q_running_total": q_running_total,
+    "q_sessionize": q_sessionize,
+    "q_set_ops": q_set_ops,
+    "q_union_counts": q_union_counts,
+    "q_json_extract": q_json_extract,
+    "q_duration_parse_roundtrip": q_duration_parse_roundtrip,
+    "q_string_date_math": q_string_date_math,
+    "q_asof_join": q_asof_join,
+}

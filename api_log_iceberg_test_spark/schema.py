@@ -1,0 +1,116 @@
+"""Schemas.
+
+The reference's one fact table is ``aistor.logs.api`` with a fixed,
+system-defined 14-column flat schema (reference ``README.md:172-189``;
+SURVEY.md §1.2). camelCase column names are load-bearing — the reference's
+Trino queries use them verbatim (README.md:145,163).
+
+``requestTime`` / ``timeToFirstByte`` are *strings* holding durations like
+``"4.21ms"`` (README.md:183-184); parsing to milliseconds is a derived
+operation (see :mod:`api_log_iceberg_test_spark.functions`), never stored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+#: Reference README.md:174-189, in documented column order.
+API_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("time", T.TimestampType(), nullable=False),
+        T.StructField("name", T.StringType(), nullable=False),
+        T.StructField("bucket", T.StringType(), nullable=True),
+        T.StructField("object", T.StringType(), nullable=True),
+        T.StructField("httpStatusCode", T.IntegerType(), nullable=False),
+        T.StructField("inputBytes", T.LongType(), nullable=False),
+        T.StructField("outputBytes", T.LongType(), nullable=False),
+        T.StructField("requestTime", T.StringType(), nullable=False),
+        T.StructField("timeToFirstByte", T.StringType(), nullable=False),
+        T.StructField("sourceHost", T.StringType(), nullable=True),
+        T.StructField("userAgent", T.StringType(), nullable=True),
+        T.StructField("accessKey", T.StringType(), nullable=True),
+        T.StructField("requestId", T.StringType(), nullable=False),
+        T.StructField("node", T.StringType(), nullable=False),
+    ]
+)
+
+API_LOG_COLUMNS = [f.name for f in API_LOG_SCHEMA.fields]
+
+#: The nine S3 op kinds and their workload weights
+#: (reference generate-api-logs.sh:74-120). Cumulative `RANDOM % 100` ladder.
+OP_WEIGHTS: list[tuple[str, int]] = [
+    ("ListObjectsV2", 30),
+    ("GetObject", 25),
+    ("HeadObject", 20),
+    ("PutObject", 10),
+    ("CopyObject", 5),
+    ("DeleteObject", 5),
+    ("ListBuckets", 2),
+    ("GetObjectTagging", 2),
+    ("StatObject", 1),
+]
+
+assert sum(w for _, w in OP_WEIGHTS) == 100
+
+#: Driver testdata tables (TESTDATA.md) — TPC-H-ish star schema + events +
+#: extension tables. The reference's `api` table has no parquet fixture, so
+#: its query shapes are exercised against `events` (FIXTURES.md §1) and
+#: against generator output in unit tests.
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
+    """Column names stored as parquet TIMESTAMP(NANOS) in `path`.
+
+    Spark 4 can't map nanos to TimestampType; with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` they surface as LongType
+    (ns since epoch) and we convert to microsecond timestamps on read. One
+    driver-side footer read per path — O(1) regardless of data size.
+    """
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return tuple(out)
+
+
+def load_table(spark, sf_dir: str, name: str):
+    """Read one driver testdata table as a DataFrame.
+
+    Nanosecond parquet timestamps are converted to Spark TimestampType
+    (microseconds, truncating) so event-time semantics match the DuckDB
+    oracle, which also compares at µs after canonicalization.
+    """
+    from pyspark.sql import functions as F
+
+    # The caller may hand us a stock SparkSession (the driver does). Both
+    # confs are runtime-settable SQL confs and required for correct reads:
+    # nanos parquet timestamps otherwise abort the scan (PARQUET_TYPE_ILLEGAL)
+    # and non-UTC session timezones skew timestamp comparisons vs the oracle.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for col in _nanos_timestamp_columns(path):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df

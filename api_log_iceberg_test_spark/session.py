@@ -1,0 +1,115 @@
+"""SparkSession construction.
+
+Spark-native restatement of the reference's runtime catalog attachment
+(``init-setup.py:72-93`` — ``CREATE CATALOG aistor USING iceberg WITH (...)``):
+Spark has no CREATE CATALOG DDL, so the equivalent is session configuration
+set before the session is built. When the Iceberg Spark runtime jar is not on
+the classpath (this container has none), the builder degrades gracefully to
+the built-in ``spark_catalog`` with parquet-backed tables — every query in
+this engine is expressed against DataFrames and works over either.
+
+Scale notes (100 TB / 1000-executor design):
+- AQE on: runtime partition coalescing + skew-join splitting.
+- ``spark.sql.shuffle.partitions`` defaults small for local[32] tests; on a
+  real cluster pass ``shuffle_partitions≈2-3× total cores`` (AQE coalesces
+  down, so err high).
+- Arrow enabled for the (few) Pandas-UDF paths.
+- Session timezone pinned to UTC so timestamp semantics match the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+#: Catalog naming from the reference (init-setup.py:27-29): warehouse
+#: ``aistor``, namespace ``logs``, table ``api``. README prose saying
+#: ``minio`` is stale — executable code wins (SURVEY.md §0).
+DEFAULT_CATALOG = "aistor"
+DEFAULT_NAMESPACE = "logs"
+DEFAULT_TABLE = "api"
+
+
+def iceberg_available() -> bool:
+    """True if an iceberg-spark-runtime jar is plausibly on the classpath."""
+    cp = os.environ.get("SPARK_CLASSPATH", "") + os.environ.get("SPARK_SUBMIT_OPTS", "")
+    return "iceberg-spark-runtime" in cp
+
+
+def build_session(
+    app_name: str = "api-log-iceberg-test-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    iceberg_catalog: str | None = None,
+    iceberg_warehouse: str | None = None,
+    iceberg_rest_uri: str | None = None,
+    extra_conf: Mapping[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession tuned for this engine.
+
+    ``iceberg_*`` args mirror the reference's dynamic catalog DDL
+    (init-setup.py:72-93): ``iceberg_rest_uri`` → REST catalog (the
+    production shape, README.md:239-254); ``iceberg_warehouse`` alone → a
+    local Hadoop catalog (the test shape). Both require the Iceberg Spark
+    runtime jar; without it the session still builds and the engine runs on
+    parquet-backed managed tables.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    default_master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or default_master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Parquet TIMESTAMP(NANOS) is otherwise rejected by Spark 4
+        # (PARQUET_TYPE_ILLEGAL); read as long ns and convert in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Silence progress bars in test logs
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+
+    if iceberg_catalog and iceberg_available():
+        prefix = f"spark.sql.catalog.{iceberg_catalog}"
+        builder = builder.config(prefix, "org.apache.iceberg.spark.SparkCatalog")
+        if iceberg_rest_uri:
+            # REST catalog, the reference's production topology
+            # (init-setup.py:75-87: uri, warehouse, SigV4 handled by the
+            # Iceberg REST client config below).
+            builder = (
+                builder.config(f"{prefix}.type", "rest")
+                .config(f"{prefix}.uri", iceberg_rest_uri)
+            )
+            if iceberg_warehouse:
+                builder = builder.config(f"{prefix}.warehouse", iceberg_warehouse)
+        else:
+            builder = (
+                builder.config(f"{prefix}.type", "hadoop")
+                .config(f"{prefix}.warehouse", iceberg_warehouse or "/tmp/iceberg-warehouse")
+            )
+        builder = builder.config(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        )
+
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    return builder.getOrCreate()
+
+
+def get_test_session(app_name: str = "api-log-iceberg-test-spark-tests") -> SparkSession:
+    """Session for local tests: local[*] unless SPARK_GRAFT_CPUS is set."""
+    return build_session(app_name=app_name)

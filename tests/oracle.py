@@ -1,0 +1,76 @@
+"""Local mirror of the driver's DuckDB differential-oracle check.
+
+Runs each ``__spark_entry__.queries()`` entry and its ``oracle_sql()`` SQL
+over the same parquet, then compares row-count + column names + values
+order-insensitively. Floats compare with a tight absolute+relative
+tolerance (the queries themselves round aggregates, so any real drift is a
+bug, not FP noise).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize dtypes, sort rows."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("float64")  # unify int32/int64 for compare
+        elif s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.dropna().size else None, (list, np.ndarray)):
+            df[c] = s.map(lambda v: tuple(np.round(np.asarray(v, dtype="float64"), 6)) if v is not None else None)
+    return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+
+
+def compare(spark_df, duck_df: pd.DataFrame, name: str, float_tol: float = 1e-6) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match)."""
+    errs: list[str] = []
+    sp = spark_df.toPandas()
+    if sorted(sp.columns) != sorted(duck_df.columns):
+        return [f"{name}: columns differ spark={sorted(sp.columns)} duck={sorted(duck_df.columns)}"]
+    if len(sp) != len(duck_df):
+        return [f"{name}: row count spark={len(sp)} duck={len(duck_df)}"]
+    a, b = _canon(sp), _canon(duck_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
+            ok = np.isclose(av.fillna(np.nan), bv.fillna(np.nan), rtol=float_tol, atol=float_tol, equal_nan=True)
+            if not ok.all():
+                i = int(np.argmin(ok))
+                errs.append(f"{name}.{c}: {int((~ok).sum())} float mismatches, e.g. row {i}: {av.iloc[i]} vs {bv.iloc[i]}")
+        else:
+            eq = (av.fillna("<NULL>") == bv.fillna("<NULL>")) if av.dtype == object else (av.isna() & bv.isna()) | (av == bv)
+            if not eq.all():
+                i = int(np.argmin(eq.values))
+                errs.append(f"{name}.{c}: {int((~eq).sum())} mismatches, e.g. row {i}: {av.iloc[i]!r} vs {bv.iloc[i]!r}")
+    return errs
