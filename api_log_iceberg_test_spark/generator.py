@@ -38,10 +38,21 @@ def _with_log_columns(df: DataFrame, id_col: str, time_col: Column, seed: int) -
 
     All built-in expressions (rand/hash/when/format_string) — one narrow
     projection, codegen-friendly, no Python in the hot path.
+
+    rand() columns are materialized ONCE via withColumn before any
+    when-ladder references them: rand is non-deterministic, so Catalyst
+    would otherwise re-evaluate it per `when` branch and skew the mix
+    (caught by test_op_mix_weights).
     """
-    r_op = F.rand(seed)
-    r_status = F.rand(seed + 1)
-    r_lat = F.rand(seed + 2)
+    df = (
+        df.withColumn("_r_op", F.rand(seed))
+        .withColumn("_r_status", F.rand(seed + 1))
+        .withColumn("_r_lat", F.rand(seed + 2))
+        .withColumn("_r_ttfb", F.rand(seed + 3))
+    )
+    r_op = F.col("_r_op")
+    r_status = F.col("_r_status")
+    r_lat = F.col("_r_lat")
     i = F.col(id_col)
 
     is_read = F.col("name").isin("ListObjectsV2", "GetObject", "HeadObject",
@@ -50,7 +61,7 @@ def _with_log_columns(df: DataFrame, id_col: str, time_col: Column, seed: int) -
 
     # Latency: log-uniform-ish 0.5ms..500ms; TTFB ≤ requestTime.
     req_ms = F.round(F.lit(0.5) * F.pow(F.lit(1000.0), r_lat), 2)
-    ttfb_ms = F.round(req_ms * (F.lit(0.2) + F.lit(0.6) * F.rand(seed + 3)), 2)
+    ttfb_ms = F.round(req_ms * (F.lit(0.2) + F.lit(0.6) * F.col("_r_ttfb")), 2)
 
     df = (
         df.withColumn("time", time_col)

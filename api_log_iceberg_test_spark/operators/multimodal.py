@@ -1,0 +1,166 @@
+"""Multimodal (image/audio/video) column handling.
+
+Convention (SURVEY.md §7): media travel as opaque ``binary`` payload columns
+plus a typed metadata struct — Iceberg/Parquet store both natively, so the
+table format needs no extension. The compute pattern is ``mapInPandas``:
+Arrow-batched iteration where each batch's binary column is decoded /
+feature-extracted with a media library.
+
+This container has no image/audio libraries, so the decode kernels are
+STUBBED (deterministic fakes clearly marked below); everything Spark-side —
+schema, batch iteration, partition sizing, UDF signatures, output shapes —
+is real and tested. Swapping a fake for Pillow/librosa/av changes only the
+body of ``_decode_*_batch``.
+
+Scale notes: binary payloads make rows wide — size
+``spark.sql.files.maxPartitionBytes`` down (or store media in a separate
+table keyed by content hash) so a partition of decoded batches fits executor
+memory; ``mapInPandas`` streams Arrow batches, so peak memory is one batch,
+not one partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Metadata struct carried alongside every media payload.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),  # png|jpeg|wav|mp4|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("size_bytes", T.LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("phash", T.StringType()),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_png", T.BinaryType()),
+    ]
+)
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id", payload_bytes: int = 256) -> DataFrame:
+    """Attach a deterministic fake binary payload + metadata to each row.
+
+    Stands in for reading real media; payload = repeated md5 bytes of the id
+    (deterministic, compressible, schema-correct).
+    """
+    rep = (payload_bytes // 16) + 1
+    # deterministic pseudo-bytes: concat of md5(id||k) digests (binary concat)
+    payload = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{k}"))))
+            for k in range(rep)
+        ]
+    )
+    return df.withColumn("media_payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("png").alias("format"),
+            (F.pmod(F.xxhash64(F.col(id_col)), F.lit(640)) + 32).cast("int").alias("width"),
+            (F.pmod(F.xxhash64(F.col(id_col) + 1), F.lit(480)) + 32).cast("int").alias("height"),
+            F.lit(0).cast("long").alias("duration_ms"),
+            F.length(payload).cast("long").alias("size_bytes"),
+        ),
+    )
+
+
+def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
+    """STUB decode kernel — deterministic fake.
+
+    Real implementation: ``PIL.Image.open(io.BytesIO(b))`` per payload,
+    vectorized luma via numpy. The fake derives stable pseudo-features from
+    the payload bytes so tests can assert determinism and batch shape.
+    """
+    import hashlib
+
+    rows: list[dict[str, Any]] = []
+    for b in payloads:
+        if b is None:
+            rows.append({"width": None, "height": None, "mean_luma": None, "phash": None})
+            continue
+        h = hashlib.md5(bytes(b)).digest()
+        rows.append(
+            {
+                "width": 32 + h[0],
+                "height": 32 + h[1],
+                "mean_luma": round(h[2] / 255.0, 6),
+                "phash": h.hex()[:16],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched image feature extraction via ``mapInPandas``.
+
+    Input needs (id_col, media_payload). Output: IMAGE_FEATURES_SCHEMA.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = _decode_image_batch(pdf["media_payload"])
+            feats.insert(0, "doc_id", pdf[id_col].values)
+            yield feats.astype(
+                {"doc_id": "int64", "width": "Int32", "height": "Int32"}
+            )
+
+    return df.select(id_col, "media_payload").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000, id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling plumbing for video payloads (STUB decode).
+
+    Real implementation: ``av.open`` → demux/decode → keyframe-nearest
+    sampling at ``every_ms``. Raises NotImplementedError in the kernel when
+    a real decode is requested; the deterministic fake emits 3 fake frames
+    per doc so partitioning/row-expansion behavior is testable.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                for i in range(3):  # fake: 3 frames per payload
+                    out.append(
+                        {
+                            "doc_id": row[id_col],
+                            "frame_idx": i,
+                            "frame_ts_ms": i * every_ms,
+                            "frame_png": bytes(row["media_payload"][:16]),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "media_payload").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+def decode_real_media(payload: bytes) -> None:  # pragma: no cover
+    """Placeholder for a real decoder — not available in this container."""
+    raise NotImplementedError(
+        "media decoding requires an image/audio library not present in this "
+        "environment; plug a real kernel into _decode_image_batch"
+    )

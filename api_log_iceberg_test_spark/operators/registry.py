@@ -1,0 +1,251 @@
+"""Driver-contract bindings for the extension operators.
+
+Each entry pairs a DataFrame plan over the testdata tables with a DuckDB
+oracle implementing the *identical* algorithm in SQL (differential test of
+Spark's expression engine). MinHash/SimHash/IVF entries are rows-only: their
+hashes (xxhash64) have no DuckDB equivalent; their correctness is covered by
+pytest cross-checks against the exact oracled variants.
+
+FP note: cosine oracles cast embeddings to DOUBLE[] — DuckDB's
+list_cosine_similarity is float32 on FLOAT[] inputs, double on DOUBLE[];
+Spark's sequential double accumulation then matches bitwise (verified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+from . import dedup, similarity, text
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.normalized_dedup(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: xxhash64 not replicable in DuckDB; recall vs the exact
+    Jaccard operator is asserted in tests/test_dedup.py."""
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: see q_dedup_minhash_lsh."""
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.cosine_topk_bruteforce(emb, queries, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: approximate by design (recall vs brute force asserted in
+    tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.compute_centroids(emb)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.cosine_topk_ivf(emb, queries, centroids, k=5, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.analyze(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_lang_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language mix by predicted language (groupBy over the narrow
+    language-ID projection)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(text.langid("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — same algorithms, DuckDB dialect
+# ---------------------------------------------------------------------------
+
+_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+_SHINGLES = f"""
+    list_distinct([array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks)-2, 1) + 1)])
+""".strip()
+
+_LANG_SCORE = {
+    code: "len(list_filter(toks, t -> list_contains(["
+    + ", ".join(f"'{w}'" for w in words)
+    + "], t)))"
+    for code, words in sorted(text.LANG_STOPWORDS.items())
+}
+
+_LANGID_CASE = f"""
+    CASE
+      WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+      WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+      WHEN s_fr > 0 THEN 'fr'
+      ELSE 'und'
+    END
+""".strip()
+
+_QUALITY_SW = ", ".join(f"'{w}'" for w in text.QUALITY_STOPWORDS)
+
+ORACLE: dict[str, str] = {
+    "q_dedup_exact": """
+        SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text ORDER BY doc_id
+    """,
+    "q_dedup_normalized": """
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+               MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY doc_id
+    """,
+    "q_dedup_ngram_jaccard": f"""
+        WITH sh AS (
+            SELECT doc_id AS id, {_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+        ), keyed AS (
+            SELECT id, sh, unnest(list_sort(sh)[1:3]) AS bkey FROM sh
+        ), cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM keyed a JOIN keyed b ON a.bkey = b.bkey AND a.id < b.id
+        ), scored AS (
+            SELECT id_a AS doc_a, id_b AS doc_b,
+                   ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                         (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE,
+                         6) AS jaccard
+            FROM cand
+            JOIN sh sa ON sa.id = cand.id_a
+            JOIN sh sb ON sb.id = cand.id_b
+        )
+        SELECT doc_a, doc_b, jaccard FROM scored
+        WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+    """,
+    "q_ann_cosine_topk": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.v, c.v) AS cos_raw
+            FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    "q_embedding_neardup": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+        ORDER BY id_a, id_b
+    """,
+    "q_text_analyze": f"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOKENS} AS toks,
+                   trim(regexp_replace(regexp_replace(text, '([^\\w\\s])', ' \\1 ', 'g'),
+                        '^\\s+|\\s+$', '', 'g')) AS spaced
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+                   CASE WHEN length(spaced) = 0 THEN 0
+                        ELSE len(string_split_regex(spaced, '\\s+')) END AS n_subword_tokens,
+                   CASE WHEN len(toks) > 0
+                        THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                        ELSE 0.0 END AS mtl,
+                   CASE WHEN len(toks) > 0
+                        THEN len(list_filter(toks, t -> list_contains([{_QUALITY_SW}], t)))::DOUBLE / len(toks)
+                        ELSE 0.0 END AS swr,
+                   CASE WHEN length(text) > 0
+                        THEN (length(text) - length(regexp_replace(text, '[.,!?;:''"()\\-]', '', 'g')))::DOUBLE / length(text)
+                        ELSE 0.0 END AS pr,
+                   CASE WHEN length(text) > 0
+                        THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+                        ELSE 0.0 END AS dr,
+                   {_LANG_SCORE['de']} AS s_de, {_LANG_SCORE['en']} AS s_en,
+                   {_LANG_SCORE['es']} AS s_es, {_LANG_SCORE['fr']} AS s_fr,
+                   md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+            FROM t
+        )
+        SELECT doc_id, n_tokens, n_subword_tokens,
+               ROUND(mtl, 6) AS mean_token_len,
+               ROUND(swr, 6) AS stopword_ratio,
+               ROUND(pr, 6) AS punct_ratio,
+               ROUND(dr, 6) AS digit_ratio,
+               ROUND(0.25 * least(n_tokens / 20.0, 1.0)
+                     + 0.25 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.0 END)
+                     + 0.25 * (1.0 - pr) + 0.25 * (1.0 - dr), 6) AS quality,
+               {_LANGID_CASE} AS lang_pred,
+               fingerprint
+        FROM m ORDER BY doc_id
+    """,
+    "q_lang_composition": f"""
+        WITH t AS (SELECT {_TOKENS} AS toks FROM documents),
+        s AS (SELECT {_LANG_SCORE['de']} AS s_de, {_LANG_SCORE['en']} AS s_en,
+                     {_LANG_SCORE['es']} AS s_es, {_LANG_SCORE['fr']} AS s_fr
+              FROM t)
+        SELECT {_LANGID_CASE} AS lang_pred, COUNT(*) AS cnt
+        FROM s GROUP BY 1 ORDER BY lang_pred
+    """,
+}
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_normalized": q_dedup_normalized,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_ann_cosine_topk": q_ann_cosine_topk,
+    "q_ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
+    "q_embedding_neardup": q_embedding_neardup,
+    "q_text_analyze": q_text_analyze,
+    "q_lang_composition": q_lang_composition,
+}

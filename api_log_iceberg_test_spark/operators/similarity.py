@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two execution paths for top-k cosine neighbors:
+
+- :func:`cosine_topk_bruteforce` — exact: broadcast the (small) query set
+  against the corpus, score every pair JVM-side with higher-order array
+  functions, keep top-k per query via ``row_number`` over a window keyed on
+  the query. At 100 TB the corpus side streams: cost = |corpus| × |queries|
+  fused multiply-adds inside codegen, no corpus shuffle at all (the only
+  shuffle is |queries|×k result rows).
+- :func:`cosine_topk_ivf` — IVF-style approximate: assign every corpus
+  vector to its nearest coarse centroid (one broadcast pass), then search
+  only the ``nprobe`` centroids nearest to each query. Prunes the scored
+  set by ~|centroids|/nprobe; the partition-by-centroid layout mirrors how
+  an Iceberg table would be bucketed by centroid id for storage-level
+  pruning.
+
+Cosine is computed with ``zip_with`` + ``aggregate`` (sequential double
+accumulation — bit-identical to a sequential C loop, which keeps the DuckDB
+oracle exact). Zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (must be driver-small: ≤ ~100k rows); corpus
+    never shuffles — scoring happens map-side, then only the per-query top-k
+    survive the window shuffle (|queries|×k rows).
+
+    Output: (query_id, neighbor_id, cosine, rank). Self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_raw", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def compute_centroids(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse centroids as the element-wise mean per label/cluster id.
+
+    Deterministic (no k-means iterations): posexplode → avg per (label,
+    dim) → re-assemble. At 100 TB, centroid training would subsample; the
+    aggregation shape is the same.
+    """
+    exploded = corpus.select(
+        F.col(label_col).alias("centroid_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    return (
+        exploded.groupBy("centroid_id", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("mean_v"))
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("mean_v")))
+                ),
+                lambda s: s.getField("mean_v"),
+            ).alias("centroid")
+        )
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` nearest centroid cells.
+
+    1. Corpus → cell assignment: broadcast centroids, argmax cosine (narrow).
+       In a stored layout this is the bucketing/partition column.
+    2. Query → its ``nprobe`` nearest centroids (broadcast, tiny).
+    3. Join corpus cells to query probes on cell id — prunes the candidate
+       set to ~nprobe/|centroids| of the corpus — then exact top-k as in
+       brute force.
+
+    Output schema matches :func:`cosine_topk_bruteforce` for recall checks.
+    """
+    cent = centroids.select(
+        F.col("centroid_id"), F.col("centroid")
+    )
+
+    def best_cells(df: DataFrame, vec: str, out: str, n: int) -> DataFrame:
+        scored = df.join(F.broadcast(cent)).withColumn(
+            "cell_cos", cosine(F.col(vec), F.col("centroid"))
+        )
+        w = Window.partitionBy(*df.columns).orderBy(F.desc("cell_cos"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= n)
+            .select(*df.columns, F.col("centroid_id").alias(out))
+        )
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+
+    c_cells = best_cells(c, "c_vec", "cell", 1)
+    q_cells = best_cells(q, "q_vec", "cell", nprobe)
+
+    scored = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_raw", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc_a < doc_b, cos ≥ threshold).
+
+    Brute-force all-pairs — exact, for modest corpora / the oracle. The
+    100 TB path is :func:`cosine_topk_ivf` with queries=corpus (cell join
+    prunes pairs to same-cell candidates).
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+    )

@@ -1,0 +1,151 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+fingerprinting.
+
+All pure Column expressions (regexp + higher-order functions) so they run
+inside whole-stage codegen at 100 TB — a corpus-wide quality pass is one
+narrow projection over the scan, no shuffle at all. Each has an exact DuckDB
+oracle because the same algorithm is expressible in both SQL dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and explicit so the oracle SQL can inline
+#: the identical lists.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+#: Stopwords for quality scoring (English-ish filler terms).
+QUALITY_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed, lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND punctuation
+    boundaries (a cheap BPE-like proxy for LLM token budgeting).
+
+    regexp: word chars runs + single non-word non-space chars each count.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    spaced = F.regexp_replace(c, r"([^\w\s])", r" $1 ")
+    return F.when(F.length(F.trim(spaced)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(spaced), r"\s+"))
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or QUALITY_STOPWORDS)])
+    toks = tokens(col)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are common punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[.,!?;:'\"()\-]", "")
+    n = F.length(c)
+    return F.when(n > 0, (n - F.length(stripped)).cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[0-9]", "")
+    n = F.length(c)
+    return F.when(n > 0, (n - F.length(stripped)).cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def mean_token_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document quality in [0,1]: rewards moderate length and
+    word shape, penalizes punctuation/digit noise.
+
+    score = 0.25·len_ok + 0.25·wordlen_ok + 0.25·(1-punct) + 0.25·(1-digit)
+    with len_ok = min(n_tokens/20, 1), wordlen_ok = 1 if mean token length
+    in [3,10] else 0. Fully deterministic arithmetic → exact oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c).cast("double")
+    len_ok = F.least(n / F.lit(20.0), F.lit(1.0))
+    mtl = mean_token_length(c)
+    wordlen_ok = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        0.25 * len_ok + 0.25 * wordlen_ok + 0.25 * (1.0 - punct_ratio(c)) + 0.25 * (1.0 - digit_ratio(c)),
+        6,
+    )
+
+
+def langid(col: Column | str) -> Column:
+    """Stopword-vote language ID over :data:`LANG_STOPWORDS`.
+
+    Counts token hits per language; highest count wins, ties broken by
+    language-code order; 'und' (undetermined) when no list scores > 0.
+    """
+    toks = tokens(col)
+    scores = []
+    for code, words in sorted(LANG_STOPWORDS.items()):
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            (code, F.size(F.filter(toks, lambda t: F.array_contains(sw, t))))
+        )
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in reverse so earlier codes win ties (strict > comparison)
+    for code, score in reversed(scores):
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(code)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set. Detects bag-of-words-identical docs (shuffled word order)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full text-analysis projection: one narrow pass, all metrics."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_subword_tokens"),
+        F.round(mean_token_length(c), 6).alias("mean_token_len"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(digit_ratio(c), 6).alias("digit_ratio"),
+        quality_score(c).alias("quality"),
+        langid(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,78 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect). A warm-up action runs first so JVM/codegen warm-up isn't
+billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from api_log_iceberg_test_spark.session import build_session  # noqa: E402
+
+#: Headline mix: reference surface + joins/windows + extension operators.
+HEADLINE = [
+    "q_count",
+    "q_frequency_by_name",
+    "q_recent_top20",
+    "q_error_analysis",
+    "q_hourly_rollup",
+    "q_pricing_summary",
+    "q_revenue_topk",
+    "q_local_supplier_volume",
+    "q_topn_per_group",
+    "q_sessionize",
+    "q_asof_join",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_ann_cosine_topk",
+    "q_text_analyze",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    spark = build_session(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+
+    qs = em.queries()
+
+    # warm-up: JVM + parquet footers + codegen paths
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs["q_count"](spark, sf_dir).collect()
+
+    results: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        dt = round(time.time() - t0, 3)
+        results[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

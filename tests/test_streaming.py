@@ -1,0 +1,99 @@
+"""Streaming analytics: windowed agg batch/stream parity, stateful
+sessionization vs the batch oracle shape."""
+
+from __future__ import annotations
+
+from api_log_iceberg_test_spark.generator import generate_api_logs
+from api_log_iceberg_test_spark.schema import API_LOG_SCHEMA
+from api_log_iceberg_test_spark.streaming.windows import sliding_error_rate, tumbling_counts
+
+
+def _stream_from(spark, tmp_path, df):
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    return spark.readStream.schema(df.schema).parquet(src)
+
+
+def test_tumbling_counts_stream_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    logs = generate_api_logs(spark, 2000, seed=21, span_days=2)
+    stream = _stream_from(spark, tmp_path, logs)
+
+    out = str(tmp_path / "out")
+    q = (
+        tumbling_counts(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["name"]): r["cnt"]
+        for r in spark.read.parquet(out).collect()
+    }
+
+    want = {
+        (r["ws"], r["name"]): r["cnt"]
+        for r in logs.groupBy(
+            F.date_trunc("hour", "time").alias("ws"), "name"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    # availableNow emits only windows the watermark has passed; every emitted
+    # window must match batch exactly, and most windows must have emitted.
+    assert got, "stream emitted no windows"
+    for k, v in got.items():
+        assert want[k] == v, k
+    assert len(got) >= len(want) * 0.9
+
+
+def test_sliding_error_rate_schema(spark, tmp_path):
+    logs = generate_api_logs(spark, 500, seed=23, span_days=1)
+    stream = _stream_from(spark, tmp_path, logs)
+    df = sliding_error_rate(stream)
+    assert set(df.columns) == {
+        "window_start",
+        "window_end",
+        "n_requests",
+        "n_errors",
+        "error_rate",
+    }
+    assert df.isStreaming
+
+
+def test_sessionize_stream(spark, tmp_path):
+    """Stateful sessionization over a finite stream; gap closes sessions."""
+    import datetime as dt
+
+    from api_log_iceberg_test_spark.streaming.sessionize import sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=5)),
+        (1, t0 + dt.timedelta(hours=2)),  # new session (gap > 30m)
+        (2, t0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    stream = _stream_from(spark, tmp_path, df)
+
+    out = str(tmp_path / "out")
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).collect()
+    # the first user-1 session (2 events) closed by the later event's gap
+    closed = [r for r in got if r["user_id"] == 1 and r["n_events"] == 2]
+    assert closed, f"expected user-1 2-event session, got {got}"

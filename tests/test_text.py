@@ -1,0 +1,57 @@
+"""Text analysis operator semantics on crafted inputs."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from api_log_iceberg_test_spark.operators import text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "der Hund und die Katze ist hier"),
+            (3, "1234 5678!!!"),
+            (4, ""),
+            (5, "fox brown quick the"),  # bag-of-words identical to doc 1
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_token_counts(spark, docs):
+    out = {r["doc_id"]: r for r in text.analyze(docs).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[4]["n_tokens"] == 0
+    assert out[3]["n_subword_tokens"] == 5  # 1234, 5678, !, !, !
+
+
+def test_langid(spark, docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in text.analyze(docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_quality_bounds(spark, docs):
+    for r in text.analyze(docs).collect():
+        assert 0.0 <= r["quality"] <= 1.0
+    out = {r["doc_id"]: r["quality"] for r in text.analyze(docs).collect()}
+    assert out[1] > out[3]  # clean text beats digit/punct noise
+
+
+def test_fingerprint_order_insensitive(spark, docs):
+    out = {r["doc_id"]: r["fingerprint"] for r in text.analyze(docs).collect()}
+    assert out[1] == out[5]
+    assert out[1] != out[2]
+
+
+def test_ratios(spark):
+    df = spark.createDataFrame([(1, "ab, cd!")], ["doc_id", "text"])
+    r = text.analyze(df).collect()[0]
+    assert r["punct_ratio"] == pytest.approx(2 / 7, abs=1e-6)
+    assert r["digit_ratio"] == 0.0
