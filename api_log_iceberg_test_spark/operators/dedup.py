@@ -127,16 +127,28 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         word_shingles(text_col, n).alias("sh"),
     )
-    keyed = docs.withColumn(
-        "bkey", F.explode(F.slice(F.array_sort("sh"), 1, n_blocking))
+    # candidates carry only ids through the blocking join + distinct —
+    # the (large) shingle arrays are joined back afterwards, once per
+    # surviving pair, so the dedup shuffle moves compact rows.
+    keyed = docs.select(
+        "id", F.explode(F.slice(F.array_sort("sh"), 1, n_blocking)).alias("bkey")
     )
-    left = keyed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "bkey")
-    right = keyed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "bkey")
-    pairs = (
-        left.join(right, "bkey")
+    cands = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "bkey")
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # Jaccard verification runs on xxhash64'd shingle arrays: long-array
+    # intersects are far cheaper than string-array intersects and the value
+    # is identical absent a 64-bit collision inside one pair (~1e-13/pair).
+    hashed = docs.select(
+        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hv")
+    )
+    pairs = (
+        cands.join(hashed.select(F.col("id").alias("id_a"), F.col("hv").alias("sh_a")), "id_a")
+        .join(hashed.select(F.col("id").alias("id_b"), F.col("hv").alias("sh_b")), "id_b")
     )
     return (
         pairs.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
@@ -154,25 +166,35 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(shingles: Column, num_perm: int = 32, seed: int = 7) -> Column:
+def minhash_signature(hash_col: Column, num_perm: int = 32, seed: int = 7) -> Column:
     """MinHash signature as array<bigint> of length ``num_perm``.
 
-    Universal hashing over xxhash64(shingle): h_i = (a_i·h + b_i) mod p with
-    p = 2^31-1. Entirely higher-order functions — per row this is
-    |shingles| × num_perm multiply-mods, vectorized by codegen; nothing
-    shuffles until banding.
+    ``hash_col`` must be a *materialized* array<bigint> column of shingle
+    hashes in [0, 2^31-1) — pass a real column, not an inline expression:
+    the signature references its input once per aggregate step, and an
+    inline shingle+hash subtree would otherwise be re-evaluated per
+    permutation (a 32× blowup caught by bench).
+
+    One aggregate pass over the hashes: the accumulator is the running
+    32-wide minimum, updated per hash with zip_with(least). Permutation
+    constants a_i, b_i are Python-computed literals (a·h < 2^62, ANSI-safe).
     """
     p = F.lit(_MERSENNE31)
-    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p))
-    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    a_consts = F.array(
+        *[
+            F.lit((((seed + 2 * i + 1) * 0x9E3779B1) % _MERSENNE31) + 1)
+            for i in range(num_perm)
+        ]
+    )
+    b_consts = F.array(
+        *[F.lit(((i + 1) * 0x85EBCA77) % _MERSENNE31) for i in range(num_perm)]
+    )
 
-    def perm_min(i: Column) -> Column:
-        # a, b ∈ [1, p): derived from the permutation index; a·h < 2^62.
-        a = F.pmod((F.lit(seed) + i * 2 + 1) * F.lit(0x9E3779B1), p) + 1
-        b = F.pmod((i + 1) * F.lit(0x85EBCA77), p)
-        return F.array_min(F.transform(hashes, lambda h: F.pmod(a * h + b, p)))
+    def step(acc: Column, h: Column) -> Column:
+        permuted = F.zip_with(a_consts, b_consts, lambda a, b: F.pmod(a * h + b, p))
+        return F.zip_with(acc, permuted, lambda x, y: F.least(x, y))
 
-    return F.transform(perms, perm_min)
+    return F.aggregate(hash_col, F.array_repeat(p.cast("long"), num_perm), step)
 
 
 def minhash_lsh_pairs(
@@ -198,38 +220,51 @@ def minhash_lsh_pairs(
     4. verify candidates with exact Jaccard on the shingle arrays.
     """
     rows_per_band = num_perm // bands
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm, seed))
+    docs = (
+        df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+        # materialize shingle hashes once; the signature aggregate references
+        # the column, so Catalyst won't duplicate the hashing subtree
+        .withColumn("hv", F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))))
+        .withColumn("sig", minhash_signature(F.col("hv"), num_perm, seed))
+        .drop("hv")
+    )
 
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = docs.select(
         "id",
-        "sh",
         F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        b, F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
-                    ).alias("bhash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            F.concat_ws(
+                                ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                            ),
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bk"),
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
 
-    left = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bhash")
-    right = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bhash")
+    # ids-only through the bucket join + distinct; arrays join back after
     cands = (
-        left.join(right, ["band", "bhash"])
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bhash"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # hashed-shingle verification (see ngram_jaccard_pairs)
+    shs = docs.select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hv"))
+    pairs = (
+        cands.join(shs.select(F.col("id").alias("id_a"), F.col("hv").alias("sh_a")), "id_a")
+        .join(shs.select(F.col("id").alias("id_b"), F.col("hv").alias("sh_b")), "id_b")
+    )
     return (
-        cands.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        pairs.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
     )

@@ -64,15 +64,24 @@ def cosine_topk_bruteforce(
 
     Output: (query_id, neighbor_id, cosine, rank). Self-matches excluded.
     """
+    # norms precomputed per side: the pair projection then does ONE array
+    # pass (the dot product) instead of three
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_raw", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cos_raw",
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
@@ -183,11 +192,15 @@ def embedding_neardup_pairs(
     100 TB path is :func:`cosine_topk_ivf` with queries=corpus (cell join
     prunes pairs to same-cell candidates).
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(F.col(vec_col)).alias("na")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm(F.col(vec_col)).alias("nb")
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_raw", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos_raw", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
     )

@@ -135,17 +135,49 @@ def fingerprint(col: Column | str) -> Column:
 
 
 def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Full text-analysis projection: one narrow pass, all metrics."""
+    """Full text-analysis projection: one narrow pass, all metrics.
+
+    The token array is materialized once as a column — metric expressions
+    reference it instead of re-tokenizing (Catalyst keeps a non-cheap
+    producer column shared when referenced many times).
+    """
     c = F.col(text_col)
-    return df.select(
+    with_toks = df.withColumn("_toks", tokens(c))
+    tk = F.col("_toks")
+    n = F.size(tk)
+    total_len = F.aggregate(F.transform(tk, F.length), F.lit(0), lambda a, x: a + x)
+    mtl = F.when(n > 0, total_len.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    swr = F.when(
+        n > 0,
+        F.size(F.filter(tk, lambda t: F.array_contains(sw, t))).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_tok = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(n)
+    lang_scores = []
+    for code, words in sorted(LANG_STOPWORDS.items()):
+        lsw = F.array(*[F.lit(w) for w in words])
+        lang_scores.append((code, F.size(F.filter(tk, lambda t: F.array_contains(lsw, t)))))
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for code, score in reversed(lang_scores):
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(code)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    pr = punct_ratio(c)
+    dr = digit_ratio(c)
+    len_ok = F.least(n_tok.cast("double") / F.lit(20.0), F.lit(1.0))
+    wordlen_ok = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return with_toks.select(
         F.col(id_col),
-        token_count(c).alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         bpe_ish_token_count(c).alias("n_subword_tokens"),
-        F.round(mean_token_length(c), 6).alias("mean_token_len"),
-        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
-        F.round(punct_ratio(c), 6).alias("punct_ratio"),
-        F.round(digit_ratio(c), 6).alias("digit_ratio"),
-        quality_score(c).alias("quality"),
-        langid(c).alias("lang_pred"),
+        F.round(mtl, 6).alias("mean_token_len"),
+        F.round(swr, 6).alias("stopword_ratio"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(dr, 6).alias("digit_ratio"),
+        F.round(
+            0.25 * len_ok + 0.25 * wordlen_ok + 0.25 * (1.0 - pr) + 0.25 * (1.0 - dr), 6
+        ).alias("quality"),
+        best.alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
