@@ -339,6 +339,48 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- approx / percentile aggregates & catalog introspection -------------------
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
+    `quantile_cont`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx count-distinct — rows-only (sketch values are
+    implementation-specific); exactness envelope asserted in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+def q_limit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: bare LIMIT (README.md:74,160 `SELECT * ... LIMIT n`) — rows-only
+    (any-100-rows is not value-comparable by design)."""
+    return load_table(spark, sf_dir, "events").limit(100)
+
+
+def q_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: SHOW TABLES introspection (README.md:137-139)."""
+    from ..catalog import show_tables
+
+    return show_tables(spark, sf_dir)
+
+
 # --- oracle SQL ---------------------------------------------------------------
 
 ORACLE: dict[str, str] = {
@@ -484,6 +526,19 @@ ORACLE: dict[str, str] = {
                ROUND(LN(value + 1), 6) AS value_ln1p
         FROM events
     """,
+    "q_percentiles": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.9), 6) AS p90,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q_show_tables": """
+        SELECT table_name FROM information_schema.tables
+        WHERE table_name IN ('region','nation','customer','supplier','part',
+                             'orders','lineitem','events','documents','embeddings')
+        ORDER BY table_name
+    """,
     "q_asof_join": """
         SELECT l.user_id, l.event_id, r.r_event_id AS prior_event_id
         FROM (SELECT user_id, ts, event_id FROM events
@@ -514,4 +569,8 @@ QUERIES = {
     "q_duration_parse_roundtrip": q_duration_parse_roundtrip,
     "q_string_date_math": q_string_date_math,
     "q_asof_join": q_asof_join,
+    "q_percentiles": q_percentiles,
+    "q_approx_distinct": q_approx_distinct,
+    "q_limit_scan": q_limit_scan,
+    "q_show_tables": q_show_tables,
 }

@@ -98,8 +98,18 @@ def q_recent_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_time_range_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2+P2+P4: SELECT * over a timestamp range (README.md:157-160)."""
-    return time_range_scan(load_table(spark, sf_dir, "events"), "ts", "2024-01-20 00:00:00")
+    """S2+P2+P4: SELECT * over a timestamp range (README.md:157-160).
+
+    Uses the pushdown-preserving loader: the range predicate is applied to
+    the raw int64-nanos column so Parquet row-group pruning works (a plain
+    filter on the converted timestamp would not push — verified via
+    .explain in tests).
+    """
+    from ..schema import load_table_time_range
+
+    return load_table_time_range(
+        spark, sf_dir, "events", "ts", lower="2024-01-20 00:00:00"
+    )
 
 
 def q_error_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -93,6 +93,54 @@ def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
     return tuple(out)
 
 
+def load_table_time_range(
+    spark,
+    sf_dir: str,
+    name: str,
+    time_col: str,
+    lower: str | None = None,
+    upper: str | None = None,
+):
+    """Read a table with a time-range predicate that actually pushes down.
+
+    For nanos-stored timestamp columns, a filter on the *converted* column
+    (``timestamp_micros(ts div 1000) > T``) cannot reach the Parquet scan —
+    Catalyst can't invert the conversion — so row-group pruning is lost.
+    This helper applies the equivalent raw int64-nanos predicate *before*
+    conversion; ``.explain`` then shows ``PushedFilters: [GreaterThan(ts,...)]``
+    and at 100 TB the scan skips every row group outside the range.
+    Non-nanos columns just filter on the timestamp directly (already
+    pushable).
+    """
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    ns_cols = _nanos_timestamp_columns(path)
+
+    def to_ns(ts_str: str) -> int:
+        d = dt.datetime.fromisoformat(ts_str).replace(tzinfo=dt.timezone.utc)
+        return int(d.timestamp() * 1_000_000) * 1000
+
+    if time_col in ns_cols:
+        if lower is not None:
+            df = df.filter(F.col(time_col) > F.lit(to_ns(lower)))
+        if upper is not None:
+            df = df.filter(F.col(time_col) <= F.lit(to_ns(upper)))
+    else:
+        if lower is not None:
+            df = df.filter(F.col(time_col) > F.to_timestamp(F.lit(lower)))
+        if upper is not None:
+            df = df.filter(F.col(time_col) <= F.to_timestamp(F.lit(upper)))
+    for col in ns_cols:
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
 def load_table(spark, sf_dir: str, name: str):
     """Read one driver testdata table as a DataFrame.
 

@@ -1,0 +1,69 @@
+"""Physical-plan regression guards: the properties that matter at 100 TB.
+
+These assert on .explain output so a refactor can't silently lose predicate
+pushdown, column pruning, broadcast joins, or top-k plans.
+"""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as em
+
+_QUERIES = em.queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = _QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_projection")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"event_id", "event_type", "value"}
+
+
+def test_time_range_pushes_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_time_range_full_scan")
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(ts", plan), plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_broadcast_dim_join")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_recent_top20")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_revenue_join_pushes_filters(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_revenue_topk")
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(l_shipdate", plan), plan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(c_mktsegment,BUILDING", plan), plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from api_log_iceberg_test_spark.schema import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in _QUERIES["q_approx_distinct"](spark, sf_dir).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, approx[k], n)
