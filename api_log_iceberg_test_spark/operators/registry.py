@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schema import load_table
-from . import dedup, similarity, text
+from . import dedup, joins, similarity, text, tfidf, udfs
 
 # ---------------------------------------------------------------------------
 # dedup
@@ -100,6 +100,54 @@ def q_lang_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf, range join, UDF surface
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def q_range_join_nearby_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: events within ±5 min of each error event."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    others = ev.select(F.col("event_id").alias("near_id"), F.col("ts").alias("near_ts"))
+    out = joins.range_join_within(
+        errors,
+        others,
+        left_time="err_ts",
+        right_time="near_ts",
+        within_seconds=300,
+        left_cols=["err_id"],
+        right_cols=["near_id"],
+    )
+    return out.filter(F.col("err_id") != F.col("near_id")).orderBy("err_id", "near_id")
+
+
+def q_udf_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF (Arrow round-trip) with an exact SQL oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.round(udfs.sigmoid_score(F.col("value")), 6).alias("sigmoid")
+    ).orderBy("event_id")
+
+
+def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg Pandas UDF vs DuckDB's exact median."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(udfs.median_udaf(F.col("value")), 6).alias("median_value"))
+        .orderBy("event_type")
     )
 
 
@@ -237,6 +285,48 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+ORACLE["q_tfidf_top_terms"] = f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ), tokens_clean AS (
+        SELECT doc_id, term FROM t WHERE term <> ''
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tokens_clean GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens_clean GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS nd FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND(tf.tf * (ln((n.nd + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, term, tf, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+"""
+
+ORACLE["q_range_join_nearby_events"] = """
+    SELECT e.event_id AS err_id, o.event_id AS near_id
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+    JOIN events o
+      ON abs(epoch_us(e.ts) - epoch_us(o.ts)) <= 300000000
+     AND o.event_id <> e.event_id
+    ORDER BY err_id, near_id
+"""
+
+ORACLE["q_udf_sigmoid"] = """
+    SELECT event_id, ROUND(1.0 / (1.0 + exp(-value / 100.0)), 6) AS sigmoid
+    FROM events ORDER BY event_id
+"""
+
+ORACLE["q_udaf_median"] = """
+    SELECT event_type, ROUND(median(value), 6) AS median_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_normalized": q_dedup_normalized,
@@ -248,4 +338,8 @@ QUERIES = {
     "q_embedding_neardup": q_embedding_neardup,
     "q_text_analyze": q_text_analyze,
     "q_lang_composition": q_lang_composition,
+    "q_tfidf_top_terms": q_tfidf_top_terms,
+    "q_range_join_nearby_events": q_range_join_nearby_events,
+    "q_udf_sigmoid": q_udf_sigmoid,
+    "q_udaf_median": q_udaf_median,
 }

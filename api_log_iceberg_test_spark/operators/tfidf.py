@@ -1,0 +1,53 @@
+"""TF-IDF keyword extraction over the documents corpus.
+
+Classic three-stage distributed shape, all compact-key shuffles:
+
+1. term frequencies: explode tokens → count per (doc, term);
+2. document frequencies: count distinct docs per term (broadcastable —
+   vocabulary ≪ corpus at any scale);
+3. score tf·idf with smooth idf = ln((N+1)/(df+1)) + 1, keep top-k terms
+   per doc via row_number.
+
+The explode multiplies rows by tokens/doc, but rows are (id, term) pairs —
+bytes stay small; at 100 TB the groupBy gets map-side partial aggregation
+so the shuffle carries one row per distinct (doc, term) per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    Output: (doc_id, term, tf, score, rank); deterministic tiebreak on term.
+    """
+    n_docs = df.count()  # one cheap job; at scale pass it in precomputed
+    terms = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )

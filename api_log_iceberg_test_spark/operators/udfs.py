@@ -1,0 +1,48 @@
+"""The user-extensibility surface: vectorized (Arrow) Pandas UDFs.
+
+The reference exposes no UDF hooks (SURVEY.md §2.5); this module defines the
+engine's sanctioned extension points and demonstrates each kind:
+
+- scalar Pandas UDF (`sigmoid_score`) — batch-vectorized numpy math;
+- grouped-agg Pandas UDF (`median_udaf`) — custom aggregation;
+- ``mapInPandas`` kernels live in :mod:`multimodal` (media decode).
+
+Per the engine's performance stance, built-in Column expressions are always
+preferred in hot paths; Pandas UDFs are the escape hatch when the logic
+needs numpy/real Python — they move data via Arrow in columnar batches
+(~10-100× faster than row-at-a-time Python UDFs, which this engine never
+uses).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+# UDFs are constructed lazily: @pandas_udf at import time requires an active
+# SparkSession (return-type DDL parsing), and this module must be importable
+# before any session exists (driver contract).
+
+
+def _sigmoid(v: pd.Series) -> pd.Series:
+    return 1.0 / (1.0 + np.exp(-v / 100.0))
+
+
+def sigmoid_score(col: Column) -> Column:
+    """Vectorized logistic score: 1 / (1 + exp(-v/100)) as a scalar Pandas UDF.
+
+    Deterministic per-row math → exactly replicable in the SQL oracle,
+    which makes this a differential test of the whole Arrow round-trip.
+    """
+    return pandas_udf(_sigmoid, "double")(col)
+
+
+def _median(v: pd.Series) -> float:
+    return float(v.median())
+
+
+def median_udaf(col: Column) -> Column:
+    """Grouped-aggregate Pandas UDF: exact median of a group."""
+    return pandas_udf(_median, "double")(col)

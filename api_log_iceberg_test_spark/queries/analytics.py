@@ -72,6 +72,17 @@ def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all grouping-set combinations of (event_type, month)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("month", F.month("ts"))
+        .cube("event_type", "month")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.asc_nulls_first("event_type"), F.asc_nulls_first("month"))
+    )
+
+
 def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed rollup — the batch shape of the streaming tumbling
     window (streaming variant: streaming.windows.hourly_counts)."""
@@ -410,6 +421,12 @@ ORACLE: dict[str, str] = {
         GROUP BY ROLLUP (event_type, day)
         ORDER BY event_type NULLS FIRST, day NULLS FIRST
     """,
+    "q_cube_counts": """
+        SELECT event_type, EXTRACT(month FROM ts) AS month, COUNT(*) AS cnt
+        FROM events
+        GROUP BY CUBE (event_type, month)
+        ORDER BY event_type NULLS FIRST, month NULLS FIRST
+    """,
     "q_hourly_rollup": """
         SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt,
                ROUND(AVG(value), 6) AS avg_value
@@ -569,6 +586,7 @@ QUERIES = {
     "q_duration_parse_roundtrip": q_duration_parse_roundtrip,
     "q_string_date_math": q_string_date_math,
     "q_asof_join": q_asof_join,
+    "q_cube_counts": q_cube_counts,
     "q_percentiles": q_percentiles,
     "q_approx_distinct": q_approx_distinct,
     "q_limit_scan": q_limit_scan,
