@@ -17,7 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from api_log_iceberg_test_spark.queries import analytics, api_logs
+from api_log_iceberg_test_spark.queries import analytics, api_logs, sql_surface
 
 try:  # extension operators land incrementally; keep the contract importable
     from api_log_iceberg_test_spark.operators import registry as _ops_registry
@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(api_logs.QUERIES)
     out.update(analytics.QUERIES)
+    out.update(sql_surface.QUERIES)
     out.update(_OPS_QUERIES)
     return out
 
@@ -66,5 +67,6 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(api_logs.ORACLE)
     out.update(analytics.ORACLE)
+    out.update(sql_surface.ORACLE)
     out.update(_OPS_ORACLE)
     return out

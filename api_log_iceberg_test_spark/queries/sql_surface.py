@@ -1,0 +1,127 @@
+"""Raw-SQL entry surface: the reference's users type SQL at a prompt
+(Trino CLI, README.md:69-75); this engine's equivalent is ``spark.sql``
+over the warehouse views. Each query here runs VERBATIM through
+``spark.sql`` (not the DataFrame API) to prove the SQL front door, and
+covers SQL constructs the DataFrame-side queries don't: scalar/IN/EXISTS
+subqueries, CTEs, CASE + HAVING, regexp extraction, array aggregation,
+null-handling scalars.
+
+All plans still flow through the same Catalyst pipeline, so the 100 TB
+properties (pushdown, pruning, broadcast) hold identically; plan guards in
+tests/test_plans.py cover the DataFrame twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_testdata_views
+
+#: name → (spark_sql, duckdb_sql). Where ANSI SQL suffices, both are the
+#: SAME string — the differential test then exercises two engines' parsers
+#: and executors on identical input, the strongest parity statement.
+_PAIRS: dict[str, tuple[str, str]] = {
+    "q_sql_scalar_subquery": (
+        s := """
+        SELECT event_id, ROUND(value, 2) AS value
+        FROM events
+        WHERE value > 3 * (SELECT AVG(value) FROM events)
+        ORDER BY event_id
+        """,
+        s,
+    ),
+    "q_sql_in_subquery": (
+        s := """
+        SELECT event_type, COUNT(*) AS cnt
+        FROM events
+        WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'signup')
+        GROUP BY event_type ORDER BY event_type
+        """,
+        s,
+    ),
+    "q_sql_correlated_exists": (
+        s := """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        ORDER BY c_custkey
+        """,
+        s,
+    ),
+    "q_sql_cte_join": (
+        s := """
+        WITH big_orders AS (
+            SELECT o_custkey, COUNT(*) AS n_big
+            FROM orders WHERE o_totalprice > 150000
+            GROUP BY o_custkey
+        )
+        SELECT c_mktsegment, SUM(n_big) AS total_big_orders
+        FROM customer JOIN big_orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        s,
+    ),
+    "q_sql_case_having": (
+        s := """
+        SELECT CASE WHEN value < 50 THEN 'low'
+                    WHEN value < 200 THEN 'mid'
+                    ELSE 'high' END AS band,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value), 2) AS total
+        FROM events
+        GROUP BY 1
+        HAVING COUNT(*) > 10
+        ORDER BY band
+        """,
+        s,
+    ),
+    "q_sql_regexp_extract": (
+        s := """
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+        FROM events
+        WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''
+        ORDER BY event_id
+        """,
+        s,
+    ),
+    "q_sql_array_agg": (
+        """
+        SELECT event_type,
+               array_sort(collect_set(user_id)) AS users,
+               size(collect_set(user_id)) AS n_users
+        FROM events WHERE user_id < 8
+        GROUP BY event_type ORDER BY event_type
+        """,
+        """
+        SELECT event_type,
+               list_sort(list(DISTINCT user_id)) AS users,
+               len(list(DISTINCT user_id)) AS n_users
+        FROM events WHERE user_id < 8
+        GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+    "q_sql_null_scalars": (
+        s := """
+        SELECT event_id,
+               COALESCE(NULLIF(event_type, 'error'), 'recovered') AS type_clean,
+               GREATEST(value, 100.0) AS val_floor,
+               LEAST(value, 400.0) AS val_cap
+        FROM events ORDER BY event_id
+        """,
+        s,
+    ),
+}
+
+
+def _runner(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_testdata_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+QUERIES = {name: _runner(spark_sql) for name, (spark_sql, _) in _PAIRS.items()}
+ORACLE = {name: duck_sql for name, (_, duck_sql) in _PAIRS.items()}
