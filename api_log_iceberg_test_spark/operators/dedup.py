@@ -123,16 +123,21 @@ def ngram_jaccard_pairs(
     shingles) — at 100 TB add a ``groupBy(key).count`` pre-pass and filter
     buckets > ~1e4.
     """
+    # One pass computes blocking keys + hashed shingles, then a repartition
+    # on id materializes it into a single exchange that BOTH consumers
+    # (blocking explode, verification joins) reuse — without it each branch
+    # re-runs the tokenize/shingle subtree from the scan. Candidates carry
+    # only ids through the join + distinct; the (large) hash arrays join
+    # back afterwards. Jaccard verification runs on xxhash64'd arrays:
+    # long intersects are far cheaper than string intersects and the value
+    # is identical absent a 64-bit collision inside one pair (~1e-13/pair).
+    sh = word_shingles(text_col, n)
     docs = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(text_col, n).alias("sh"),
-    )
-    # candidates carry only ids through the blocking join + distinct —
-    # the (large) shingle arrays are joined back afterwards, once per
-    # surviving pair, so the dedup shuffle moves compact rows.
-    keyed = docs.select(
-        "id", F.explode(F.slice(F.array_sort("sh"), 1, n_blocking)).alias("bkey")
-    )
+        F.slice(F.array_sort(sh), 1, n_blocking).alias("bkeys"),
+        F.transform(sh, lambda s: F.xxhash64(s)).alias("hv"),
+    ).repartition(F.col("id"))
+    keyed = docs.select("id", F.explode("bkeys").alias("bkey"))
     cands = (
         keyed.alias("a")
         .join(keyed.alias("b"), "bkey")
@@ -140,12 +145,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Jaccard verification runs on xxhash64'd shingle arrays: long-array
-    # intersects are far cheaper than string-array intersects and the value
-    # is identical absent a 64-bit collision inside one pair (~1e-13/pair).
-    hashed = docs.select(
-        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hv")
-    )
+    hashed = docs.select("id", "hv")
     pairs = (
         cands.join(hashed.select(F.col("id").alias("id_a"), F.col("hv").alias("sh_a")), "id_a")
         .join(hashed.select(F.col("id").alias("id_b"), F.col("hv").alias("sh_b")), "id_b")
@@ -222,11 +222,16 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     docs = (
         df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
-        # materialize shingle hashes once; the signature aggregate references
-        # the column, so Catalyst won't duplicate the hashing subtree
-        .withColumn("hv", F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))))
-        .withColumn("sig", minhash_signature(F.col("hv"), num_perm, seed))
-        .drop("hv")
+        # materialize hashes once; the signature aggregate references the
+        # column, so Catalyst won't duplicate the hashing subtree. hv64 (full
+        # width) feeds Jaccard verification; hvp (mod 2^31-1) feeds MinHash.
+        .withColumn("hv64", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+        .withColumn("hvp", F.transform(F.col("hv64"), lambda h: F.pmod(h, F.lit(_MERSENNE31))))
+        .withColumn("sig", minhash_signature(F.col("hvp"), num_perm, seed))
+        .select("id", "hv64", "sig")
+        # single exchange reused by the banding branch and the verification
+        # branch (otherwise each re-computes shingles+signature from scan)
+        .repartition(F.col("id"))
     )
 
     banded = docs.select(
@@ -258,7 +263,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # hashed-shingle verification (see ngram_jaccard_pairs)
-    shs = docs.select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hv"))
+    shs = docs.select("id", F.col("hv64").alias("hv"))
     pairs = (
         cands.join(shs.select(F.col("id").alias("id_a"), F.col("hv").alias("sh_a")), "id_a")
         .join(shs.select(F.col("id").alias("id_b"), F.col("hv").alias("sh_b")), "id_b")
