@@ -34,6 +34,8 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_ann_cosine_topk",
     "q_text_analyze",
+    "q_tfidf_top_terms",
+    "q_range_join_nearby_events",
 ]
 
 
