@@ -1,0 +1,41 @@
+"""Stream-stream interval join with watermark-bounded state.
+
+The canonical attribution query: join a purchase stream to the signup/click
+stream of the same user within a time window. Both sides carry watermarks
+plus an event-time range condition — that pair is what lets Spark bound the
+join state (rows older than watermark + interval are evicted), which is the
+difference between O(window) and O(stream) state at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Rows of ``left`` matched to ``right`` rows of the same key with
+    right_time ∈ [left_time - max_lag, left_time].
+
+    Both inputs may be streaming; each gets a watermark so the state store
+    evicts expired rows.
+    """
+    l = left.withWatermark(left_time, watermark).alias("l")
+    r = right.withWatermark(right_time, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_time}") <= F.col(f"l.{left_time}"))
+        & (
+            F.col(f"r.{right_time}")
+            >= F.col(f"l.{left_time}") - F.expr(f"INTERVAL {max_lag}")
+        )
+    )
+    return l.join(r, cond, "inner")

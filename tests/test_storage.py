@@ -1,0 +1,69 @@
+"""Physical-layout tests: bucketed joins plan without exchanges; salted
+aggregation is semantics-preserving."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from api_log_iceberg_test_spark.operators.skew import salted_aggregate
+from api_log_iceberg_test_spark.schema import load_table
+from api_log_iceberg_test_spark.storage import cojoin_bucketed, write_bucketed
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    # warehouse dir is a static conf — tables land in ./spark-warehouse
+    # (gitignored); unique names + full cleanup so reruns never collide
+    import shutil
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    t_orders, t_lineitem = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(orders, t_orders, "o_orderkey", 8)
+        write_bucketed(lineitem, t_lineitem, "l_orderkey", 8)
+
+        # at test scale the planner would rather broadcast (and skip the
+        # bucketing); disable auto-broadcast to exercise the fact-fact
+        # shape bucketing exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = cojoin_bucketed(spark, t_orders, t_lineitem, "o_orderkey", "l_orderkey")
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "Exchange" not in plan, plan
+        # and the join is still correct
+        n = joined.count()
+        plain = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        for t in (t_orders, t_lineitem):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    salted = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "cnt": "count:*",
+            "total": "sum:value",
+            "vmin": "min:value",
+            "vmax": "max:value",
+        },
+        salt_buckets=16,
+    )
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    a = {r["event_type"]: (r["cnt"], round(r["total"], 4), r["vmin"], r["vmax"]) for r in salted.collect()}
+    b = {r["event_type"]: (r["cnt"], round(r["total"], 4), r["vmin"], r["vmax"]) for r in plain.collect()}
+    assert a == b

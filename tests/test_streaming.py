@@ -97,3 +97,51 @@ def test_sessionize_stream(spark, tmp_path):
     # the first user-1 session (2 events) closed by the later event's gap
     closed = [r for r in got if r["user_id"] == 1 and r["n_events"] == 2]
     assert closed, f"expected user-1 2-event session, got {got}"
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two file-source streams, watermarked interval join == batch join."""
+    import datetime as dt
+
+    from api_log_iceberg_test_spark.streaming.stream_join import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    purchases = spark.createDataFrame(
+        [
+            (1, t0, 100),
+            (2, t0 + dt.timedelta(hours=3), 101),
+            (3, t0, 102),
+        ],
+        ["user_id", "p_ts", "p_id"],
+    )
+    signups = spark.createDataFrame(
+        [
+            (1, t0 - dt.timedelta(minutes=30), 200),  # within 1h before -> match
+            (2, t0, 201),                              # 3h before purchase -> no match
+            (3, t0 + dt.timedelta(minutes=5), 202),    # after purchase -> no match
+        ],
+        ["user_id", "s_ts", "s_id"],
+    )
+    pdir, sdir = str(tmp_path / "p"), str(tmp_path / "s")
+    purchases.write.parquet(pdir)
+    signups.write.parquet(sdir)
+    p_stream = spark.readStream.schema(purchases.schema).parquet(pdir)
+    s_stream = spark.readStream.schema(signups.schema).parquet(sdir)
+
+    joined = interval_join(
+        p_stream, s_stream, key="user_id", left_time="p_ts", right_time="s_ts",
+        max_lag="1 hour",
+    ).select("p_id", "s_id")
+
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["p_id"], r["s_id"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(100, 200)}
