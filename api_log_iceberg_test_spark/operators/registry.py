@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schema import load_table
-from . import dedup, joins, similarity, text, tfidf, udfs
+from . import cdc, dedup, joins, similarity, text, tfidf, udfs
 
 # ---------------------------------------------------------------------------
 # dedup
@@ -139,6 +139,44 @@ def q_udf_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.round(udfs.sigmoid_score(F.col("value")), 6).alias("sigmoid")
     ).orderBy("event_id")
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event_type, counts per user bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(10)))
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+        .orderBy("user_bucket")
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation: apply a deterministic update set to customer.
+
+    Updates = customers with c_custkey % 10 == 0 get acctbal+1000 and
+    segment 'UPSERTED', plus two brand-new synthetic keys.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    changed = (
+        cust.filter(F.pmod(F.col("c_custkey"), F.lit(10)) == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 1000.0, 2))
+        .withColumn("c_mktsegment", F.lit("UPSERTED"))
+    )
+    new_rows = spark.createDataFrame(
+        [(10_000_001, "Customer#new1", 1.0, "NEW"), (10_000_002, "Customer#new2", 2.0, "NEW")],
+        ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
+    )
+    updates = changed.unionByName(new_rows)
+    merged = cdc.merge_upsert(cust, updates, "c_custkey")
+    return merged.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    ).orderBy("c_custkey")
 
 
 def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,6 +360,33 @@ ORACLE["q_udf_sigmoid"] = """
     FROM events ORDER BY event_id
 """
 
+ORACLE["q_pivot_counts"] = """
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY 1 ORDER BY user_bucket
+"""
+
+ORACLE["q_merge_upsert"] = """
+    WITH cust AS (
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    ), updates AS (
+        SELECT c_custkey, c_name, ROUND(c_acctbal + 1000.0, 2) AS c_acctbal,
+               'UPSERTED' AS c_mktsegment
+        FROM cust WHERE c_custkey % 10 = 0
+        UNION ALL SELECT 10000001, 'Customer#new1', 1.0, 'NEW'
+        UNION ALL SELECT 10000002, 'Customer#new2', 2.0, 'NEW'
+    )
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+    FROM (
+        SELECT * FROM cust WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+        UNION ALL SELECT * FROM updates
+    ) ORDER BY c_custkey
+"""
+
 ORACLE["q_udaf_median"] = """
     SELECT event_type, ROUND(median(value), 6) AS median_value
     FROM events GROUP BY event_type ORDER BY event_type
@@ -342,4 +407,6 @@ QUERIES = {
     "q_range_join_nearby_events": q_range_join_nearby_events,
     "q_udf_sigmoid": q_udf_sigmoid,
     "q_udaf_median": q_udaf_median,
+    "q_pivot_counts": q_pivot_counts,
+    "q_merge_upsert": q_merge_upsert,
 }

@@ -37,6 +37,30 @@ def tumbling_counts(
     )
 
 
+def session_window_counts(
+    stream: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Built-in session windows (gap-merged) — the declarative counterpart
+    of streaming.sessionize (applyInPandasWithState) and the batch
+    q_sessionize. Prefer this when per-session logic is pure aggregation;
+    drop to the stateful UDF only for custom per-event logic."""
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(F.col(time_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def sliding_error_rate(
     stream: DataFrame,
     time_col: str = "time",

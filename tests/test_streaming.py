@@ -145,3 +145,42 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["p_id"], r["s_id"]) for r in spark.read.parquet(out).collect()}
     assert got == {(100, 200)}
+
+
+def test_session_window_counts_matches_batch_sessionize(spark, tmp_path):
+    """Built-in session_window event counts == the batch lag/cumsum
+    sessionization (same 30-min gap), for sessions the watermark closed."""
+    from api_log_iceberg_test_spark.queries.analytics import q_sessionize
+    from api_log_iceberg_test_spark.schema import load_table
+    from api_log_iceberg_test_spark.streaming.windows import session_window_counts
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+
+    out = str(tmp_path / "out")
+    q = (
+        session_window_counts(stream, gap="30 minutes")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["n_events"], r["session_start"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "no sessions emitted"
+
+    batch = {
+        (r["user_id"], r["n_events"], r["session_start"])
+        for r in q_sessionize(spark, sf_dir).collect()
+    }
+    # every emitted (closed) session must exist identically in the batch view
+    assert got <= batch, f"streaming-only sessions: {got - batch}"
+    assert len(got) >= 0.8 * len(batch)
