@@ -72,6 +72,23 @@ def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tumbling_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window() tumbling buckets in batch — the exact expression the
+    streaming ingest rollup uses (streaming/windows.py), proving
+    batch/stream unification of the window operator."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE — all grouping-set combinations of (event_type, month)."""
     ev = load_table(spark, sf_dir, "events")
@@ -421,6 +438,11 @@ ORACLE: dict[str, str] = {
         GROUP BY ROLLUP (event_type, day)
         ORDER BY event_type NULLS FIRST, day NULLS FIRST
     """,
+    "q_tumbling_window_batch": """
+        SELECT to_timestamp((epoch(ts)::BIGINT // 21600) * 21600) AS window_start,
+               event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
     "q_cube_counts": """
         SELECT event_type, EXTRACT(month FROM ts) AS month, COUNT(*) AS cnt
         FROM events
@@ -586,6 +608,7 @@ QUERIES = {
     "q_duration_parse_roundtrip": q_duration_parse_roundtrip,
     "q_string_date_math": q_string_date_math,
     "q_asof_join": q_asof_join,
+    "q_tumbling_window_batch": q_tumbling_window_batch,
     "q_cube_counts": q_cube_counts,
     "q_percentiles": q_percentiles,
     "q_approx_distinct": q_approx_distinct,

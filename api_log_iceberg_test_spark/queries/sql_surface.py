@@ -102,6 +102,23 @@ _PAIRS: dict[str, tuple[str, str]] = {
         GROUP BY event_type ORDER BY event_type
         """,
     ),
+    "q_sql_unpivot": (
+        """
+        SELECT c_custkey, metric, val FROM (
+            SELECT c_custkey,
+                   stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE))
+                   AS (metric, val)
+            FROM customer
+        ) WHERE c_custkey < 100 ORDER BY c_custkey, metric
+        """,
+        """
+        SELECT c_custkey, metric, val FROM (
+            SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+            UNION ALL
+            SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+        ) t WHERE c_custkey < 100 ORDER BY c_custkey, metric
+        """,
+    ),
     "q_sql_null_scalars": (
         s := """
         SELECT event_id,
