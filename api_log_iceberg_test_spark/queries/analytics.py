@@ -184,6 +184,54 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation.
+
+    Customers (including order-less ones, via the outer join) bucketed by
+    how many qualifying orders they have.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-subquery (orders whose total quantity exceeds
+    a threshold) joined back to customer — agg feeding a semi-filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "l_orderkey",
+            "o_orderdate",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI (EXISTS): customers having ≥1 high-value order."""
     cust = load_table(spark, sf_dir, "customer")
@@ -488,6 +536,25 @@ ORACLE: dict[str, str] = {
           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n_name ORDER BY revenue DESC, n_name
     """,
+    "q_customer_order_histogram": """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) t GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    "q_large_orders": """
+        SELECT c_custkey, c_name, l_orderkey, o_orderdate,
+               ROUND(total_qty, 2) AS total_qty
+        FROM (
+            SELECT l_orderkey, SUM(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+        ) big
+        JOIN orders ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, l_orderkey LIMIT 20
+    """,
     "q_semi_join": """
         SELECT c_custkey, c_name, c_mktsegment FROM customer
         WHERE EXISTS (SELECT 1 FROM orders
@@ -597,6 +664,8 @@ QUERIES = {
     "q_broadcast_dim_join": q_broadcast_dim_join,
     "q_revenue_topk": q_revenue_topk,
     "q_local_supplier_volume": q_local_supplier_volume,
+    "q_customer_order_histogram": q_customer_order_histogram,
+    "q_large_orders": q_large_orders,
     "q_semi_join": q_semi_join,
     "q_anti_join": q_anti_join,
     "q_topn_per_group": q_topn_per_group,

@@ -113,3 +113,35 @@ def build_session(
 def get_test_session(app_name: str = "api-log-iceberg-test-spark-tests") -> SparkSession:
     """Session for local tests: local[*] unless SPARK_GRAFT_CPUS is set."""
     return build_session(app_name=app_name)
+
+
+def cluster_conf(
+    executor_cores: int,
+    num_executors: int,
+    target_partition_mb: int = 128,
+) -> dict[str, str]:
+    """Recommended conf overrides for a real (1000-executor-class) cluster.
+
+    Rationale per knob:
+    - shuffle partitions ≈ 2-3× total cores: enough tasks for AQE to
+      coalesce down (cheap) rather than split up (impossible pre-AQE-skew);
+    - maxPartitionBytes: scan-side partition sizing — 128 MB keeps a
+      partition's decompressed columns within executor memory at wide
+      schemas while amortizing task overhead at 100 TB (≈800k tasks);
+    - adaptive advisory size steers AQE coalescing to the same target;
+    - Kryo + compressed shuffle are strictly better for the log schema
+      (mostly strings/longs).
+
+    Pass to :func:`build_session` as ``extra_conf``.
+    """
+    total_cores = executor_cores * num_executors
+    return {
+        "spark.sql.shuffle.partitions": str(total_cores * 3),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            target_partition_mb * 1024 * 1024
+        ),
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.shuffle.compress": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }
