@@ -232,6 +232,74 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-MIN subquery.
+
+    Expressed Spark-style as the de-correlated rewrite Catalyst itself
+    performs: per-key MIN aggregate joined back to the fact on
+    (key, value == min). At scale both sides shuffle on l_partkey once;
+    part is filtered before its join so the scan prunes.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    supp = load_table(spark, sf_dir, "supplier")
+    min_price = (
+        li.groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+        .withColumnRenamed("l_partkey", "mp_partkey")
+    )
+    return (
+        li.join(
+            min_price,
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .drop("mp_partkey")
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("min_price", 2).alias("min_price"),
+        )
+        .distinct()
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar MAX over it.
+
+    The MAX is taken with an unpartitioned window over the ALREADY-AGGREGATED
+    relation (|suppliers| rows, not |lineitem|), so the single-partition
+    window is cheap at any scale and the max is computed in the same pass as
+    the revenues it filters (no recompute divergence).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    return (
+        top.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI (EXISTS): customers having ≥1 high-value order."""
     cust = load_table(spark, sf_dir, "customer")
@@ -555,6 +623,30 @@ ORACLE: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY total_qty DESC, l_orderkey LIMIT 20
     """,
+    "q_min_price_supplier": """
+        SELECT DISTINCT p_partkey, p_name, s_name,
+               ROUND(l_extendedprice, 2) AS min_price
+        FROM part, lineitem, supplier
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND p_size <= 15
+          AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                                 FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        ORDER BY p_partkey, s_name
+    """,
+    "q_top_supplier_revenue": """
+        WITH revenue AS (
+            SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        ), ranked AS (
+            SELECT *, MAX(total_revenue) OVER () AS max_rev FROM revenue
+        )
+        SELECT s_suppkey, s_name, ROUND(total_revenue, 4) AS total_revenue
+        FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = max_rev
+        ORDER BY s_suppkey
+    """,
     "q_semi_join": """
         SELECT c_custkey, c_name, c_mktsegment FROM customer
         WHERE EXISTS (SELECT 1 FROM orders
@@ -666,6 +758,8 @@ QUERIES = {
     "q_local_supplier_volume": q_local_supplier_volume,
     "q_customer_order_histogram": q_customer_order_histogram,
     "q_large_orders": q_large_orders,
+    "q_min_price_supplier": q_min_price_supplier,
+    "q_top_supplier_revenue": q_top_supplier_revenue,
     "q_semi_join": q_semi_join,
     "q_anti_join": q_anti_join,
     "q_topn_per_group": q_topn_per_group,
