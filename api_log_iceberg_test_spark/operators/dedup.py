@@ -354,11 +354,16 @@ def simhash_pairs(
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
     left = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "chunk")
     right = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "chunk")
+    # Hamming-verify BEFORE the pair-dedup: bit_count is codegen-cheap and
+    # runs stream-side inside the join stage, so the dropDuplicates shuffle
+    # carries only qualifying pairs (≤4× final) instead of the full banding
+    # candidate explosion — the difference between shuffling |result| and
+    # |collisions| at skewed chunks.
     return (
         left.join(right, ["band", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming")
     )
