@@ -76,16 +76,25 @@ def normalized_dedup(df: DataFrame, key: str = "text", id_col: str = "doc_id") -
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array<string>.
 
-    Higher-order functions only: tokenize → sliding windows via
-    transform(sequence(...)) → concat_ws → array_distinct. Narrow (per-row)
-    — no explode, so corpus size doesn't multiply before the join stage.
+    Overlapping n-grams are extracted with a single word-anchored
+    regex lookahead (``(?:^| )(?=(\\S+ \\S+ \\S+))``) over the
+    whitespace-normalized text. ``regexp_extract_all`` is codegen'd;
+    the equivalent higher-order-function pipeline
+    (transform(sequence) → slice → concat_ws) is CodegenFallback and
+    benches ~7× slower on a 54-token-average corpus. Narrow (per-row)
+    — no explode, so corpus size doesn't multiply before the join
+    stage. Docs with < n tokens yield the whole normalized text as
+    one shingle (matching the slice-truncation semantics of the HOF
+    formulation).
     """
     c = F.col(col) if isinstance(col, str) else col
-    tokens = F.split(F.trim(F.lower(c)), r"\s+")
-    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), count)
-    shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
-    return F.array_distinct(shingle)
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    pattern = r"(?:^| )(?=(" + " ".join([r"\S+"] * n) + r"))"
+    shingle = F.regexp_extract_all(norm, F.lit(pattern), 1)
+    full = F.when(
+        F.size(F.split(norm, " ")) >= n, shingle
+    ).otherwise(F.array(norm))
+    return F.array_distinct(full)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -131,12 +140,18 @@ def ngram_jaccard_pairs(
     # back afterwards. Jaccard verification runs on xxhash64'd arrays:
     # long intersects are far cheaper than string intersects and the value
     # is identical absent a 64-bit collision inside one pair (~1e-13/pair).
-    sh = word_shingles(text_col, n)
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        F.slice(F.array_sort(sh), 1, n_blocking).alias("bkeys"),
-        F.transform(sh, lambda s: F.xxhash64(s)).alias("hv"),
-    ).repartition(F.col("id"))
+    # Two-step select: `sh` is materialized by the first projection so the
+    # second's two consumers (bkeys, hv) don't each re-run the shingle
+    # extraction (CollapseProject keeps non-cheap expressions single).
+    docs = (
+        df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+        .select(
+            "id",
+            F.slice(F.array_sort("sh"), 1, n_blocking).alias("bkeys"),
+            F.transform("sh", lambda s: F.xxhash64(s)).alias("hv"),
+        )
+        .repartition(F.col("id"))
+    )
     keyed = docs.select("id", F.explode("bkeys").alias("bkey"))
     cands = (
         keyed.alias("a")
@@ -331,6 +346,10 @@ def simhash_pairs(
     banding is a pure pruning step. Bands shuffle as small (band, chunk)
     keys.
     """
+    # NOTE: no repartition-materialization here (unlike ngram/minhash) — the
+    # two sides of the band self-join are byte-identical subtrees, so
+    # Spark's ReuseExchange already computes the signature once; measured
+    # adding a repartition only added a shuffle.
     sigs = df.select(
         F.col(id_col).alias("id"), simhash_signature(text_col, seed).alias("sig")
     )
