@@ -77,6 +77,18 @@ def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: numpy/BLAS mapInPandas variant of brute-force top-k —
+    ULP-level cosine drift vs the sequential expression path (pairwise vs
+    sequential summation) makes hash-compare meaningless; neighbor-set
+    parity with q_ann_cosine_topk is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.cosine_topk_numpy(emb, queries, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
@@ -400,6 +412,7 @@ QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_ann_cosine_topk": q_ann_cosine_topk,
     "q_ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
+    "q_ann_cosine_topk_np": q_ann_cosine_topk_np,
     "q_embedding_neardup": q_embedding_neardup,
     "q_text_analyze": q_text_analyze,
     "q_lang_composition": q_lang_composition,

@@ -50,6 +50,23 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert r4 >= r2 >= 0.3, (r2, r4)
 
 
+def test_numpy_topk_matches_expression_path(spark, sf_dir):
+    """The BLAS mapInPandas variant must return the same neighbor sets as
+    the sequential expression variant; cosines agree to fp tolerance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 20")
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    fast = similarity.cosine_topk_numpy(emb, queries, k=5).collect()
+    assert len(exact) == len(fast)
+    truth = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in fast}
+    # identical pair sets (ULP cosine drift can't flip non-tied rankings on
+    # this corpus), cosines equal to 1e-6
+    assert truth.keys() == got.keys()
+    for key, cos in truth.items():
+        assert abs(cos - got[key]) < 1e-6, (key, cos, got[key])
+
+
 def test_neardup_pairs_symmetric_free(spark):
     vecs = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.999, 0.001]), (2, [0.0, 1.0])],
