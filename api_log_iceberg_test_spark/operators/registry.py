@@ -94,6 +94,14 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: hyperplane-LSH scale path — exact-verified subset of
+    q_embedding_neardup (precision 1.0); recall asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_lsh_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -414,6 +422,7 @@ QUERIES = {
     "q_ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
     "q_ann_cosine_topk_np": q_ann_cosine_topk_np,
     "q_embedding_neardup": q_embedding_neardup,
+    "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
     "q_text_analyze": q_text_analyze,
     "q_lang_composition": q_lang_composition,
     "q_tfidf_top_terms": q_tfidf_top_terms,

@@ -245,6 +245,97 @@ def cosine_topk_ivf(
     )
 
 
+def hyperplane_lsh_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    nbits: int = 48,
+    bands: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH + exact verify.
+
+    The 100 TB path for :func:`embedding_neardup_pairs` (which is exact but
+    all-pairs O(n²)):
+
+    1. signatures: each Arrow batch is projected against ``nbits`` random
+       hyperplanes in ONE numpy matmul; sign bits pack into a single long
+       (sign-of-dot agreement probability is 1 - θ/π, the SimHash bound).
+    2. banding: ``bands`` chunks of ``nbits/bands`` bits; any shared chunk
+       → candidate. Only (band, chunk) keys shuffle.
+    3. exact cosine verification on candidates — results are always a
+       SUBSET of the exact operator's pairs (precision 1.0); recall is the
+       banding capture probability, asserted in tests.
+
+    The hyperplane matrix is regenerated per executor from ``seed`` —
+    deterministic, nothing shipped but two ints.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if nbits % bands:
+        raise ValueError("nbits must divide evenly into bands")
+    chunk_bits = nbits // bands
+
+    def sigs(batches):
+        R = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if R is None:
+                R = np.random.default_rng(seed).standard_normal((nbits, m.shape[1]))
+            bits = (m @ R.T >= 0).astype(np.int64)  # batch × nbits
+            weights = np.left_shift(np.int64(1), np.arange(nbits, dtype=np.int64))
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(dtype=np.int64), "sig": bits @ weights}
+            )
+
+    signed = corpus.mapInPandas(sigs, "id long, sig long").repartition(F.col("id"))
+    mask = (1 << chunk_bits) - 1
+    banded = signed.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * chunk_bits)
+                        .bitwiseAND(F.lit(mask).cast("long"))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "chunk"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    pairs = cands.join(
+        vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")),
+        "id_a",
+    ).join(
+        vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")),
+        "id_b",
+    )
+    return (
+        pairs.withColumn("cos_raw", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.99,

@@ -67,6 +67,37 @@ def test_numpy_topk_matches_expression_path(spark, sf_dir):
         assert abs(cos - got[key]) < 1e-6, (key, cos, got[key])
 
 
+def test_hyperplane_lsh_precision_and_recall(spark):
+    """LSH pairs must be a subset of exact pairs (exact verification ⇒
+    precision 1.0); planted near-dup pairs (cos ≥ 0.95) must be recovered
+    (banding capture ≈ 0.997 at these params)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    dim, n_base, n_planted = 16, 100, 10
+    base = rng.standard_normal((n_base, dim))
+    rows = [(i, base[i].tolist()) for i in range(n_base)]
+    # planted: tiny perturbation of base[i] => cosine ≈ 1
+    for j in range(n_planted):
+        v = base[j] + 0.01 * rng.standard_normal(dim)
+        rows.append((n_base + j, v.tolist()))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(vecs, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.hyperplane_lsh_pairs(vecs, threshold=0.9).collect()
+    }
+    assert lsh <= exact  # precision 1.0 by construction
+    planted = {(j, n_base + j) for j in range(n_planted)}
+    assert planted <= exact
+    recall = len(lsh & planted) / len(planted)
+    assert recall >= 0.9, recall
+
+
 def test_neardup_pairs_symmetric_free(spark):
     vecs = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.999, 0.001]), (2, [0.0, 1.0])],
