@@ -123,6 +123,48 @@ def q_lang_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% training-set sample, reported per language stratum.
+
+    Sampling predicate is a multiplicative hash on the key
+    (``doc_id·2654435761 mod 1000 < 100``) — reproducible across engines
+    and runs, no RNG state; at 100 TB the predicate is a codegen'd scan
+    filter, and sampling a different split (train/val/test) is just a
+    different residue range over the SAME hash, guaranteeing disjointness.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    in_sample = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000)) < 100
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(in_sample, 1).otherwise(0)).alias("n_sampled"),
+        )
+        .withColumn(
+            "rate", F.round(F.col("n_sampled") / F.col("n_docs"), 4)
+        )
+        .orderBy("lang")
+    )
+
+
+def q_curated_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation: top-3 documents per language by composite quality
+    score (window top-k over the narrow quality projection)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        "doc_id", "lang", text.quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "rank", "doc_id", "quality")
+        .orderBy("lang", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # tf-idf, range join, UDF surface
 # ---------------------------------------------------------------------------
@@ -343,6 +385,44 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+ORACLE["q_train_sample"] = """
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(CASE WHEN (doc_id * 2654435761) % 1000 < 100 THEN 1 ELSE 0 END) AS n_sampled,
+           ROUND(SUM(CASE WHEN (doc_id * 2654435761) % 1000 < 100 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 4) AS rate
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+ORACLE["q_curated_topk_per_lang"] = f"""
+    WITH t AS (
+        SELECT doc_id, lang, text, {_TOKENS} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                    ELSE 0.0 END AS mtl,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[.,!?;:''"()\\-]', '', 'g')))::DOUBLE / length(text)
+                    ELSE 0.0 END AS pr,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+                    ELSE 0.0 END AS dr
+        FROM t
+    ), s AS (
+        SELECT doc_id, lang,
+               ROUND(0.25 * least(n_tokens / 20.0, 1.0)
+                     + 0.25 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.0 END)
+                     + 0.25 * (1.0 - pr) + 0.25 * (1.0 - dr), 6) AS quality
+        FROM m
+    ), r AS (
+        SELECT lang, doc_id, quality,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rank
+        FROM s
+    )
+    SELECT lang, rank, doc_id, quality FROM r WHERE rank <= 3 ORDER BY lang, rank
+"""
+
 ORACLE["q_tfidf_top_terms"] = f"""
     WITH t AS (
         SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
@@ -425,6 +505,8 @@ QUERIES = {
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
     "q_text_analyze": q_text_analyze,
     "q_lang_composition": q_lang_composition,
+    "q_train_sample": q_train_sample,
+    "q_curated_topk_per_lang": q_curated_topk_per_lang,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_range_join_nearby_events": q_range_join_nearby_events,
     "q_udf_sigmoid": q_udf_sigmoid,
