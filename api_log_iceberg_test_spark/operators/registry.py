@@ -147,6 +147,25 @@ def q_train_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum fixed-k sample: exactly 10 docs per language, chosen by
+    multiplicative-hash order — deterministic across engines/runs (no RNG),
+    and at scale a window over small per-stratum partitions (k rows per
+    stratum survive the shuffle)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hash_order = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(2147483648))
+    w = Window.partitionBy("lang").orderBy(hash_order.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "rn", "doc_id")
+        .orderBy("lang", "rn")
+    )
+
+
 def q_curated_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus curation: top-3 documents per language by composite quality
     score (window top-k over the narrow quality projection)."""
@@ -393,6 +412,15 @@ ORACLE["q_train_sample"] = """
     FROM documents GROUP BY lang ORDER BY lang
 """
 
+ORACLE["q_grouped_sample"] = """
+    SELECT lang, rn, doc_id FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY (doc_id * 2654435761) % 2147483648, doc_id) AS rn
+        FROM documents
+    ) t WHERE rn <= 10 ORDER BY lang, rn
+"""
+
 ORACLE["q_curated_topk_per_lang"] = f"""
     WITH t AS (
         SELECT doc_id, lang, text, {_TOKENS} AS toks FROM documents
@@ -506,6 +534,7 @@ QUERIES = {
     "q_text_analyze": q_text_analyze,
     "q_lang_composition": q_lang_composition,
     "q_train_sample": q_train_sample,
+    "q_grouped_sample": q_grouped_sample,
     "q_curated_topk_per_lang": q_curated_topk_per_lang,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_range_join_nearby_events": q_range_join_nearby_events,
