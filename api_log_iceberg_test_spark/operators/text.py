@@ -32,6 +32,24 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(F.lower(c)), r"\s+")
 
 
+def norm_text(col: Column | str) -> Column:
+    """Trimmed, lowercased, single-spaced text — the token stream as ONE
+    string. Token-level metrics run as codegen'd regex/length ops over this
+    instead of interpreted (CodegenFallback) higher-order array functions."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def _word_count_pattern(words: list[str]) -> str:
+    """Regex counting occurrences of whole whitespace-tokens from ``words``.
+
+    Leading ``(?:^| )`` anchors to a token start; the ``(?= |$)`` lookahead
+    enforces token end WITHOUT consuming the next token's separator, so
+    consecutive stopwords all count; alternation backtracks until the full
+    token matches (e.g. 'and' is not half-matched by 'a')."""
+    return r"(?:^| )(?:" + "|".join(words) + r")(?= |$)"
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count; 0 for empty/blank text."""
     c = F.col(col) if isinstance(col, str) else col
@@ -52,11 +70,11 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
-    """Fraction of whitespace tokens that are stopwords."""
-    sw = F.array(*[F.lit(s) for s in (stopwords or QUALITY_STOPWORDS)])
-    toks = tokens(col)
-    n = F.size(toks)
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    """Fraction of whitespace tokens that are stopwords (regex token count
+    over the normalized string — no interpreted array filter)."""
+    nrm = norm_text(col)
+    n = F.size(F.split(nrm, " "))
+    hits = F.regexp_count(nrm, F.lit(_word_count_pattern(stopwords or QUALITY_STOPWORDS)))
     return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
@@ -80,9 +98,11 @@ def digit_ratio(col: Column | str) -> Column:
 
 
 def mean_token_length(col: Column | str) -> Column:
-    toks = tokens(col)
-    n = F.size(toks)
-    total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    """Mean token length via pure string arithmetic: on single-spaced text,
+    sum(len(token)) == len(text) - (n_tokens - 1) — no per-token loop."""
+    nrm = norm_text(col)
+    n = F.size(F.split(nrm, " "))
+    total = F.length(nrm) - (n - F.lit(1))
     return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
@@ -111,12 +131,11 @@ def langid(col: Column | str) -> Column:
     Counts token hits per language; highest count wins, ties broken by
     language-code order; 'und' (undetermined) when no list scores > 0.
     """
-    toks = tokens(col)
+    nrm = norm_text(col)
     scores = []
     for code, words in sorted(LANG_STOPWORDS.items()):
-        sw = F.array(*[F.lit(w) for w in words])
         scores.append(
-            (code, F.size(F.filter(toks, lambda t: F.array_contains(sw, t))))
+            (code, F.regexp_count(nrm, F.lit(_word_count_pattern(words))))
         )
     best = F.lit("und")
     best_score = F.lit(0)
@@ -137,26 +156,27 @@ def fingerprint(col: Column | str) -> Column:
 def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Full text-analysis projection: one narrow pass, all metrics.
 
-    The token array is materialized once as a column — metric expressions
-    reference it instead of re-tokenizing (Catalyst keeps a non-cheap
-    producer column shared when referenced many times).
+    The normalized string is materialized once as a column — metric
+    expressions reference it instead of re-normalizing (Catalyst keeps a
+    non-cheap producer column shared when referenced many times).
     """
     c = F.col(text_col)
-    with_toks = df.withColumn("_toks", tokens(c))
-    tk = F.col("_toks")
-    n = F.size(tk)
-    total_len = F.aggregate(F.transform(tk, F.length), F.lit(0), lambda a, x: a + x)
+    # one normalized-string column; every token metric is a codegen'd
+    # regex/length op over it (no interpreted array HOFs in this pass)
+    with_toks = df.withColumn("_norm", norm_text(c))
+    nrm = F.col("_norm")
+    n = F.size(F.split(nrm, " "))
+    total_len = F.length(nrm) - (n - F.lit(1))
     mtl = F.when(n > 0, total_len.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
-    sw = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
     swr = F.when(
         n > 0,
-        F.size(F.filter(tk, lambda t: F.array_contains(sw, t))).cast("double") / n.cast("double"),
+        F.regexp_count(nrm, F.lit(_word_count_pattern(QUALITY_STOPWORDS))).cast("double")
+        / n.cast("double"),
     ).otherwise(F.lit(0.0))
     n_tok = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(n)
     lang_scores = []
     for code, words in sorted(LANG_STOPWORDS.items()):
-        lsw = F.array(*[F.lit(w) for w in words])
-        lang_scores.append((code, F.size(F.filter(tk, lambda t: F.array_contains(lsw, t)))))
+        lang_scores.append((code, F.regexp_count(nrm, F.lit(_word_count_pattern(words)))))
     best = F.lit("und")
     best_score = F.lit(0)
     for code, score in reversed(lang_scores):
@@ -179,5 +199,7 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             0.25 * len_ok + 0.25 * wordlen_ok + 0.25 * (1.0 - pr) + 0.25 * (1.0 - dr), 6
         ).alias("quality"),
         best.alias("lang_pred"),
-        fingerprint(c).alias("fingerprint"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(nrm, " "))))
+        ).alias("fingerprint"),
     )
