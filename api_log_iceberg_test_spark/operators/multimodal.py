@@ -93,7 +93,10 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
 
     Real implementation: ``PIL.Image.open(io.BytesIO(b))`` per payload,
     vectorized luma via numpy. The fake derives stable pseudo-features from
-    the payload bytes so tests can assert determinism and batch shape.
+    the payload bytes so tests can assert determinism and batch shape —
+    hashing the payload's lowercase HEX form (not the raw bytes) so the
+    whole binary pipeline stays replicable in the DuckDB differential
+    oracle (DuckDB's md5() takes VARCHAR only).
     """
     import hashlib
 
@@ -102,7 +105,7 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
         if b is None:
             rows.append({"width": None, "height": None, "mean_luma": None, "phash": None})
             continue
-        h = hashlib.md5(bytes(b)).digest()
+        h = hashlib.md5(bytes(b).hex().encode()).digest()
         rows.append(
             {
                 "width": 32 + h[0],

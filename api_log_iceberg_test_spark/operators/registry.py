@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schema import load_table
-from . import cdc, dedup, joins, similarity, text, tfidf, udfs
+from . import cdc, dedup, joins, multimodal, similarity, text, tfidf, udfs
 
 # ---------------------------------------------------------------------------
 # dedup
@@ -182,6 +182,17 @@ def q_curated_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rank", "doc_id", "quality")
         .orderBy("lang", "rank")
     )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline: synthesize a binary media payload per
+    document (codegen expressions), then extract per-image features through
+    the REAL Arrow/mapInPandas kernel path (decode stubbed, deterministic).
+    Fully oracled: DuckDB rebuilds the payload blob and replays the stub's
+    md5-over-hex feature derivation in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.synthesize_media(docs)
+    return multimodal.extract_image_features(media).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -412,6 +423,26 @@ ORACLE["q_train_sample"] = """
     FROM documents GROUP BY lang ORDER BY lang
 """
 
+_PAYLOAD_BLOB = " || ".join(
+    f"unhex(md5(doc_id::VARCHAR || '|{k}'))" for k in range(17)
+)
+_NIB = "(strpos('0123456789abcdef', substr(hh, {i}, 1)) - 1)"
+_BYTE = "(16 * " + _NIB + " + " + _NIB.replace("{i}", "{j}") + ")"
+
+ORACLE["q_multimodal_features"] = f"""
+    WITH p AS (
+        SELECT doc_id, lower(hex({_PAYLOAD_BLOB})) AS payload_hex FROM documents
+    ), h AS (
+        SELECT doc_id, md5(payload_hex) AS hh FROM p
+    )
+    SELECT doc_id,
+           32 + {_BYTE.format(i=1, j=2)} AS width,
+           32 + {_BYTE.format(i=3, j=4)} AS height,
+           ROUND({_BYTE.format(i=5, j=6)} / 255.0, 6) AS mean_luma,
+           substr(hh, 1, 16) AS phash
+    FROM h ORDER BY doc_id
+"""
+
 ORACLE["q_grouped_sample"] = """
     SELECT lang, rn, doc_id FROM (
         SELECT lang, doc_id,
@@ -536,6 +567,7 @@ QUERIES = {
     "q_train_sample": q_train_sample,
     "q_grouped_sample": q_grouped_sample,
     "q_curated_topk_per_lang": q_curated_topk_per_lang,
+    "q_multimodal_features": q_multimodal_features,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_range_join_nearby_events": q_range_join_nearby_events,
     "q_udf_sigmoid": q_udf_sigmoid,
