@@ -235,26 +235,51 @@ def minhash_lsh_pairs(
     bands=8 × rows=4 over 32 perms ⇒ candidate-capture probability
     1-(1-J^4)^8 (≈0.96 at J=0.6, ≈0.80 at J=0.5). Plan at scale:
 
-    1. signatures: narrow projection (no shuffle);
+    1. signatures: shingle explode → per-doc MIN aggregates (whole-stage
+       codegen, map-side partial agg: the shuffle carries one 32-long row
+       per doc per partition); the groupBy(id) exchange is reused by the
+       banding branch and both verification joins;
     2. band keys: explode to ``bands`` rows/doc, shuffle on
-       (band, band_hash) — the only data-proportional shuffle;
+       (band, band_hash) — small keys only;
     3. bucket self-join: bounded by bucket size; AQE skew-split handles
        hot buckets, or cap buckets via a count pre-pass;
-    4. verify candidates with exact Jaccard on the shingle arrays.
+    4. verify candidates with exact Jaccard on the shingle-hash arrays.
     """
     rows_per_band = num_perm // bands
+    # Signature via explode + num_perm codegen'd MIN aggregates (same
+    # permutation family as :func:`minhash_signature`, identical values).
+    # Compared to the narrow higher-order aggregate (CodegenFallback,
+    # interpreted per shingle), the explode path stays in whole-stage
+    # codegen, gets map-side partial aggregation (the shuffle carries one
+    # 32-long row per doc per partition), and its groupBy(id) exchange is
+    # REUSED by the banding branch and both verification joins.
+    p = F.lit(_MERSENNE31)
+    ab = [
+        (
+            (((seed + 2 * i + 1) * 0x9E3779B1) % _MERSENNE31) + 1,
+            ((i + 1) * 0x85EBCA77) % _MERSENNE31,
+        )
+        for i in range(num_perm)
+    ]
+    per = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("s")
+    ).select("id", F.xxhash64("s").alias("h64")).withColumn(
+        "hp", F.pmod(F.col("h64"), p)
+    )
     docs = (
-        df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
-        # materialize hashes once; the signature aggregate references the
-        # column, so Catalyst won't duplicate the hashing subtree. hv64 (full
-        # width) feeds Jaccard verification; hvp (mod 2^31-1) feeds MinHash.
-        .withColumn("hv64", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
-        .withColumn("hvp", F.transform(F.col("hv64"), lambda h: F.pmod(h, F.lit(_MERSENNE31))))
-        .withColumn("sig", minhash_signature(F.col("hvp"), num_perm, seed))
-        .select("id", "hv64", "sig")
-        # single exchange reused by the banding branch and the verification
-        # branch (otherwise each re-computes shingles+signature from scan)
-        .repartition(F.col("id"))
+        per.groupBy("id")
+        .agg(
+            *[
+                F.min(F.pmod(F.lit(a) * F.col("hp") + F.lit(b), p)).alias(f"_m{i}")
+                for i, (a, b) in enumerate(ab)
+            ],
+            F.collect_list("h64").alias("hv64"),
+        )
+        .select(
+            "id",
+            "hv64",
+            F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig"),
+        )
     )
 
     banded = docs.select(
