@@ -52,6 +52,34 @@ def test_tumbling_counts_stream_equals_batch(spark, tmp_path):
     assert len(got) >= len(want) * 0.9
 
 
+def test_stream_dedup_drops_redeliveries(spark, tmp_path):
+    """At-least-once source (30% of rows delivered twice) → exactly-once
+    output via dropDuplicatesWithinWatermark; matches batch dropDuplicates."""
+    from api_log_iceberg_test_spark.streaming.dedup import dedup_stream
+
+    logs = generate_api_logs(spark, 1000, seed=31)
+    dupes = logs.limit(300)
+    src = str(tmp_path / "src")
+    logs.write.parquet(src)
+    dupes.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(logs.schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 1000
+    assert got.select("requestId").distinct().count() == 1000
+
+
 def test_sliding_error_rate_schema(spark, tmp_path):
     logs = generate_api_logs(spark, 500, seed=23, span_days=1)
     stream = _stream_from(spark, tmp_path, logs)
