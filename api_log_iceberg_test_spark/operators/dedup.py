@@ -184,6 +184,32 @@ def ngram_jaccard_pairs(
     )
 
 
+def cap_buckets(
+    banded: DataFrame, key_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Skew guard for LSH bucket self-joins.
+
+    A bucket of size s produces s² candidate pairs — one pathological key
+    (template boilerplate, empty-ish docs) can dominate the whole join at
+    corpus scale. Capping drops buckets larger than ``max_bucket_size``
+    BEFORE the join (window count over the bucket key — one shuffle on the
+    same key the join needs anyway). Documents in a dropped bucket can
+    still pair through their other bands, so recall degrades gracefully;
+    dedup of a bucket that big is better served by the exact tiers anyway.
+    ``None`` disables (the default — small corpora don't need it).
+    """
+    if max_bucket_size is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    return (
+        banded.withColumn("_bc", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bc") <= max_bucket_size)
+        .drop("_bc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tier 4: MinHash + banded LSH
 # ---------------------------------------------------------------------------
@@ -229,6 +255,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH, verified with exact Jaccard.
 
@@ -301,6 +328,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    banded = cap_buckets(banded, ["band", "bhash"], max_bucket_size)
 
     # ids-only through the bucket join + distinct; arrays join back after
     cands = (
@@ -413,6 +441,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 11,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by SimHash banding + Hamming verification.
 
@@ -442,6 +471,7 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+    banded = cap_buckets(banded, ["band", "chunk"], max_bucket_size)
     left = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "chunk")
     right = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "chunk")
     # Hamming-verify BEFORE the pair-dedup: bit_count is codegen-cheap and

@@ -68,6 +68,22 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
     } | found  # found pairs were Jaccard-verified by construction
 
 
+def test_bucket_cap_prunes_but_keeps_subset(spark, sf_dir):
+    """Capped LSH returns a subset of the uncapped pairs; a tiny cap on this
+    highly-self-similar corpus must actually drop candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_pairs(docs, max_hamming=3, max_bucket_size=5).collect()
+    }
+    assert capped <= full
+    assert len(capped) < len(full)
+
+
 def test_simhash_identical_docs_zero_hamming(spark, docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
