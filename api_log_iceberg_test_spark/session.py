@@ -144,4 +144,10 @@ def cluster_conf(
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
         "spark.shuffle.compress": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
+        # runtime bloom-filter semi-join reduction: the selective side of a
+        # shuffle join injects a bloom filter into the probe-side scan —
+        # at 100 TB this prunes fact-table row groups that can't match,
+        # the runtime analog of static partition pruning
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
     }
