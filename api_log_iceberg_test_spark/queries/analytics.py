@@ -434,6 +434,22 @@ def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame moving average (ROWS BETWEEN 3 PRECEDING AND CURRENT):
+    the sliding-frame counterpart of q_running_total's unbounded frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("mavg"),
+    ).orderBy("event_id")
+
+
 def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative sum per user ordered by event time (analytic frame)."""
     ev = load_table(spark, sf_dir, "events")
@@ -797,6 +813,12 @@ ORACLE: dict[str, str] = {
             FROM events) t
         WHERE rn <= 3 ORDER BY event_type, rn
     """,
+    "q_moving_avg": """
+        SELECT event_id, user_id,
+               ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
+        FROM events ORDER BY event_id
+    """,
     "q_running_total": """
         SELECT user_id, event_id, ts,
                ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -900,6 +922,7 @@ QUERIES = {
     "q_semi_join": q_semi_join,
     "q_anti_join": q_anti_join,
     "q_topn_per_group": q_topn_per_group,
+    "q_moving_avg": q_moving_avg,
     "q_running_total": q_running_total,
     "q_sessionize": q_sessionize,
     "q_set_ops": q_set_ops,
