@@ -398,6 +398,65 @@ def q_rich_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_line_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + CASE-bucketed conditional counts
+    per category (high/low-priority line counts by return flag)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) under a multi-key groupBy with
+    scan-level NOT/IN predicates. Distinct-agg expands to a two-phase
+    aggregate (partial distinct per partition, then final) — no row-level
+    shuffle of the fact table."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 5, 9, 13)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+    )
+
+
+def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-joins — suppliers of 'a%'-named parts
+    whose total shipped quantity exceeds a threshold. Inner IN-subqueries
+    become left-semi joins; the aggregate-HAVING feeds the outer semi."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    big_suppliers = (
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 2000)
+    )
+    return (
+        supp.join(
+            big_suppliers, supp.s_suppkey == big_suppliers.l_suppkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI (EXISTS): customers having ≥1 high-value order."""
     cust = load_table(spark, sf_dir, "customer")
@@ -796,6 +855,32 @@ ORACLE: dict[str, str] = {
                             AND o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey ORDER BY c_nationkey
     """,
+    "q_priority_line_buckets": """
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q_supplier_part_counts": """
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#5' AND p_size IN (1, 5, 9, 13)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    "q_bulk_part_suppliers": """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            GROUP BY l_suppkey HAVING SUM(l_quantity) > 2000)
+        ORDER BY s_suppkey
+    """,
     "q_semi_join": """
         SELECT c_custkey, c_name, c_mktsegment FROM customer
         WHERE EXISTS (SELECT 1 FROM orders
@@ -916,6 +1001,9 @@ QUERIES = {
     "q_min_price_supplier": q_min_price_supplier,
     "q_top_supplier_revenue": q_top_supplier_revenue,
     "q_late_ship_priority": q_late_ship_priority,
+    "q_priority_line_buckets": q_priority_line_buckets,
+    "q_supplier_part_counts": q_supplier_part_counts,
+    "q_bulk_part_suppliers": q_bulk_part_suppliers,
     "q_promo_revenue_pct": q_promo_revenue_pct,
     "q_disjunctive_revenue": q_disjunctive_revenue,
     "q_rich_quiet_customers": q_rich_quiet_customers,
