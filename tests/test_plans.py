@@ -51,6 +51,35 @@ def test_revenue_join_pushes_filters(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_disjunctive_predicates_push_to_both_scans(spark, sf_dir):
+    """Q19 shape: the OR-of-conjunctions must decompose — part predicates
+    to the part scan, quantity bounds to the lineitem scan."""
+    plan = _plan(spark, sf_dir, "q_disjunctive_revenue")
+    assert re.search(r"PushedFilters: \[[^\]]*Or\(And\(EqualTo\(p_brand", plan), plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_quantity", plan), plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exists_agg_uses_semi_broadcast(spark, sf_dir):
+    """Q4 shape: the EXISTS must plan as a semi join with the orders date
+    range pushed to its scan (no inner-join row blowup before the agg)."""
+    plan = _plan(spark, sf_dir, "q_late_ship_priority")
+    assert "LeftSemi" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan), plan
+
+
+def test_grouped_sample_single_shuffle(spark, sf_dir):
+    """Per-stratum sampling is one window over one exchange — a second
+    exchange would mean the hash-order computation isn't colocated."""
+    plan = _plan(spark, sf_dir, "q_grouped_sample")
+    # one exchange for the window partitionBy(lang); the final orderBy adds
+    # a range-partition exchange — anything beyond that is a regression
+    # (count tree nodes "(n) Exchange", not the detail section echoes)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    # rank<=k is pushed below the exchange as a partial per-partition top-k
+    assert "WindowGroupLimit" in plan
+
+
 def test_approx_distinct_within_rsd(spark, sf_dir):
     from pyspark.sql import functions as F
 
