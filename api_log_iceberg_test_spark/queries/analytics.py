@@ -493,6 +493,24 @@ def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function breadth over one window spec: ntile, percent_rank,
+    cume_dist, dense_rank, lag, lead — all share a single sort/exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+    ).orderBy("event_id")
+
+
 def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-frame moving average (ROWS BETWEEN 3 PRECEDING AND CURRENT):
     the sliding-frame counterpart of q_running_total's unbounded frame."""
@@ -898,6 +916,18 @@ ORACLE: dict[str, str] = {
             FROM events) t
         WHERE rn <= 3 ORDER BY event_type, rn
     """,
+    "q_window_rank_suite": """
+        SELECT event_id, event_type, value,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume,
+               DENSE_RANK() OVER w AS drank,
+               LAG(value, 1) OVER w AS prev_value,
+               LEAD(value, 1) OVER w AS next_value
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        ORDER BY event_id
+    """,
     "q_moving_avg": """
         SELECT event_id, user_id,
                ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1010,6 +1040,7 @@ QUERIES = {
     "q_semi_join": q_semi_join,
     "q_anti_join": q_anti_join,
     "q_topn_per_group": q_topn_per_group,
+    "q_window_rank_suite": q_window_rank_suite,
     "q_moving_avg": q_moving_avg,
     "q_running_total": q_running_total,
     "q_sessionize": q_sessionize,
