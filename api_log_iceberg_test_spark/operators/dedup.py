@@ -184,6 +184,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate clusters from a near-dup pair list: (doc_id, component)
+    where component = the smallest doc id reachable through pairs.
+
+    Iterative min-label propagation — each round every node takes the min
+    of its own label and its neighbors' labels; converges in diameter(G)
+    rounds (near-dup clusters are shallow, so typically ≤5). Each round is
+    one join + one partial-aggregated groupBy on the (small) edge list, and
+    ``localCheckpoint`` truncates the growing lineage so round N doesn't
+    re-execute rounds 1..N-1. At web scale swap the one-hop propagation for
+    the alternating large-star/small-star doubling of Kiveris et al. — the
+    join/agg shapes are identical, only the update rule changes.
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    e = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()  # reused by every round
+    )
+    labels = (
+        e.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = e.join(labels, e["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), F.col("comp")
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
 def cap_buckets(
     banded: DataFrame, key_cols: list[str], max_bucket_size: int | None
 ) -> DataFrame:

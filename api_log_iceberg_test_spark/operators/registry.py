@@ -46,6 +46,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: exact-Jaccard near-dup pairs → connected
+    components (iterative min-label propagation; DuckDB oracle replays the
+    same fixpoint with a recursive CTE). Component label = smallest doc_id
+    in the cluster, so downstream dedup keeps exactly one doc per cluster."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+    return dedup.connected_components(pairs).orderBy("doc_id")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: see q_dedup_minhash_lsh."""
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents")).orderBy(
@@ -292,6 +303,28 @@ _SHINGLES = f"""
                    for i in range(1, greatest(len(toks)-2, 1) + 1)])
 """.strip()
 
+#: Shared CTE chain producing the exact n-gram-Jaccard pair list `jpairs`
+#: (reused by the pairs oracle and the connected-components oracle).
+_JACCARD_CTES = f"""sh AS (
+            SELECT doc_id AS id, {_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+        ), keyed AS (
+            SELECT id, sh, unnest(list_sort(sh)[1:3]) AS bkey FROM sh
+        ), cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM keyed a JOIN keyed b ON a.bkey = b.bkey AND a.id < b.id
+        ), scored AS (
+            SELECT id_a AS doc_a, id_b AS doc_b,
+                   ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                         (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE,
+                         6) AS jaccard
+            FROM cand
+            JOIN sh sa ON sa.id = cand.id_a
+            JOIN sh sb ON sb.id = cand.id_b
+        ), jpairs AS (
+            SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+        )"""
+
 _LANG_SCORE = {
     code: "len(list_filter(toks, t -> list_contains(["
     + ", ".join(f"'{w}'" for w in words)
@@ -322,25 +355,23 @@ ORACLE: dict[str, str] = {
         FROM documents GROUP BY 1 ORDER BY doc_id
     """,
     "q_dedup_ngram_jaccard": f"""
-        WITH sh AS (
-            SELECT doc_id AS id, {_SHINGLES} AS sh
-            FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
-        ), keyed AS (
-            SELECT id, sh, unnest(list_sort(sh)[1:3]) AS bkey FROM sh
-        ), cand AS (
-            SELECT DISTINCT a.id AS id_a, b.id AS id_b
-            FROM keyed a JOIN keyed b ON a.bkey = b.bkey AND a.id < b.id
-        ), scored AS (
-            SELECT id_a AS doc_a, id_b AS doc_b,
-                   ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-                         (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE,
-                         6) AS jaccard
-            FROM cand
-            JOIN sh sa ON sa.id = cand.id_a
-            JOIN sh sb ON sb.id = cand.id_b
+        WITH {_JACCARD_CTES}
+        SELECT doc_a, doc_b, jaccard FROM jpairs ORDER BY doc_a, doc_b
+    """,
+    "q_dup_clusters": f"""
+        WITH RECURSIVE {_JACCARD_CTES},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM jpairs
+            UNION
+            SELECT doc_b, doc_a FROM jpairs
+        ),
+        walk(id, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id
         )
-        SELECT doc_a, doc_b, jaccard FROM scored
-        WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+        SELECT id AS doc_id, MIN(comp) AS component
+        FROM walk GROUP BY id ORDER BY doc_id
     """,
     "q_ann_cosine_topk": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -556,6 +587,7 @@ QUERIES = {
     "q_dedup_normalized": q_dedup_normalized,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "q_dup_clusters": q_dup_clusters,
     "q_dedup_simhash": q_dedup_simhash,
     "q_ann_cosine_topk": q_ann_cosine_topk,
     "q_ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,

@@ -68,6 +68,19 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
     } | found  # found pairs were Jaccard-verified by construction
 
 
+def test_connected_components_transitive(spark):
+    """1-2, 2-3 chain merges into one cluster labeled by its min id;
+    disjoint pair stays separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r["doc_id"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
 def test_bucket_cap_prunes_but_keeps_subset(spark, sf_dir):
     """Capped LSH returns a subset of the uncapped pairs; a tiny cap on this
     highly-self-similar corpus must actually drop candidates."""
