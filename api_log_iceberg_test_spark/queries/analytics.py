@@ -457,6 +457,25 @@ def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-AVG threshold — revenue from
+    below-average-quantity lines of one brand, decorrelated as a per-part
+    AVG aggregate joined back (both sides shuffle on l_partkey once)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_qty = (
+        li.groupBy("l_partkey")
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_lim"))
+        .withColumnRenamed("l_partkey", "ap_partkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI (EXISTS): customers having ≥1 high-value order."""
     cust = load_table(spark, sf_dir, "customer")
@@ -899,6 +918,13 @@ ORACLE: dict[str, str] = {
             GROUP BY l_suppkey HAVING SUM(l_quantity) > 2000)
         ORDER BY s_suppkey
     """,
+    "q_small_qty_revenue": """
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem l JOIN part ON l.l_partkey = p_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
     "q_semi_join": """
         SELECT c_custkey, c_name, c_mktsegment FROM customer
         WHERE EXISTS (SELECT 1 FROM orders
@@ -1034,6 +1060,7 @@ QUERIES = {
     "q_priority_line_buckets": q_priority_line_buckets,
     "q_supplier_part_counts": q_supplier_part_counts,
     "q_bulk_part_suppliers": q_bulk_part_suppliers,
+    "q_small_qty_revenue": q_small_qty_revenue,
     "q_promo_revenue_pct": q_promo_revenue_pct,
     "q_disjunctive_revenue": q_disjunctive_revenue,
     "q_rich_quiet_customers": q_rich_quiet_customers,
