@@ -76,6 +76,26 @@ _PAIRS: dict[str, tuple[str, str]] = {
         """,
         s,
     ),
+    "q_sql_grouping_sets": (
+        s := """
+        SELECT c_mktsegment, c_nationkey,
+               GROUPING(c_mktsegment) AS g_seg, GROUPING(c_nationkey) AS g_nat,
+               COUNT(*) AS cnt, ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+        """,
+        s,
+    ),
+    "q_sql_intersect": (
+        s := """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        ORDER BY user_id
+        """,
+        s,
+    ),
     "q_sql_regexp_extract": (
         s := """
         SELECT event_id,
