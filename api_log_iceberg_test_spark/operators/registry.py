@@ -195,6 +195,24 @@ def q_curated_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth over the token array: size/sort/slice/
+    contains/position/element_at/distinct — the collection-manipulation
+    surface a document pipeline leans on, all codegen'd expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.concat_ws(" ", F.slice(F.array_sort(toks), 1, 3)).alias("first3"),
+        F.array_contains(toks, "the").alias("has_the"),
+        # Spark returns 0 when absent; oracle COALESCEs DuckDB's NULL to 0
+        F.array_position(toks, "the").cast("int").alias("pos_the"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    ).orderBy("doc_id")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: synthesize a binary media payload per
     document (codegen expressions), then extract per-image features through
@@ -460,6 +478,18 @@ _PAYLOAD_BLOB = " || ".join(
 _NIB = "(strpos('0123456789abcdef', substr(hh, {i}, 1)) - 1)"
 _BYTE = "(16 * " + _NIB + " + " + _NIB.replace("{i}", "{j}") + ")"
 
+ORACLE["q_array_ops"] = f"""
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           array_to_string(list_sort(toks)[1:3], ' ') AS first3,
+           list_contains(toks, 'the') AS has_the,
+           COALESCE(list_position(toks, 'the'), 0) AS pos_the,
+           toks[len(toks)] AS last_tok,
+           len(list_distinct(toks)) AS n_distinct
+    FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents) t
+    ORDER BY doc_id
+"""
+
 ORACLE["q_multimodal_features"] = f"""
     WITH p AS (
         SELECT doc_id, lower(hex({_PAYLOAD_BLOB})) AS payload_hex FROM documents
@@ -600,6 +630,7 @@ QUERIES = {
     "q_grouped_sample": q_grouped_sample,
     "q_curated_topk_per_lang": q_curated_topk_per_lang,
     "q_multimodal_features": q_multimodal_features,
+    "q_array_ops": q_array_ops,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_range_join_nearby_events": q_range_join_nearby_events,
     "q_udf_sigmoid": q_udf_sigmoid,
