@@ -80,6 +80,47 @@ def test_stream_dedup_drops_redeliveries(spark, tmp_path):
     assert got.select("requestId").distinct().count() == 1000
 
 
+def test_incremental_rollup_equals_batch(spark, tmp_path):
+    """foreachBatch-maintained hourly rollup == one-shot batch aggregate,
+    including across a restart with more data (additive merge)."""
+    from pyspark.sql import functions as F
+
+    from api_log_iceberg_test_spark.streaming.rollup import (
+        read_rollup,
+        start_incremental_rollup,
+    )
+
+    logs1 = generate_api_logs(spark, 800, seed=41, span_days=2)
+    logs2 = generate_api_logs(spark, 700, seed=42, span_days=2)
+    src = str(tmp_path / "src")
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    logs1.write.parquet(src)
+
+    def run():
+        q = start_incremental_rollup(
+            spark.readStream.schema(logs1.schema).parquet(src), rollup, ckpt
+        )
+        q.awaitTermination(120)
+
+    run()
+    logs2.write.mode("append").parquet(src)
+    run()  # restart: only the new files are processed (checkpoint)
+
+    got = {
+        (r["bucket_start"], r["name"]): (r["cnt"], r["sum_out"])
+        for r in read_rollup(spark, rollup).collect()
+    }
+    want = {
+        (r["bucket_start"], r["name"]): (r["cnt"], r["sum_out"])
+        for r in logs1.union(logs2)
+        .groupBy(F.date_trunc("hour", "time").alias("bucket_start"), "name")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("outputBytes").alias("sum_out"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_sliding_error_rate_schema(spark, tmp_path):
     logs = generate_api_logs(spark, 500, seed=23, span_days=1)
     stream = _stream_from(spark, tmp_path, logs)
