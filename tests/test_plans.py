@@ -80,6 +80,49 @@ def test_grouped_sample_single_shuffle(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_aqe_splits_skewed_join(spark):
+    """With a 99%-one-key build side and broadcast disabled, AQE must mark
+    the skewed partition for runtime splitting (skew=true in the final
+    adaptive plan) — the mechanism that absorbs hot keys at 100 TB."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]
+    old = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        big = (
+            spark.range(300_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 100 == 0, F.col("id")).otherwise(F.lit(0)),
+            )
+            .withColumn("pad", F.lit("x" * 64))
+        )
+        small = spark.range(5000).select(
+            F.col("id").alias("k2"), F.lit("y").alias("tag")
+        )
+        j = big.join(small, big["k"] == small["k2"])
+        assert len(j.collect()) > 0
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_approx_distinct_within_rsd(spark, sf_dir):
     from pyspark.sql import functions as F
 
