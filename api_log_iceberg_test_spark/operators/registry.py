@@ -57,6 +57,21 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs).orderBy("doc_id")
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual dedup OUTPUT a pipeline ships: the corpus minus
+    non-canonical duplicates (every doc whose cluster has a smaller id is
+    dropped via anti-join on the connected-components labels)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    dupes = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return (
+        docs.join(dupes, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: see q_dedup_minhash_lsh."""
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents")).orderBy(
@@ -391,6 +406,25 @@ ORACLE: dict[str, str] = {
         SELECT id AS doc_id, MIN(comp) AS component
         FROM walk GROUP BY id ORDER BY doc_id
     """,
+    "q_dedup_canonical": f"""
+        WITH RECURSIVE {_JACCARD_CTES},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM jpairs
+            UNION
+            SELECT doc_b, doc_a FROM jpairs
+        ),
+        walk(id, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id
+        ),
+        dupes AS (
+            SELECT id FROM walk GROUP BY id HAVING id <> MIN(comp)
+        )
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM dupes)
+        ORDER BY doc_id
+    """,
     "q_ann_cosine_topk": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         scored AS (
@@ -618,6 +652,7 @@ QUERIES = {
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dup_clusters": q_dup_clusters,
+    "q_dedup_canonical": q_dedup_canonical,
     "q_dedup_simhash": q_dedup_simhash,
     "q_ann_cosine_topk": q_ann_cosine_topk,
     "q_ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
