@@ -88,7 +88,11 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     formulation).
     """
     c = F.col(col) if isinstance(col, str) else col
-    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    # full whitespace strip at the ends (F.trim strips spaces ONLY — a
+    # trailing \r/\t would otherwise leave a phantom empty token; found by
+    # the hypothesis equivalence test), then collapse inner runs
+    stripped = F.regexp_replace(F.lower(c), r"^\s+|\s+$", "")
+    norm = F.regexp_replace(stripped, r"\s+", " ")
     pattern = r"(?:^| )(?=(" + " ".join([r"\S+"] * n) + r"))"
     shingle = F.regexp_extract_all(norm, F.lit(pattern), 1)
     full = F.when(

@@ -35,9 +35,13 @@ def tokens(col: Column | str) -> Column:
 def norm_text(col: Column | str) -> Column:
     """Trimmed, lowercased, single-spaced text — the token stream as ONE
     string. Token-level metrics run as codegen'd regex/length ops over this
-    instead of interpreted (CodegenFallback) higher-order array functions."""
+    instead of interpreted (CodegenFallback) higher-order array functions.
+    Ends are stripped of ALL whitespace (F.trim strips spaces only, which
+    would leave a phantom empty token after a trailing tab/newline)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(c), r"^\s+|\s+$", ""), r"\s+", " "
+    )
 
 
 def _word_count_pattern(words: list[str]) -> str:
