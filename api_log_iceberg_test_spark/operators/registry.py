@@ -228,6 +228,22 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join (Spark 4 table-function surface): each
+    document expands to a variable number of (token, pos, len) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("token_stats", udfs.token_stats_udtf())
+    return spark.sql(
+        """
+        SELECT doc_id, token, pos, tok_len
+        FROM _udtf_docs AS d, LATERAL token_stats(d.text) AS t
+        WHERE doc_id < 100
+        ORDER BY doc_id, pos
+        """
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: synthesize a binary media payload per
     document (codegen expressions), then extract per-image features through
@@ -512,6 +528,19 @@ _PAYLOAD_BLOB = " || ".join(
 _NIB = "(strpos('0123456789abcdef', substr(hh, {i}, 1)) - 1)"
 _BYTE = "(16 * " + _NIB + " + " + _NIB.replace("{i}", "{j}") + ")"
 
+ORACLE["q_udtf_token_stats"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE doc_id < 100
+    ), u AS (
+        SELECT doc_id,
+               unnest([{{'tok': toks[i], 'pos': i - 1}}
+                       for i in range(1, len(toks) + 1)]) AS s
+        FROM t
+    )
+    SELECT doc_id, s.tok AS token, s.pos::INT AS pos, length(s.tok)::INT AS tok_len
+    FROM u ORDER BY doc_id, pos
+"""
+
 ORACLE["q_array_ops"] = f"""
     SELECT doc_id,
            len(toks) AS n_toks,
@@ -666,6 +695,7 @@ QUERIES = {
     "q_curated_topk_per_lang": q_curated_topk_per_lang,
     "q_multimodal_features": q_multimodal_features,
     "q_array_ops": q_array_ops,
+    "q_udtf_token_stats": q_udtf_token_stats,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_range_join_nearby_events": q_range_join_nearby_events,
     "q_udf_sigmoid": q_udf_sigmoid,

@@ -46,3 +46,26 @@ def _median(v: pd.Series) -> float:
 def median_udaf(col: Column) -> Column:
     """Grouped-aggregate Pandas UDF: exact median of a group."""
     return pandas_udf(_median, "double")(col)
+
+
+def token_stats_udtf():
+    """Python UDTF (Spark 4 table function): explode a document into
+    per-token rows with position and length — the lateral-join extension
+    point for logic that yields a VARIABLE number of rows per input.
+
+    Built-in alternative shown in :func:`tfidf.tfidf_top_terms` is
+    posexplode; the UDTF form is the sanctioned hook when per-row Python is
+    genuinely needed. Returned lazily (class, not instance) so this module
+    imports without an active SparkSession.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: int, tok_len: int")
+    class TokenStats:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.strip().lower().split()):
+                yield tok, i, len(tok)
+
+    return TokenStats
