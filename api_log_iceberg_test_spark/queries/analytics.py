@@ -520,6 +520,91 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's STANDARD-part
+    revenue per year — conditional-sum ratio over a 7-table join tree
+    (2 shuffle fact joins + 4 broadcast dims)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    nation_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation_c), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(nation_s), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact —
+    suppliers with a late line in a multi-supplier order where NO OTHER
+    supplier was late (late := l_shipdate > o_orderdate proxy; the
+    reference schema lacks commit/receipt dates). Two semi/anti joins with
+    non-equi conjuncts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    l1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    l3 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
 def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar-AVG threshold — revenue from
     below-average-quantity lines of one brand, decorrelated as a per-part
@@ -1009,6 +1094,40 @@ ORACLE: dict[str, str] = {
         GROUP BY supp_nation, cust_nation, l_year
         ORDER BY supp_nation, cust_nation, l_year
     """,
+    "q_market_share": """
+        SELECT EXTRACT(YEAR FROM o_orderdate)::INT AS o_year,
+               ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        GROUP BY o_year ORDER BY o_year
+    """,
+    "q_waiting_suppliers": """
+        SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_shipdate > o_orderdate
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate)
+        GROUP BY s_suppkey, s_name
+        ORDER BY numwait DESC, s_suppkey LIMIT 20
+    """,
     "q_small_qty_revenue": """
         SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
         FROM lineitem l JOIN part ON l.l_partkey = p_partkey
@@ -1154,6 +1273,8 @@ QUERIES = {
     "q_small_qty_revenue": q_small_qty_revenue,
     "q_returned_item_customers": q_returned_item_customers,
     "q_nation_trade_volume": q_nation_trade_volume,
+    "q_market_share": q_market_share,
+    "q_waiting_suppliers": q_waiting_suppliers,
     "q_promo_revenue_pct": q_promo_revenue_pct,
     "q_disjunctive_revenue": q_disjunctive_revenue,
     "q_rich_quiet_customers": q_rich_quiet_customers,
