@@ -45,18 +45,42 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Round-1 driver verification covered only the FIRST 50 queries() entries in
+# merge (= dict insertion) order, leaving every extension operator unchecked.
+# Merge order is therefore a priority order: reference §2 surface first, then
+# ALL LLM-pipeline extension operators, then the round-1-red analytics entries
+# (to prove their oracle fixes), then the SQL surface, then the analytic
+# breadth (already green in CORRECTNESS_r01).
+_PRIORITY_ANALYTICS = [
+    "q_priority_line_buckets",  # red in r01: HUGEINT SUM(CASE) artifact
+    "q_sessionize",  # red in r01: HUGEINT window-SUM artifact
+    "q_tumbling_window_batch",  # red in r01: TIMESTAMPTZ artifact
+]
+
+
+def _merged(attr: str) -> dict:
+    api = getattr(api_logs, attr)
+    ana = getattr(analytics, attr)
+    sql = getattr(sql_surface, attr)
+    ops = _OPS_QUERIES if attr == "QUERIES" else _OPS_ORACLE
+    out: dict = {}
+    out.update(api)
+    out.update(ops)
+    for k in _PRIORITY_ANALYTICS:
+        if k in ana:
+            out[k] = ana[k]
+    out.update(sql)
+    out.update(ana)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions).
 
     Each callable takes (spark, sf_dir) and returns a DataFrame.
     Every computed/aggregate column is aliased to match ``oracle_sql``.
     """
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(api_logs.QUERIES)
-    out.update(analytics.QUERIES)
-    out.update(sql_surface.QUERIES)
-    out.update(_OPS_QUERIES)
-    return out
+    return _merged("QUERIES")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -64,9 +88,4 @@ def oracle_sql() -> dict[str, str]:
     customer supplier part orders lineitem events documents embeddings are
     pre-registered views). Keys without an oracle get a rows-only check.
     """
-    out: dict[str, str] = {}
-    out.update(api_logs.ORACLE)
-    out.update(analytics.ORACLE)
-    out.update(sql_surface.ORACLE)
-    out.update(_OPS_ORACLE)
-    return out
+    return _merged("ORACLE")

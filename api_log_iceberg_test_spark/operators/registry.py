@@ -516,7 +516,7 @@ ORACLE: dict[str, str] = {
 
 ORACLE["q_train_sample"] = """
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(CASE WHEN (doc_id * 2654435761) % 1000 < 100 THEN 1 ELSE 0 END) AS n_sampled,
+           SUM(CASE WHEN (doc_id * 2654435761) % 1000 < 100 THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
            ROUND(SUM(CASE WHEN (doc_id * 2654435761) % 1000 < 100 THEN 1 ELSE 0 END)::DOUBLE
                  / COUNT(*), 4) AS rate
     FROM documents GROUP BY lang ORDER BY lang

@@ -143,8 +143,10 @@ def langid(col: Column | str) -> Column:
         )
     best = F.lit("und")
     best_score = F.lit(0)
-    # iterate in reverse so earlier codes win ties (strict > comparison)
-    for code, score in reversed(scores):
+    # forward sorted order + strict > : a later code only replaces an earlier
+    # one when strictly higher, so the alphabetically-first code wins ties
+    # (matches the oracle's de>en>es>fr CASE priority)
+    for code, score in scores:
         is_better = score > best_score
         best = F.when(is_better, F.lit(code)).otherwise(best)
         best_score = F.when(is_better, score).otherwise(best_score)
@@ -183,7 +185,8 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         lang_scores.append((code, F.regexp_count(nrm, F.lit(_word_count_pattern(words)))))
     best = F.lit("und")
     best_score = F.lit(0)
-    for code, score in reversed(lang_scores):
+    # forward order + strict > : alphabetically-first code wins ties (see langid)
+    for code, score in lang_scores:
         is_better = score > best_score
         best = F.when(is_better, F.lit(code)).otherwise(best)
         best_score = F.when(is_better, score).otherwise(best_score)

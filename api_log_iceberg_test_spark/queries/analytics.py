@@ -719,9 +719,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Compare at microsecond precision: ts.cast("long") floors to whole
+    # seconds, so a true gap in (1800s, 1801s) would split sessions in the
+    # (fractional-epoch) oracle but not here. unix_micros matches DuckDB's
+    # epoch_us exactly.
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     sess = ev.withColumn(
-        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        "new_session", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     ).withColumn("session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     return (
         sess.groupBy("user_id", "session_id")
@@ -913,7 +917,7 @@ ORACLE: dict[str, str] = {
         ORDER BY event_type NULLS FIRST, day NULLS FIRST
     """,
     "q_tumbling_window_batch": """
-        SELECT to_timestamp((epoch(ts)::BIGINT // 21600) * 21600) AS window_start,
+        SELECT to_timestamp((epoch(ts)::BIGINT // 21600) * 21600)::TIMESTAMP AS window_start,
                event_type, COUNT(*) AS cnt
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
     """,
@@ -1043,9 +1047,9 @@ ORACLE: dict[str, str] = {
     "q_priority_line_buckets": """
         SELECT l_returnflag,
                SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
                SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+                        THEN 1 ELSE 0 END)::BIGINT AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -1181,14 +1185,14 @@ ORACLE: dict[str, str] = {
         WITH gaps AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN ts - LAG(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
             SELECT user_id, ts,
                    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
             FROM gaps
         )
         SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -56,7 +56,7 @@ _PAIRS: dict[str, tuple[str, str]] = {
             FROM orders WHERE o_totalprice > 150000
             GROUP BY o_custkey
         )
-        SELECT c_mktsegment, SUM(n_big) AS total_big_orders
+        SELECT c_mktsegment, CAST(SUM(n_big) AS BIGINT) AS total_big_orders
         FROM customer JOIN big_orders ON c_custkey = o_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,

@@ -54,6 +54,39 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class used for the strict driver-parity check."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "timestamptz" if getattr(s.dtype, "tz", None) is not None else "timestamp"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    return "object"
+
+
+def dtype_mismatches(sp: pd.DataFrame, duck_df: pd.DataFrame, name: str) -> list[str]:
+    """Strict raw-dtype comparison mirroring the driver's schema/hash check.
+
+    The driver hashes raw values, so DuckDB HUGEINT→float64 vs Spark int64,
+    or TIMESTAMPTZ vs naive timestamp, fail there even when every value is
+    equal. Round 1 shipped 3 such reds because _canon masked them — this
+    check makes local runs predict the driver (VERDICT.md round 1).
+    """
+    errs: list[str] = []
+    for c in sorted(set(sp.columns) & set(duck_df.columns)):
+        ks, kd = _dtype_kind(sp[c]), _dtype_kind(duck_df[c])
+        if ks != kd:
+            errs.append(
+                f"{name}.{c}: raw dtype class differs spark={ks}({sp[c].dtype}) "
+                f"duck={kd}({duck_df[c].dtype}) — would fail the driver's hash "
+                f"even if values match; cast the oracle SQL"
+            )
+    return errs
+
+
 def compare(spark_df, duck_df: pd.DataFrame, name: str, float_tol: float = 1e-6) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
     errs: list[str] = []
@@ -62,6 +95,7 @@ def compare(spark_df, duck_df: pd.DataFrame, name: str, float_tol: float = 1e-6)
         return [f"{name}: columns differ spark={sorted(sp.columns)} duck={sorted(duck_df.columns)}"]
     if len(sp) != len(duck_df):
         return [f"{name}: row count spark={len(sp)} duck={len(duck_df)}"]
+    errs.extend(dtype_mismatches(sp, duck_df, name))
     a, b = _canon(sp), _canon(duck_df)
     for c in a.columns:
         av, bv = a[c], b[c]

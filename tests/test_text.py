@@ -37,6 +37,30 @@ def test_langid(spark, docs):
     assert out[3] == "und"
 
 
+def test_langid_tie_break_alphabetical(spark):
+    """Tied stopword scores resolve to the alphabetically-first language code,
+    matching the oracle CASE's de>en>es>fr priority (ADVICE round 1: reversed
+    iteration made the alphabetically-last code win)."""
+    df = spark.createDataFrame(
+        [
+            (1, "la maison"),  # 'la' ∈ fr AND es, 1-1 tie → es
+            (2, "der the und and das of"),  # de 3 vs en 3 tie → de
+            (3, "le el"),  # fr 1 vs es 1 tie → es
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in text.analyze(df).collect()}
+    assert out[1] == "es"
+    assert out[2] == "de"
+    assert out[3] == "es"
+    # standalone langid() column agrees with analyze()
+    solo = {
+        r["doc_id"]: r["lp"]
+        for r in df.select("doc_id", text.langid("text").alias("lp")).collect()
+    }
+    assert solo == out
+
+
 def test_quality_bounds(spark, docs):
     for r in text.analyze(docs).collect():
         assert 0.0 <= r["quality"] <= 1.0
