@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from api_log_iceberg_test_spark.session import build_session  # noqa: E402
 
 #: Headline mix: reference surface + joins/windows + extension operators.
+#: Round 2: the ANN slot runs the BLAS/Arrow path (cosine_topk_numpy) —
+#: the scale-safe strategy — instead of the interpreted-HOF expression
+#: variant (VERDICT r01 rec 3). The expression twin is still measured and
+#: reported so BENCH_r01's basket remains comparable (total_r01_basket).
 HEADLINE = [
     "q_count",
     "q_frequency_by_name",
@@ -32,7 +36,7 @@ HEADLINE = [
     "q_asof_join",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash_lsh",
-    "q_ann_cosine_topk",
+    "q_ann_cosine_topk_np",
     "q_text_analyze",
     "q_tfidf_top_terms",
     "q_range_join_nearby_events",
@@ -49,19 +53,28 @@ def main() -> None:
 
     qs = em.queries()
 
-    # warm-up: JVM + parquet footers + codegen paths
+    # warm-up: JVM + parquet footers + codegen paths + Python/Arrow workers
+    # (mapInPandas queries otherwise bill one-time daemon fork + Arrow init
+    # to whichever runs first)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
     qs["q_count"](spark, sf_dir).collect()
 
     results: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in HEADLINE + ["q_ann_cosine_topk"]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         dt = round(time.time() - t0, 3)
         results[name] = dt
-        total += dt
+        if name in HEADLINE:
+            total += dt
 
+    # r01 basket = same 17 slots but with the expression-path ANN entry,
+    # so the round-over-round comparison stays apples-to-apples
+    total_r01 = total - results["q_ann_cosine_topk_np"] + results["q_ann_cosine_topk"]
     print(
         json.dumps(
             {
@@ -69,6 +82,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": results,
+                "total_r01_basket": round(total_r01, 3),
                 "sf": sf,
             }
         )
