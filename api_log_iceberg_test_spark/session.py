@@ -40,6 +40,33 @@ def iceberg_available() -> bool:
     return "iceberg-spark-runtime" in cp
 
 
+def iceberg_conf(
+    catalog: str,
+    warehouse: str | None = None,
+    rest_uri: str | None = None,
+) -> dict[str, str]:
+    """Session conf equivalent of the reference's dynamic ``CREATE CATALOG``
+    DDL (init-setup.py:72-93): REST catalog when ``rest_uri`` is given (the
+    production topology, README.md:239-254), else a local Hadoop catalog
+    (the test shape). Pure function so the dispatch logic is testable
+    without an Iceberg jar on the classpath.
+    """
+    prefix = f"spark.sql.catalog.{catalog}"
+    conf: dict[str, str] = {prefix: "org.apache.iceberg.spark.SparkCatalog"}
+    if rest_uri:
+        conf[f"{prefix}.type"] = "rest"
+        conf[f"{prefix}.uri"] = rest_uri
+        if warehouse:
+            conf[f"{prefix}.warehouse"] = warehouse
+    else:
+        conf[f"{prefix}.type"] = "hadoop"
+        conf[f"{prefix}.warehouse"] = warehouse or "/tmp/iceberg-warehouse"
+    conf["spark.sql.extensions"] = (
+        "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+    )
+    return conf
+
+
 def build_session(
     app_name: str = "api-log-iceberg-test-spark",
     master: str | None = None,
@@ -82,27 +109,10 @@ def build_session(
     )
 
     if iceberg_catalog and iceberg_available():
-        prefix = f"spark.sql.catalog.{iceberg_catalog}"
-        builder = builder.config(prefix, "org.apache.iceberg.spark.SparkCatalog")
-        if iceberg_rest_uri:
-            # REST catalog, the reference's production topology
-            # (init-setup.py:75-87: uri, warehouse, SigV4 handled by the
-            # Iceberg REST client config below).
-            builder = (
-                builder.config(f"{prefix}.type", "rest")
-                .config(f"{prefix}.uri", iceberg_rest_uri)
-            )
-            if iceberg_warehouse:
-                builder = builder.config(f"{prefix}.warehouse", iceberg_warehouse)
-        else:
-            builder = (
-                builder.config(f"{prefix}.type", "hadoop")
-                .config(f"{prefix}.warehouse", iceberg_warehouse or "/tmp/iceberg-warehouse")
-            )
-        builder = builder.config(
-            "spark.sql.extensions",
-            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
-        )
+        for k, v in iceberg_conf(
+            iceberg_catalog, iceberg_warehouse, iceberg_rest_uri
+        ).items():
+            builder = builder.config(k, v)
 
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
