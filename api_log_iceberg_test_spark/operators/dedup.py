@@ -341,10 +341,20 @@ def minhash_lsh_pairs(
         )
         for i in range(num_perm)
     ]
-    per = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("s")
-    ).select("id", F.xxhash64("s").alias("h64")).withColumn(
-        "hp", F.pmod(F.col("h64"), p)
+    # The exploded shingle-hash rows shuffle ONCE on id (ReuseExchange: both
+    # aggregates below hang off this same repartition subtree, so the scan +
+    # shingle regex + explode compute once). Splitting the signature MIN-agg
+    # from the collect_list verification branch keeps the 32-MIN aggregate in
+    # whole-stage codegen — a combined agg is forced to ObjectHashAggregate
+    # by collect_list and drags the full shingle arrays through it
+    # (VERDICT r01 rec 5).
+    per = (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("s")
+        )
+        .select("id", F.xxhash64("s").alias("h64"))
+        .withColumn("hp", F.pmod(F.col("h64"), p))
+        .repartition(F.col("id"))
     )
     docs = (
         per.groupBy("id")
@@ -352,15 +362,15 @@ def minhash_lsh_pairs(
             *[
                 F.min(F.pmod(F.lit(a) * F.col("hp") + F.lit(b), p)).alias(f"_m{i}")
                 for i, (a, b) in enumerate(ab)
-            ],
-            F.collect_list("h64").alias("hv64"),
+            ]
         )
         .select(
             "id",
-            "hv64",
             F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig"),
         )
     )
+    # verification arrays: only candidate ids ever join against this branch
+    hv_docs = per.groupBy("id").agg(F.collect_list("h64").alias("hv64"))
 
     banded = docs.select(
         "id",
@@ -392,7 +402,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # hashed-shingle verification (see ngram_jaccard_pairs)
-    shs = docs.select("id", F.col("hv64").alias("hv"))
+    shs = hv_docs.select("id", F.col("hv64").alias("hv"))
     pairs = (
         cands.join(shs.select(F.col("id").alias("id_a"), F.col("hv").alias("sh_a")), "id_a")
         .join(shs.select(F.col("id").alias("id_b"), F.col("hv").alias("sh_b")), "id_b")
