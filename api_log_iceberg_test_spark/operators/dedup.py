@@ -120,6 +120,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     n_blocking: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard.
 
@@ -131,10 +132,14 @@ def ngram_jaccard_pairs(
 
     Scale: the explode is ``n_blocking`` rows/doc (not |shingles|); the join
     shuffles on short shingle strings; the post-join Jaccard is an array
-    intersect on pre-deduped shingle arrays. Skew guard: blocking keys with
-    pathological frequency should be dropped upstream (stopword-only
-    shingles) — at 100 TB add a ``groupBy(key).count`` pre-pass and filter
-    buckets > ~1e4.
+    intersect on pre-deduped shingle arrays. Skew guard: a blocking key hit
+    by s docs yields s² candidates, so one pathological key (a stopword-only
+    shingle shared corpus-wide) dominates the join at 100 TB —
+    ``max_bucket_size`` drops such keys before the self-join via
+    :func:`cap_buckets` (window count on the key the join shuffles on
+    anyway). Docs keep their other ``n_blocking - 1`` keys, so recall
+    degrades gracefully. ``None`` (default) disables, keeping the operator
+    byte-exact with its SQL oracle.
     """
     # One pass computes blocking keys + hashed shingles, then a repartition
     # on id materializes it into a single exchange that BOTH consumers
@@ -156,7 +161,9 @@ def ngram_jaccard_pairs(
         )
         .repartition(F.col("id"))
     )
-    keyed = docs.select("id", F.explode("bkeys").alias("bkey"))
+    keyed = cap_buckets(
+        docs.select("id", F.explode("bkeys").alias("bkey")), ["bkey"], max_bucket_size
+    )
     cands = (
         keyed.alias("a")
         .join(keyed.alias("b"), "bkey")
@@ -193,6 +200,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
+    check_every: int = 2,
 ) -> DataFrame:
     """Duplicate clusters from a near-dup pair list: (doc_id, component)
     where component = the smallest doc id reachable through pairs.
@@ -205,6 +213,13 @@ def connected_components(
     re-execute rounds 1..N-1. At web scale swap the one-hop propagation for
     the alternating large-star/small-star doubling of Kiveris et al. — the
     join/agg shapes are identical, only the update rule changes.
+
+    The convergence test is a driver-side ``count`` action — a full extra
+    job per check — so it runs only every ``check_every`` rounds (label
+    propagation is monotone: extra rounds after convergence are no-op
+    fixed-point applications, so the result is unchanged; at most
+    ``check_every - 1`` redundant rounds run). ``check_every=1`` restores a
+    check per round.
     """
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     e = (
@@ -215,7 +230,7 @@ def connected_components(
     labels = (
         e.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr = e.join(labels, e["dst"] == labels["id"]).select(
             F.col("src").alias("id"), F.col("comp")
         )
@@ -225,15 +240,17 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        if (i + 1) % check_every == 0 or i + 1 == max_iter:
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            if changed == 0:
+                labels = new
+                break
         labels = new
-        if changed == 0:
-            break
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 

@@ -68,6 +68,61 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
     } | found  # found pairs were Jaccard-verified by construction
 
 
+def test_jaccard_blocking_cap_drops_hot_key(spark):
+    """A stopword-only shingle shared corpus-wide is the classic blocking hot
+    key (s docs → s² candidates). With the cap, pairs found ONLY through the
+    hot key disappear; pairs sharing a rarer blocking key survive."""
+    # 12 filler docs all lead with the stopword shingle "a a a", making its
+    # bucket hot. Docs 100/101 are near-dups whose 3 smallest blocking keys
+    # include a RARE shared shingle; docs 200/201 are near-dups whose ONLY
+    # shared blocking key is the hot "a a a" (their other smallest shingles
+    # diverge on m*/z* middles before the shared s* tail).
+    boiler = [(i, f"a a a filler{i} unique{i} tokens{i} here{i}") for i in range(12)]
+    rare = [
+        (100, "a a a zebra quokka wombat xylophone yak"),
+        (101, "a a a zebra quokka wombat xylophone yam"),
+    ]
+    hot_only = [
+        (200, "a a a m1 m2 s1 s2 s3 s4 s5 s6 s7"),
+        (201, "a a a z1 z2 s1 s2 s3 s4 s5 s6 s7"),
+    ]
+    df = spark.createDataFrame(boiler + rare + hot_only, ["doc_id", "text"])
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.3, max_bucket_size=5
+        ).collect()
+    }
+    assert (100, 101) in uncapped and (200, 201) in uncapped
+    assert capped < uncapped
+    # hot "a a a" bucket (16 docs > cap 5) dropped: the hot-key-only pair is
+    # lost (graceful recall degradation), the rare-key pair survives
+    assert (100, 101) in capped
+    assert (200, 201) not in capped
+
+
+def test_connected_components_check_cadence_equivalent(spark):
+    """check_every > 1 must not change the fixed point — only how often the
+    driver-side convergence count runs (a deep chain forces many rounds)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)] + [(20, 21)], ["doc_a", "doc_b"]
+    )
+    every_round = {
+        (r["doc_id"], r["component"])
+        for r in dedup.connected_components(chain, check_every=1).collect()
+    }
+    every_third = {
+        (r["doc_id"], r["component"])
+        for r in dedup.connected_components(chain, check_every=3).collect()
+    }
+    assert every_round == every_third
+    assert {c for _, c in every_round} == {1, 20}
+
+
 def test_connected_components_transitive(spark):
     """1-2, 2-3 chain merges into one cluster labeled by its min id;
     disjoint pair stays separate."""
