@@ -121,6 +121,46 @@ def test_incremental_rollup_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_rollup_batch_replay_is_noop(spark, tmp_path):
+    """A micro-batch replayed after a crash (same batch_id) must not
+    double-count; a crash between the swap renames must not lose the table
+    (ADVICE round 1: the old foreachBatch upsert ignored batch_id)."""
+    import os
+    import shutil
+
+    from api_log_iceberg_test_spark.streaming.rollup import (
+        apply_rollup_batch,
+        read_rollup,
+    )
+
+    logs = generate_api_logs(spark, 300, seed=51, span_days=1)
+    rollup = str(tmp_path / "rollup")
+
+    assert apply_rollup_batch(spark, logs, 0, rollup) is True
+    base = {
+        (r["bucket_start"], r["name"]): (r["cnt"], r["sum_out"])
+        for r in read_rollup(spark, rollup).collect()
+    }
+    # checkpoint replay of batch 0 → skipped, counts unchanged
+    assert apply_rollup_batch(spark, logs, 0, rollup) is False
+    after = {
+        (r["bucket_start"], r["name"]): (r["cnt"], r["sum_out"])
+        for r in read_rollup(spark, rollup).collect()
+    }
+    assert after == base
+
+    # simulate a crash between rename-old and rename-new: table dir missing,
+    # .old holds the previous complete table → next apply restores + merges
+    os.rename(rollup, rollup + ".old")
+    assert apply_rollup_batch(spark, logs, 1, rollup) is True
+    doubled = {
+        (r["bucket_start"], r["name"]): (r["cnt"], r["sum_out"])
+        for r in read_rollup(spark, rollup).collect()
+    }
+    assert doubled == {k: (c * 2, s * 2) for k, (c, s) in base.items()}
+    shutil.rmtree(rollup)
+
+
 def test_sliding_error_rate_schema(spark, tmp_path):
     logs = generate_api_logs(spark, 500, seed=23, span_days=1)
     stream = _stream_from(spark, tmp_path, logs)
