@@ -341,6 +341,81 @@ def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _augment_with_pii(docs: DataFrame) -> DataFrame:
+    """Plant deterministic PII into a slice of the corpus (the testdata has
+    none) so the scrub operator has real work; the oracle rebuilds the same
+    augmented text."""
+    did = F.col("doc_id").cast("string")
+    return docs.withColumn(
+        "aug",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did,
+                F.lit("@example.com or https://docs.example.com/d/"),
+                did,
+            ),
+        )
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(7)) == 1,
+            F.concat(F.col("text"), F.lit(" call 555-123-4567 ssn 123-45-6789")),
+        )
+        .otherwise(F.col("text")),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: per-category counts + the scrubbed text.
+
+    The compliance/cleaning stage of a training-data pipeline — a pure
+    codegen regexp projection (no shuffle, no UDF), so a 100 TB corpus scrub
+    is scan-bound."""
+    docs = _augment_with_pii(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        *[c.cast("long") for c in text.pii_counts("aug")],
+        text.scrub_pii("aug").alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 terms by total count (tokenizer-
+    training support op)."""
+    return tfidf.vocabulary(load_table(spark, sf_dir, "documents"), top_k=50)
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with reconstruction error.
+
+    The quantized vector is emitted as a comma-joined string so the
+    driver's value-hash compares a scalar column identically in both
+    engines (array stringification differs between pandas sources)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.transform("q", lambda x: x.cast("string"))).alias("q_csv"),
+        "max_err",
+    ).orderBy("vec_id")
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint dedup: docs identical up to word ORDER
+    (shuffled/reordered copies) collapse — the dedup family member between
+    normalized (tier 2) and Jaccard (tier 3). Only the 128-bit fingerprint
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", text.fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles — same algorithms, DuckDB dialect
 # ---------------------------------------------------------------------------
@@ -675,6 +750,67 @@ ORACLE["q_udaf_median"] = """
     FROM events GROUP BY event_type ORDER BY event_type
 """
 
+# PII scrub oracle: identical augmentation + the SAME regex constants as the
+# Spark plan (text.PII_PATTERNS is RE2-compatible by construction)
+_PII_AUG = """
+    CASE WHEN doc_id % 5 = 0
+         THEN text || ' contact user' || doc_id::VARCHAR
+              || '@example.com or https://docs.example.com/d/' || doc_id::VARCHAR
+         WHEN doc_id % 7 = 1
+         THEN text || ' call 555-123-4567 ssn 123-45-6789'
+         ELSE text END
+""".strip()
+_PII_SCRUBBED = "aug"
+for _name, _pat, _repl in text.PII_PATTERNS:
+    _PII_SCRUBBED = f"regexp_replace({_PII_SCRUBBED}, '{_pat}', '{_repl}', 'g')"
+_PII_COUNTS = ",\n           ".join(
+    f"len(regexp_extract_all(aug, '{pat}'))::BIGINT AS n_{name}"
+    for name, pat, _ in text.PII_PATTERNS
+)
+
+ORACLE["q_pii_scrub"] = f"""
+    WITH a AS (SELECT doc_id, {_PII_AUG} AS aug FROM documents)
+    SELECT doc_id,
+           {_PII_COUNTS},
+           {_PII_SCRUBBED} AS scrubbed
+    FROM a ORDER BY doc_id
+"""
+
+ORACLE["q_vocab_top_terms"] = f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents)
+    SELECT term, COUNT(*) AS total_cnt, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM t WHERE term <> ''
+    GROUP BY term ORDER BY total_cnt DESC, term LIMIT 50
+"""
+
+ORACLE["q_embedding_quantize"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+        SELECT vec_id, v,
+               127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+        FROM e
+    ), q AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv
+        FROM s
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           array_to_string(qv, ',') AS q_csv,
+           ROUND(list_aggregate([abs(qv[i] / scale - v[i])
+                                 for i in range(1, len(v) + 1)], 'max'), 6) AS max_err
+    FROM q ORDER BY vec_id
+"""
+
+ORACLE["q_dedup_fingerprint"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({_TOKENS})), ' ')) AS fp
+        FROM documents
+    )
+    SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM t GROUP BY fp ORDER BY doc_id
+"""
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_normalized": q_dedup_normalized,
@@ -702,4 +838,8 @@ QUERIES = {
     "q_udaf_median": q_udaf_median,
     "q_pivot_counts": q_pivot_counts,
     "q_merge_upsert": q_merge_upsert,
+    "q_pii_scrub": q_pii_scrub,
+    "q_vocab_top_terms": q_vocab_top_terms,
+    "q_embedding_quantize": q_embedding_quantize,
+    "q_dedup_fingerprint": q_dedup_fingerprint,
 }

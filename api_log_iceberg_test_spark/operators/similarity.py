@@ -336,6 +336,61 @@ def hyperplane_lsh_pairs(
     )
 
 
+def l2_normalize(vec: Column) -> Column:
+    """Unit-norm copy of a float vector (double precision); zero vectors
+    pass through unchanged. Narrow projection — the standard pre-step before
+    cosine retrieval so downstream similarity is a plain dot product."""
+    n = norm(vec)
+    return F.when(
+        n > 0, F.transform(vec, lambda x: x.cast("double") / n)
+    ).otherwise(F.transform(vec, lambda x: x.cast("double")))
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: q = floor(x·127/max|x| + ½).
+
+    The storage-compression step of an embedding pipeline (4× smaller than
+    float32, 8× than float64; recall loss ≤ ~0.5% at int8 in practice).
+    Per-vector scale keeps it embarrassingly parallel — a narrow projection,
+    no shuffle, no global calibration pass. ``floor(x+0.5)`` is used instead
+    of round() so the DuckDB oracle (different rounding mode) matches
+    bitwise. Output: (id, scale, q) with q int8-ranged ints plus the max
+    absolute dequantization error.
+    """
+    # staged projections: each non-cheap intermediate (_v, _scale, q) is a
+    # real column before reuse — inline subtrees re-evaluate per reference
+    base = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).withColumn(
+        "_scale",
+        F.lit(127.0) / F.array_max(F.transform("_v", lambda x: F.abs(x))),
+    )
+    quant = base.withColumn(
+        "q",
+        F.transform(
+            "_v", lambda x: F.floor(x * F.col("_scale") + F.lit(0.5)).cast("int")
+        ),
+    )
+    dq_err = F.array_max(
+        F.zip_with(
+            "q",
+            "_v",
+            lambda qi, xi: F.abs(qi.cast("double") / F.col("_scale") - xi),
+        )
+    )
+    return quant.select(
+        F.col(id_col),
+        F.round("_scale", 6).alias("scale"),
+        "q",
+        F.round(dq_err, 6).alias("max_err"),
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.99,

@@ -153,6 +153,36 @@ def langid(col: Column | str) -> Column:
     return best
 
 
+#: PII patterns scrubbed from training text, applied in order. URL before
+#: email (URLs may embed '@'); SSN before phone (a phone regex would
+#: half-match an SSN's 3-2-4 groups otherwise). RE2-compatible (no
+#: backreferences/lookbehind) so the DuckDB oracle uses the SAME patterns.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "<SSN>"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+]
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """One count column per PII category (computed BEFORE scrubbing)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}") for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Replace each PII category with its placeholder token, in
+    :data:`PII_PATTERNS` order. Pure codegen regexp_replace chain — a
+    corpus-wide scrub is a narrow projection over the scan, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set. Detects bag-of-words-identical docs (shuffled word order)."""

@@ -51,3 +51,32 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "score", "rank")
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus vocabulary: top-k terms by total count, with document
+    frequency — the tokenizer-training / vocab-building pass of an LLM data
+    pipeline.
+
+    Plan: explode → one groupBy(term) computing count + approx-exact df
+    (count_distinct) — map-side partial agg makes the shuffle carry one row
+    per distinct term per partition, and the result is vocabulary-sized
+    (≪ corpus) at any scale. Deterministic tiebreak on the term string.
+    """
+    terms = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("total_cnt"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("total_cnt"), F.asc("term"))
+        .limit(top_k)
+    )
