@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schema import load_table
+from ..schema import fan_out, load_table
 from . import cdc, dedup, joins, multimodal, similarity, text, tfidf, udfs
 
 # ---------------------------------------------------------------------------
@@ -134,13 +134,15 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.analyze(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+    # fan_out: the multi-regex projection is compute-bound; a single-file
+    # scan would otherwise run it on one core (no-op on wide scans)
+    return text.analyze(fan_out(load_table(spark, sf_dir, "documents"))).orderBy("doc_id")
 
 
 def q_lang_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus language mix by predicted language (groupBy over the narrow
     language-ID projection)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(text.langid("text").alias("lang_pred"))
         .groupBy("lang_pred")
@@ -195,7 +197,7 @@ def q_grouped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_curated_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus curation: top-3 documents per language by composite quality
     score (window top-k over the narrow quality projection)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     from pyspark.sql import Window
 
     scored = docs.select(
@@ -372,7 +374,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     The compliance/cleaning stage of a training-data pipeline — a pure
     codegen regexp projection (no shuffle, no UDF), so a 100 TB corpus scrub
     is scan-bound."""
-    docs = _augment_with_pii(load_table(spark, sf_dir, "documents"))
+    docs = _augment_with_pii(fan_out(load_table(spark, sf_dir, "documents")))
     return docs.select(
         "doc_id",
         *[c.cast("long") for c in text.pii_counts("aug")],

@@ -141,6 +141,26 @@ def load_table_time_range(
     return df
 
 
+def fan_out(df, min_parallelism: int | None = None):
+    """Round-robin repartition ONLY when the scan yields fewer partitions
+    than cores.
+
+    Compute-heavy narrow projections (regex token metrics, shingling) are
+    otherwise bound to the scan's task count — a single-file, single-row-
+    group input runs them on ONE core regardless of cluster size. When the
+    scan is already wide (the 100 TB case: thousands of files/row groups),
+    this is a no-op, so the extra exchange never appears in at-scale plans.
+    Row order within partitions changes, so callers must be order-
+    insensitive past this point (aggregates/sorted outputs — true for every
+    registered query).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark, sf_dir: str, name: str):
     """Read one driver testdata table as a DataFrame.
 
