@@ -1,0 +1,56 @@
+"""Streaming corpus curation: the LLM-data quality gate as a continuous
+pipeline.
+
+Documents arriving on a stream are scored with the SAME pure-expression
+text metrics as the batch operator (:func:`operators.text.analyze` family)
+and split into accept/reject flows. Because every metric is a stateless
+codegen projection, the streaming form needs no watermark, no state store,
+and no shuffle — per-micro-batch throughput is scan-bound, identical to the
+batch plan, and the batch/streaming parity test is exact equality.
+
+At 100 TB/day this is the shape you want: quality filtering happens ON
+INGEST (one pass, before storage costs accrue), with rejected docs routed
+to a quarantine sink for audit instead of silently dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import text
+
+
+def quality_columns(text_col: str = "text") -> list[Column]:
+    """The curation feature set as reusable column expressions."""
+    return [
+        text.token_count(text_col).alias("n_tokens"),
+        text.quality_score(text_col).alias("quality"),
+        text.langid(text_col).alias("lang_pred"),
+    ]
+
+
+def scored_stream(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document stream + quality features (stateless projection)."""
+    return stream.select("*", *quality_columns(text_col))
+
+
+def quality_gate(
+    stream: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    langs: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split a document stream into (accepted, rejected) flows.
+
+    Both returned DataFrames are streaming and independently sinkable (the
+    scored projection is computed per branch; Spark reuses the scan within
+    each micro-batch plan). Rejected rows keep their scores so the
+    quarantine sink records WHY each doc failed.
+    """
+    scored = scored_stream(stream, text_col)
+    accept = (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    if langs is not None:
+        accept = accept & F.col("lang_pred").isin(langs)
+    return scored.where(accept), scored.where(~accept)

@@ -39,3 +39,22 @@ def interval_join(
         )
     )
     return l.join(r, cond, "inner")
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a (small)
+    static dimension table.
+
+    The static side is broadcast — no stream-side shuffle, no state store
+    (stream-static joins are stateless by definition: each micro-batch
+    re-reads the dim, which also means dim updates are picked up between
+    batches). The canonical log-pipeline use: decorating api-log events
+    with per-bucket/per-tenant metadata at 100 TB/day without touching
+    state.
+    """
+    return stream.join(F.broadcast(dim), key, how)

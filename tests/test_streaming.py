@@ -161,6 +161,85 @@ def test_rollup_batch_replay_is_noop(spark, tmp_path):
     shutil.rmtree(rollup)
 
 
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static broadcast join: every micro-batch row is decorated from
+    the dim table with no state store; parity with the batch join."""
+    from api_log_iceberg_test_spark.streaming.stream_join import enrich_with_dim
+
+    logs = generate_api_logs(spark, 500, seed=71)
+    dim = spark.createDataFrame(
+        [("GetObject", "read"), ("PutObject", "write"), ("DeleteObject", "write")],
+        ["name", "op_class"],
+    )
+    stream = _stream_from(spark, tmp_path, logs)
+    out = str(tmp_path / "out")
+    q = (
+        enrich_with_dim(stream, dim, "name")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 500  # left join keeps unmatched ops
+    want = logs.join(dim, "name", "left")
+    from pyspark.sql import functions as F
+
+    for cls in ["read", "write", None]:
+        w = want.filter(
+            F.col("op_class").isNull() if cls is None else F.col("op_class") == cls
+        ).count()
+        g = got.filter(
+            F.col("op_class").isNull() if cls is None else F.col("op_class") == cls
+        ).count()
+        assert g == w, (cls, g, w)
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    """The streaming curation gate emits exactly the rows the batch
+    predicate accepts/rejects, scores identical (stateless projection)."""
+    from api_log_iceberg_test_spark.schema import load_table
+    from api_log_iceberg_test_spark.streaming.curation import quality_gate, scored_stream
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    stream = _stream_from(spark, tmp_path, docs)
+    accepted, rejected = quality_gate(stream, min_quality=0.5, min_tokens=5)
+    outs = {}
+    for name, df in [("acc", accepted), ("rej", rejected)]:
+        out = str(tmp_path / name)
+        q = (
+            df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        outs[name] = spark.read.parquet(out)
+
+    batch = scored_stream(docs)  # same projection works on batch frames
+    from pyspark.sql import functions as F
+
+    pred = (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5)
+    acc_ids = {r["doc_id"] for r in outs["acc"].select("doc_id").collect()}
+    rej_ids = {r["doc_id"] for r in outs["rej"].select("doc_id").collect()}
+    want_acc = {r["doc_id"] for r in batch.where(pred).select("doc_id").collect()}
+    assert acc_ids == want_acc
+    assert acc_ids | rej_ids == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert not (acc_ids & rej_ids)
+    # scores identical to the batch projection on a sample row
+    sid = min(acc_ids)
+    got_q = outs["acc"].filter(F.col("doc_id") == sid).collect()[0]["quality"]
+    want_q = batch.filter(F.col("doc_id") == sid).collect()[0]["quality"]
+    assert got_q == want_q
+
+
 def test_sliding_error_rate_schema(spark, tmp_path):
     logs = generate_api_logs(spark, 500, seed=23, span_days=1)
     stream = _stream_from(spark, tmp_path, logs)
