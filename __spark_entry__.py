@@ -24,8 +24,9 @@ try:  # extension operators land incrementally; keep the contract importable
 
     _OPS_QUERIES = _ops_registry.QUERIES
     _OPS_ORACLE = _ops_registry.ORACLE
+    _OPS_TAIL = getattr(_ops_registry, "QUERIES_TAIL", {})
 except ImportError:  # pragma: no cover
-    _OPS_QUERIES, _OPS_ORACLE = {}, {}
+    _OPS_QUERIES, _OPS_ORACLE, _OPS_TAIL = {}, {}, {}
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -71,6 +72,8 @@ def _merged(attr: str) -> dict:
             out[k] = ana[k]
     out.update(sql)
     out.update(ana)
+    if attr == "QUERIES":  # rows-only tail: never displaces verifiable entries
+        out.update(_OPS_TAIL)
     return out
 
 

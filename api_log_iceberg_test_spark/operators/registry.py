@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schema import fan_out, load_table
-from . import cdc, dedup, joins, multimodal, similarity, text, tfidf, udfs
+from . import cdc, dedup, joins, multimodal, similarity, sketches, text, tfidf, udfs
 
 # ---------------------------------------------------------------------------
 # dedup
@@ -844,4 +844,29 @@ QUERIES = {
     "q_vocab_top_terms": q_vocab_top_terms,
     "q_embedding_quantize": q_embedding_quantize,
     "q_dedup_fingerprint": q_dedup_fingerprint,
+}
+
+
+def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable daily HLL user-distinct rollup + merged total.
+
+    Rows-only by nature (sketch estimates are approximate; DuckDB's HLL is
+    a different implementation) — accuracy and merge-losslessness are
+    asserted in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketches.hll_daily_sketches(ev, time_col="ts", value_col="user_id")
+    total = sketches.hll_merge_estimate(daily).select(
+        F.lit(None).cast("date").alias("day"),
+        F.col("est_total").alias("est_distinct"),
+    )
+    return daily.select("day", "est_distinct").unionByName(total).orderBy(
+        F.col("day").asc_nulls_last()
+    )
+
+
+#: Rows-only entries intentionally merged LAST in __spark_entry__ so they
+#: never displace a hash-verifiable query from the driver's verification
+#: window (they'd only earn a weaker rows-only row there anyway).
+QUERIES_TAIL = {
+    "q_hll_daily_users": q_hll_daily_users,
 }
