@@ -864,9 +864,26 @@ def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means cluster sizes over the embeddings corpus.
+
+    Rows-only: the assignment is exact given the deterministic init, but
+    replaying 10 rounds of Lloyd's in DuckDB SQL is impractical —
+    determinism, convergence, and nearest-centroid optimality are asserted
+    in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = similarity.kmeans_assign(emb, k=8)
+    return (
+        assign.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster")
+    )
+
+
 #: Rows-only entries intentionally merged LAST in __spark_entry__ so they
 #: never displace a hash-verifiable query from the driver's verification
 #: window (they'd only earn a weaker rows-only row there anyway).
 QUERIES_TAIL = {
     "q_hll_daily_users": q_hll_daily_users,
+    "q_kmeans_clusters": q_kmeans_clusters,
 }

@@ -161,6 +161,92 @@ def cosine_topk_numpy(
     )
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    check_every: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column: (id, cluster).
+
+    The index-training step for :func:`cosine_topk_ivf` (whose centroids
+    are otherwise taken from labels). Fully deterministic: initial
+    centroids are the k lowest-id vectors, ties in the assignment break on
+    the lower cluster id, so every run — and every engine — produces the
+    same partition of the corpus.
+
+    Scale shape per iteration (the classic distributed k-means):
+    1. assignment: centroids broadcast (k·dim doubles), squared-L2 argmin
+       computed map-side — the corpus never shuffles;
+    2. update: per-(cluster, dim) mean via posexplode + partial-aggregated
+       groupBy — the only shuffle, carrying k·dim partials per partition;
+    3. convergence: assignments compared to the previous round every
+       ``check_every`` iterations (same monotone-fixed-point argument as
+       ``dedup.connected_components``).
+    ``localCheckpoint`` truncates lineage between rounds.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).localCheckpoint()
+
+    init_w = Window.orderBy("id")  # k rows only — the global window is fine
+    centroids = (
+        vecs.orderBy("id")
+        .limit(k)
+        .select(
+            (F.row_number().over(init_w) - 1).alias("cluster"),
+            F.col("v").alias("centroid"),
+        )
+    )
+
+    assign = None
+    for i in range(max_iter):
+        scored = vecs.join(F.broadcast(centroids)).withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+        new_assign = (
+            scored.groupBy("id")
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select("id", F.col("m.cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        if assign is not None and (
+            (i + 1) % check_every == 0 or i + 1 == max_iter
+        ):
+            moved = (
+                new_assign.alias("n")
+                .join(assign.alias("o"), "id")
+                .filter(F.col("n.cluster") != F.col("o.cluster"))
+                .count()
+            )
+            if moved == 0:
+                assign = new_assign
+                break
+        assign = new_assign
+        centroids = (
+            vecs.join(assign, "id")
+            .select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mx"))),
+                    lambda s: s.getField("mx"),
+                ).alias("centroid")
+            )
+        )
+    return assign.select(F.col("id").alias(id_col), "cluster")
+
+
 def compute_centroids(
     corpus: DataFrame,
     label_col: str = "label",

@@ -98,6 +98,52 @@ def test_hyperplane_lsh_precision_and_recall(spark):
     assert recall >= 0.9, recall
 
 
+def test_kmeans_recovers_planted_blobs(spark):
+    """Three well-separated blobs → k=3 recovers the exact partition;
+    every vector ends on its nearest final centroid; runs are identical."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]])
+    rows = []
+    for i in range(90):
+        c = i % 3
+        rows.append((i, (centers[c] + 0.1 * rng.standard_normal(3)).tolist()))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    out = {r["vec_id"]: r["cluster"] for r in similarity.kmeans_assign(vecs, k=3).collect()}
+    # same blob ⇒ same cluster, different blob ⇒ different cluster
+    for i in range(90):
+        assert out[i] == out[i % 3]
+    assert len({out[0], out[1], out[2]}) == 3
+    # deterministic
+    out2 = {r["vec_id"]: r["cluster"] for r in similarity.kmeans_assign(vecs, k=3).collect()}
+    assert out == out2
+
+
+def test_kmeans_assignment_is_nearest_final_centroid(spark, sf_dir):
+    """Lloyd's invariant at convergence on real embeddings: each vector's
+    cluster minimizes squared distance to the final per-cluster mean."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = similarity.kmeans_assign(emb, k=4, max_iter=20)
+    rows = (
+        emb.join(assign, "vec_id")
+        .select("vec_id", "embedding", "cluster")
+        .collect()
+    )
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(np.array(r["embedding"], dtype=float))
+    cents = {c: np.mean(vs, axis=0) for c, vs in by_cluster.items()}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=float)
+        dists = {c: float(((v - m) ** 2).sum()) for c, m in cents.items()}
+        best = min(dists, key=lambda c: (dists[c], c))
+        assert dists[r["cluster"]] <= dists[best] + 1e-9
+
+
 def test_neardup_pairs_symmetric_free(spark):
     vecs = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.999, 0.001]), (2, [0.0, 1.0])],
