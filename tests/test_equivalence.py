@@ -63,3 +63,71 @@ def test_simhash_df_matches_column_reference(spark, texts):
     b = dedup.simhash_signatures_df(df)
     bad = a.join(b, "id").filter(F.col("ref") != F.col("sig")).collect()
     assert not bad, bad
+
+
+# PII-looking fragments interleaved with arbitrary text
+_pii_texts = st.lists(
+    st.one_of(
+        _texts,
+        st.sampled_from(
+            [
+                "bob@example.com",
+                "https://a.example.com/x?y=1",
+                "123-45-6789",
+                "555-123-4567",
+                "+555-123-4567",
+                "not.an@email",
+                "http://",
+            ]
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+).map(lambda parts: " ".join(parts))
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_pii_texts, min_size=1, max_size=6))
+def test_pii_scrub_idempotent_and_clean(spark, texts):
+    """scrub(scrub(x)) == scrub(x), and a scrubbed text re-scores zero on
+    every PII counter (placeholders contain no matchable fragments)."""
+    from api_log_iceberg_test_spark.operators import text as t
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(texts)], ["id", "s"])
+    once = df.select("id", t.scrub_pii("s").alias("s1"))
+    twice = once.select("id", F.col("s1"), t.scrub_pii("s1").alias("s2"))
+    assert not twice.filter(F.col("s1") != F.col("s2")).collect()
+    rescored = once.select("id", *[c for c in t.pii_counts("s1")])
+    for r in rescored.collect():
+        assert all(r[f"n_{name}"] == 0 for name, _, _ in t.PII_PATTERNS), r
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+            ).filter(lambda x: abs(x) > 1e-9),
+            min_size=2,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_quantize_bounds_and_error(spark, vectors):
+    """Quantized values stay in int8 range; the max-magnitude element maps
+    to ±127; reconstruction error is bounded by half a quantization step."""
+    from api_log_iceberg_test_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vectors)], ["vec_id", "embedding"]
+    )
+    for r in similarity.quantize_embeddings(df).collect():
+        v = vectors[r["vec_id"]]
+        qs = [int(x) for x in r["q"]]
+        assert all(-127 <= q <= 127 for q in qs), qs
+        assert 127 in (abs(q) for q in qs)  # max |x| elem hits full scale
+        step = max(abs(x) for x in v) / 127.0
+        assert r["max_err"] <= step / 2 + 1e-6, (r["max_err"], step)
