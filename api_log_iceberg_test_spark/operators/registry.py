@@ -343,6 +343,40 @@ def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance: a deterministic change set closes
+    open rows and appends new versions (operators/cdc.py scd2_apply)."""
+    cust = load_table(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.to_timestamp(F.lit("1995-01-01 00:00:00")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    changes = (
+        cust.filter(F.pmod(F.col("c_custkey"), F.lit(7)) == 0)
+        .select(
+            "c_custkey",
+            F.lit("MOVED").alias("c_mktsegment"),
+            F.to_timestamp(F.lit("1997-06-01 00:00:00")).alias("chg_ts"),
+        )
+    )
+    out = cdc.scd2_apply(current, changes, "c_custkey", "chg_ts")
+    return out.select(
+        "c_custkey", "c_mktsegment", "valid_from", "valid_to"
+    ).orderBy("c_custkey", "valid_from", F.col("valid_to").asc_nulls_first())
+
+
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction: each user's latest event (cdc.latest_by_key
+    with a (ts, event_id) total order)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = cdc.latest_by_key(ev, "user_id", "_ord")
+    return out.select("user_id", "event_id", "ts", "event_type").orderBy("user_id")
+
+
 def _augment_with_pii(docs: DataFrame) -> DataFrame:
     """Plant deterministic PII into a slice of the corpus (the testdata has
     none) so the scrub operator has real work; the oracle rebuilds the same
@@ -803,6 +837,38 @@ ORACLE["q_embedding_quantize"] = """
     FROM q ORDER BY vec_id
 """
 
+ORACLE["q_scd2_history"] = """
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment,
+               TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+               NULL::TIMESTAMP AS valid_to
+        FROM customer
+    ), changes AS (
+        SELECT c_custkey, 'MOVED' AS c_mktsegment,
+               TIMESTAMP '1997-06-01 00:00:00' AS chg_ts
+        FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c_custkey, c_mktsegment, valid_from, valid_to FROM (
+        SELECT c.c_custkey, c.c_mktsegment, c.valid_from, ch.chg_ts AS valid_to
+        FROM cur c JOIN changes ch USING (c_custkey)
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, valid_from, valid_to FROM cur
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, chg_ts AS valid_from, NULL::TIMESTAMP
+        FROM changes
+    ) ORDER BY c_custkey, valid_from, valid_to ASC NULLS FIRST
+"""
+
+ORACLE["q_latest_by_key"] = """
+    SELECT user_id, event_id, ts, event_type FROM (
+        SELECT user_id, event_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) t WHERE rn = 1 ORDER BY user_id
+"""
+
 ORACLE["q_dedup_fingerprint"] = f"""
     WITH t AS (
         SELECT doc_id,
@@ -844,6 +910,8 @@ QUERIES = {
     "q_vocab_top_terms": q_vocab_top_terms,
     "q_embedding_quantize": q_embedding_quantize,
     "q_dedup_fingerprint": q_dedup_fingerprint,
+    "q_scd2_history": q_scd2_history,
+    "q_latest_by_key": q_latest_by_key,
 }
 
 
