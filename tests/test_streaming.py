@@ -161,6 +161,71 @@ def test_rollup_batch_replay_is_noop(spark, tmp_path):
     shutil.rmtree(rollup)
 
 
+def test_transform_with_state_cumulative(spark, tmp_path):
+    """transformWithStateInPandas: cumulative per-user stats equal the
+    batch aggregate, including across a checkpoint restart with new data
+    (state survives in the state store). Skips where the protobuf package
+    (required by the transformWithState state-server protocol) is absent."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from api_log_iceberg_test_spark.schema import load_table
+    from api_log_iceberg_test_spark.streaming.state import cumulative_user_stats
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "value"
+    )
+    half1 = ev.limit(400)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    half1.coalesce(1).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(half1.schema).parquet(src)
+
+        def sink(batch, batch_id):
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            cumulative_user_stats(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # second tranche appended, restart from checkpoint: state must carry over
+    rest = ev.exceptAll(half1)
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    emitted = spark.read.parquet(out)
+    latest = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in emitted.orderBy("n_events")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("m"))
+        .select("user_id", "m.n_events", "m.total_value")
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(latest) == set(want)
+    for u, (n, t) in want.items():
+        assert latest[u][0] == n, (u, latest[u], n)
+        assert abs(latest[u][1] - t) < 1e-6, (u, latest[u], t)
+
+
 def test_stream_static_enrichment(spark, tmp_path):
     """Stream-static broadcast join: every micro-batch row is decorated from
     the dim table with no state store; parity with the batch join."""
