@@ -149,6 +149,53 @@ _PAIRS: dict[str, tuple[str, str]] = {
         """,
         s,
     ),
+    "q_sql_intersect_all": (
+        s := """
+        SELECT event_type FROM events WHERE user_id = 1
+        INTERSECT ALL
+        SELECT event_type FROM events WHERE user_id = 2
+        ORDER BY event_type
+        """,
+        s,
+    ),
+    "q_sql_lateral_explode": (
+        # table-valued explode over a computed array (LATERAL VIEW family);
+        # DuckDB's equivalent is unnest over the same split
+        """
+        SELECT event_id, tok
+        FROM events
+        LATERAL VIEW explode(split(event_type, '')) AS tok
+        WHERE event_id < 50
+        ORDER BY event_id, tok
+        """,
+        """
+        SELECT event_id, unnest(string_split(event_type, '')) AS tok
+        FROM events
+        WHERE event_id < 50
+        ORDER BY event_id, tok
+        """,
+    ),
+    "q_sql_map_functions": (
+        """
+        SELECT event_type,
+               map_keys(m) AS ks,
+               CAST(element_at(m, 'n') AS BIGINT) AS n_val
+        FROM (
+            SELECT event_type, map('n', COUNT(*), 'users', COUNT(DISTINCT user_id)) AS m
+            FROM events GROUP BY event_type
+        ) t ORDER BY event_type
+        """,
+        """
+        SELECT event_type,
+               map_keys(m) AS ks,
+               (m['n'])[1]::BIGINT AS n_val
+        FROM (
+            SELECT event_type, MAP(['n', 'users'],
+                                   [COUNT(*), COUNT(DISTINCT user_id)]) AS m
+            FROM events GROUP BY event_type
+        ) t ORDER BY event_type
+        """,
+    ),
 }
 
 

@@ -50,7 +50,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("float64")  # unify int32/int64 for compare
         elif s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.dropna().size else None, (list, np.ndarray)):
-            df[c] = s.map(lambda v: tuple(np.round(np.asarray(v, dtype="float64"), 6)) if v is not None else None)
+
+            def _canon_array(v):
+                if v is None:
+                    return None
+                try:  # numeric arrays: round for fp-tolerant compare
+                    return tuple(np.round(np.asarray(v, dtype="float64"), 6))
+                except (ValueError, TypeError):  # string/struct arrays: as-is
+                    return tuple(np.asarray(v).tolist())
+
+            df[c] = s.map(_canon_array)
     return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
 
 
