@@ -83,6 +83,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "total_r01_basket": round(total_r01, 3),
+                # external-load context: this box shows loadavg spikes that
+                # inflate all queries uniformly (see COVERAGE.md perf notes)
+                "loadavg_1m": round(os.getloadavg()[0], 2),
                 "sf": sf,
             }
         )

@@ -139,3 +139,22 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, approx[k], n)
+
+
+def test_fan_out_noop_on_wide_scans(spark, sf_dir):
+    """fan_out must add an exchange ONLY for narrow scans: a frame already
+    at/above core parallelism passes through with an identical plan (the
+    100 TB case — wide scans must not pick up a gratuitous shuffle)."""
+    from api_log_iceberg_test_spark.schema import fan_out, load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+
+    narrow = fan_out(docs)
+    assert narrow.rdd.getNumPartitions() >= min(
+        target, 2
+    )  # single-file scan got widened
+
+    wide = docs.repartition(target + 4)
+    same = fan_out(wide)
+    assert same is wide  # no-op: not even a new plan node
