@@ -17,7 +17,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schema import fan_out, load_table
-from . import cdc, dedup, joins, multimodal, similarity, sketches, text, tfidf, udfs
+from . import (
+    cdc,
+    dedup,
+    embed,
+    joins,
+    multimodal,
+    similarity,
+    sketches,
+    text,
+    tfidf,
+    udfs,
+)
 
 # ---------------------------------------------------------------------------
 # dedup
@@ -375,6 +386,14 @@ def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = cdc.latest_by_key(ev, "user_id", "_ord")
     return out.select("user_id", "event_id", "ts", "event_type").orderBy("user_id")
+
+
+def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding generation through the real mapInPandas encoder plumbing
+    (stub encoder is md5-deterministic, so DuckDB replays it exactly)."""
+    return embed.embed_documents(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
 
 
 def _augment_with_pii(docs: DataFrame) -> DataFrame:
@@ -837,6 +856,21 @@ ORACLE["q_embedding_quantize"] = """
     FROM q ORDER BY vec_id
 """
 
+# embedding-stub oracle: dim d = byte d of md5(text) scaled to [-1, 1];
+# bytes recovered from the hex digest with the same nibble arithmetic as
+# the multimodal oracle (_NIB/_BYTE)
+_EMB_DIMS = ",\n           ".join(
+    f"ROUND({_BYTE.format(i=2 * d + 1, j=2 * d + 2)} / 255.0 * 2.0 - 1.0, 6) AS d{d}"
+    for d in range(embed.DIM)
+)
+
+ORACLE["q_embed_documents"] = f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents)
+    SELECT doc_id,
+           {_EMB_DIMS}
+    FROM h ORDER BY doc_id
+"""
+
 ORACLE["q_scd2_history"] = """
     WITH cur AS (
         SELECT c_custkey, c_mktsegment,
@@ -912,6 +946,7 @@ QUERIES = {
     "q_dedup_fingerprint": q_dedup_fingerprint,
     "q_scd2_history": q_scd2_history,
     "q_latest_by_key": q_latest_by_key,
+    "q_embed_documents": q_embed_documents,
 }
 
 
