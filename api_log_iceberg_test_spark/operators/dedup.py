@@ -567,3 +567,49 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus documents that share any word ``n``-gram with a
+    benchmark/eval set — the standard training-data decontamination pass
+    (GPT-3 appendix C / PaLM-style n-gram overlap, public heuristics
+    independently expressed).
+
+    Returns one row per contaminated corpus document:
+    ``(id_col, n_shared_ngrams)`` where ``n_shared_ngrams`` counts the
+    document's DISTINCT shingles that occur anywhere in the benchmark.
+
+    Scale: the benchmark side (an eval suite) is tiny relative to a 100 TB
+    corpus, so its distinct shingle hashes are broadcast — the corpus never
+    shuffles; the only wide op is the final per-doc count, which shuffles
+    (id, hash) longs for *matching* shingles only (contamination is rare, so
+    this is ~zero). Shingles are compared as xxhash64 values so no text
+    leaves the scan stage; a 64-bit collision could at worst over-count one
+    shingle (the DuckDB oracle joins on the raw strings — parity at test
+    scale doubles as a collision check).
+    """
+    sh = word_shingles(text_col, n)
+    corpus_h = corpus.select(F.col(id_col), F.explode(sh).alias("_s")).select(
+        id_col, F.xxhash64("_s").alias("_h")
+    )
+    bench_h = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("_s"))
+        .select(F.xxhash64("_s").alias("_h"))
+        .distinct()
+    )
+    return (
+        corpus_h.join(F.broadcast(bench_h), "_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )

@@ -913,6 +913,109 @@ ORACLE["q_dedup_fingerprint"] = f"""
     FROM t GROUP BY fp ORDER BY doc_id
 """
 
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition quality signals (Gopher-style)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return text.repetition_signals(docs).orderBy("doc_id")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing a word 5-gram with a
+    held-out "benchmark" slice (doc_id % 10 == 7 stands in for an eval
+    suite; at scale the benchmark is a separate tiny table)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 7)
+    corpus = docs.where(F.col("doc_id") % 10 != 7)
+    return dedup.ngram_contamination(corpus, bench, n=5).orderBy("doc_id")
+
+
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing reweighting: per-source token share and the sampling
+    weight that would equalize the mix (weight = target_share /
+    actual_share with a uniform target).
+
+    Scale: one map-side-combinable agg over the corpus; the unpartitioned
+    window runs over the post-agg frame (|sources| rows — thousands at
+    most), not the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("double")
+    n_sources = F.count(F.lit(1)).over(w)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round((F.lit(1.0) / n_sources) / share, 6).alias("mix_weight"),
+    ).orderBy("source")
+
+
+ORACLE["q_repetition_signals"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    b AS (
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               [array_to_string(toks[i:i+1], ' ')
+                for i in range(1, len(toks))] AS bg
+        FROM t
+    ),
+    tf AS (
+        SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+            SELECT doc_id, term, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+            GROUP BY doc_id, term
+        ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, n_tokens,
+           ROUND(top_cnt / n_tokens, 6) AS top_unigram_frac,
+           ROUND((n_tokens - n_distinct) / n_tokens, 6) AS dup_token_frac,
+           CASE WHEN len(bg) = 0 THEN 0.0
+                ELSE ROUND((len(bg) - len(list_distinct(bg))) / len(bg), 6)
+           END AS dup_bigram_frac
+    FROM b JOIN tf USING (doc_id)
+    ORDER BY doc_id
+"""
+
+ORACLE["q_decontaminate"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+4], ' ')
+                              for i in range(1, greatest(len(toks)-4, 1) + 1)]) AS shl
+        FROM t
+    ),
+    bench AS (SELECT DISTINCT unnest(shl) AS s FROM sh WHERE doc_id % 10 = 7),
+    corpus AS (SELECT doc_id, unnest(shl) AS s FROM sh WHERE doc_id % 10 <> 7)
+    SELECT doc_id, COUNT(*) AS n_shared_ngrams
+    FROM corpus JOIN bench USING (s)
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLE["q_source_mix_weights"] = f"""
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(len({_TOKENS}))::BIGINT AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT source, n_docs, n_tokens,
+               n_tokens::DOUBLE / (SUM(n_tokens) OVER ())::DOUBLE AS share,
+               COUNT(*) OVER () AS n_sources
+        FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(share, 6) AS token_share,
+           ROUND((1.0::DOUBLE / n_sources) / share, 6) AS mix_weight
+    FROM tot ORDER BY source
+"""
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_normalized": q_dedup_normalized,
@@ -947,6 +1050,9 @@ QUERIES = {
     "q_scd2_history": q_scd2_history,
     "q_latest_by_key": q_latest_by_key,
     "q_embed_documents": q_embed_documents,
+    "q_repetition_signals": q_repetition_signals,
+    "q_decontaminate": q_decontaminate,
+    "q_source_mix_weights": q_source_mix_weights,
 }
 
 

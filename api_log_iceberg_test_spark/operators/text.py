@@ -240,3 +240,64 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(nrm, " "))))
         ).alias("fingerprint"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, one row per document.
+
+    Columns: ``n_tokens``, ``top_unigram_frac`` (count of the most frequent
+    token / total tokens), ``dup_token_frac`` (fraction of tokens that are
+    repeats of an earlier token), ``dup_bigram_frac`` (fraction of
+    overlapping word bigrams that are repeats). High values flag
+    boilerplate/spam documents that exact- and near-dup passes miss because
+    the repetition is *within* the document (Rae et al., Gopher §A.1.1 —
+    public heuristic, independently expressed).
+
+    Scale: the distinct/total token and bigram counts are a narrow codegen
+    projection over the scan (regex lookahead extraction, no interpreted
+    HOFs). Only the top-unigram mode needs an explode → two-level
+    aggregation (both with map-side partial agg) and a doc_id join of
+    5 small int columns — no text ever shuffles.
+    """
+    nrm_df = df.select(F.col(id_col), norm_text(text_col).alias("_norm"))
+    toks = F.split(F.col("_norm"), " ")
+    n = F.when(F.length("_norm") == 0, F.lit(0)).otherwise(F.size(toks))
+    # ALL overlapping bigrams (not distinct) via the word-anchored lookahead
+    bigrams = F.regexp_extract_all(F.col("_norm"), F.lit(r"(?:^| )(?=(\S+ \S+))"), 1)
+    base = nrm_df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("_n_distinct"),
+        F.size(bigrams).alias("_n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("_n_distinct_bigrams"),
+    )
+    tf = (
+        nrm_df.where(F.length("_norm") > 0)
+        .select(F.col(id_col), F.explode(toks).alias("_term"))
+        .groupBy(id_col, "_term")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy(id_col)
+        .agg(F.max("_cnt").alias("_top_cnt"))
+    )
+    nt = F.col("n_tokens")
+    nb = F.col("_n_bigrams")
+    return base.join(tf, id_col, "left").select(
+        F.col(id_col),
+        nt,
+        F.when(
+            nt > 0, F.round(F.col("_top_cnt").cast("double") / nt.cast("double"), 6)
+        ).otherwise(F.lit(0.0)).alias("top_unigram_frac"),
+        F.when(
+            nt > 0,
+            F.round((nt - F.col("_n_distinct")).cast("double") / nt.cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
+        F.when(
+            nb > 0,
+            F.round(
+                (nb - F.col("_n_distinct_bigrams")).cast("double") / nb.cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+    )

@@ -159,3 +159,31 @@ def test_simhash_identical_docs_zero_hamming(spark, docs):
     }
     assert pairs[(1, 2)] == 0
     assert pairs[(1, 3)] == 0  # lowercase/whitespace-normalized tokens
+
+
+def test_ngram_contamination_planted(spark):
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),   # contains bench 5-grams
+            (11, "one two three four five six seven"),     # clean
+            (12, "alpha beta gamma delta epsilon"),        # exactly one 5-gram, shared
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["n_shared_ngrams"]
+           for r in dedup.ngram_contamination(corpus, bench, n=5).collect()}
+    # doc 10: both of its 5-grams appear in the benchmark; doc 12: its single
+    # 5-gram is shared; doc 11: clean and absent from the result
+    assert out == {10: 2, 12: 1}
+
+
+def test_ngram_contamination_broadcasts_benchmark(spark):
+    corpus = spark.range(0, 100).selectExpr(
+        "id AS doc_id", "concat('tok', id, ' a b c d e f g') AS text"
+    )
+    bench = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    plan = dedup.ngram_contamination(corpus, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -79,3 +79,31 @@ def test_ratios(spark):
     r = text.analyze(df).collect()[0]
     assert r["punct_ratio"] == pytest.approx(2 / 7, abs=1e-6)
     assert r["digit_ratio"] == 0.0
+
+
+def test_repetition_signals_crafted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # top 3/4, dup tokens 2/4, bigrams: aa,aa,ab
+            (2, "x y z w"),          # no repetition at all
+            (3, "go go go go"),      # fully repetitive
+            (4, ""),                 # blank: all signals 0
+            (5, "solo"),             # 1 token: no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["top_unigram_frac"] == 0.75
+    assert out[1]["dup_token_frac"] == 0.5
+    assert out[1]["dup_bigram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2]["top_unigram_frac"] == 0.25
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[3]["top_unigram_frac"] == 1.0
+    assert out[3]["dup_token_frac"] == 0.75
+    assert out[3]["dup_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[4]["n_tokens"] == 0
+    assert out[4]["top_unigram_frac"] == 0.0
+    assert out[4]["dup_token_frac"] == 0.0
+    assert out[5]["dup_bigram_frac"] == 0.0
