@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..schema import fan_out, load_table
 from . import (
     cdc,
+    chunking,
     dedup,
     embed,
     joins,
@@ -957,6 +958,52 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document split into 32-token chunks."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return chunking.chunk_documents(docs, max_tokens=32).orderBy("doc_id", "chunk_idx")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-bin packing: docs laid end-to-end per hash bucket, 512-token
+    bins assigned by start offset."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunking.pack_sequences(docs, budget=512, num_buckets=8).orderBy(
+        "bucket", "doc_id"
+    )
+
+
+ORACLE["q_chunk_documents"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    c AS (
+        SELECT doc_id,
+               unnest([{{'idx': i,
+                         'txt': array_to_string(toks[(i*32+1):((i+1)*32)], ' ')}}
+                       for i in range(0, ((len(toks) + 31) // 32)::INT)]) AS ch
+        FROM t
+    )
+    SELECT doc_id, ch.idx::INT AS chunk_idx, ch.txt AS chunk_text,
+           len(string_split(ch.txt, ' '))::INT AS n_chunk_tokens
+    FROM c ORDER BY doc_id, chunk_idx
+"""
+
+ORACLE["q_pack_sequences"] = f"""
+    WITH base AS (
+        SELECT doc_id, doc_id % 8 AS bucket,
+               len({_TOKENS})::BIGINT AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT bucket, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        FROM base
+    )
+    SELECT bucket, doc_id, n_tokens,
+           ((cum_tokens - n_tokens) // 512)::BIGINT AS bin_id,
+           cum_tokens
+    FROM packed ORDER BY bucket, doc_id
+"""
+
 ORACLE["q_repetition_signals"] = f"""
     WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
     b AS (
@@ -1053,6 +1100,8 @@ QUERIES = {
     "q_repetition_signals": q_repetition_signals,
     "q_decontaminate": q_decontaminate,
     "q_source_mix_weights": q_source_mix_weights,
+    "q_chunk_documents": q_chunk_documents,
+    "q_pack_sequences": q_pack_sequences,
 }
 
 

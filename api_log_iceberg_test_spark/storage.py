@@ -32,3 +32,47 @@ def cojoin_bucketed(spark: SparkSession, left: str, right: str, key_l: str, key_
     l = spark.table(left)
     r = spark.table(right)
     return l.join(r, l[key_l] == r[key_r])
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int = 10_000,
+    partition_by: tuple[str, ...] = ("lang",),
+    fmt: str = "json",
+) -> None:
+    """Export a curated corpus as size-capped training shards.
+
+    Writes ``df`` as ``fmt`` (jsonl via ``json``, or ``parquet``) shard
+    files under ``path``, hive-partitioned by ``partition_by`` and capped
+    at ``max_records_per_file`` rows per shard — the layout a training
+    loader streams directly (shard = one loader work unit).
+
+    Scale: ``maxRecordsPerFile`` splits are applied inside each write task
+    (no extra shuffle); partition columns route rows via the standard
+    dynamic-partition insert. Pair with a coarse ``repartition`` upstream
+    only if the job's task count must be decoupled from the scan.
+    """
+    w = df.write.mode("overwrite").option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.format(fmt).save(path)
+
+
+def shard_manifest(
+    spark: SparkSession, path: str, fmt: str = "json", token_col: str | None = None
+) -> DataFrame:
+    """Manifest of a shard export: one row per shard file with its row
+    count (and token sum when ``token_col`` is present) — the index a
+    training job uses to plan epochs without listing/scanning blind."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.format(fmt).load(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).cast("long").alias("n_tokens"))
+    return (
+        df.groupBy(F.input_file_name().alias("shard"))
+        .agg(*aggs)
+        .orderBy("shard")
+    )

@@ -67,3 +67,28 @@ def test_salted_aggregate_matches_plain(spark, sf_dir):
     a = {r["event_type"]: (r["cnt"], round(r["total"], 4), r["vmin"], r["vmax"]) for r in salted.collect()}
     b = {r["event_type"]: (r["cnt"], round(r["total"], 4), r["vmin"], r["vmax"]) for r in plain.collect()}
     assert a == b
+
+
+def test_training_shard_export_roundtrip(spark, sf_dir, tmp_path):
+    from api_log_iceberg_test_spark.operators import text as text_ops
+    from api_log_iceberg_test_spark.schema import load_table
+    from api_log_iceberg_test_spark import storage
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", text_ops.token_count("text").alias("n_tokens")
+    )
+    out = str(tmp_path / "shards")
+    storage.write_training_shards(docs, out, max_records_per_file=50, fmt="json")
+
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    # hive partition dirs by lang exist and reload with the partition column
+    assert sorted(r["lang"] for r in back.select("lang").distinct().collect()) == sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    )
+
+    man = storage.shard_manifest(spark, out, token_col="n_tokens").collect()
+    assert all(r["n_rows"] <= 50 for r in man), "maxRecordsPerFile cap violated"
+    assert sum(r["n_rows"] for r in man) == docs.count()
+    total_tokens = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(r["n_tokens"] for r in man) == total_tokens
