@@ -42,6 +42,17 @@ HEADLINE = [
     "q_range_join_nearby_events",
 ]
 
+#: Round-2 curation/chunking additions, timed as their own basket
+#: (total_ext_basket) so the 17-query headline stays comparable across
+#: rounds (VERDICT r01 rec 8).
+EXTENSION = [
+    "q_repetition_signals",
+    "q_decontaminate",
+    "q_source_mix_weights",
+    "q_chunk_documents",
+    "q_pack_sequences",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,13 +75,16 @@ def main() -> None:
 
     results: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE + ["q_ann_cosine_topk"]:
+    ext_total = 0.0
+    for name in HEADLINE + ["q_ann_cosine_topk"] + EXTENSION:
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         dt = round(time.time() - t0, 3)
         results[name] = dt
         if name in HEADLINE:
             total += dt
+        elif name in EXTENSION:
+            ext_total += dt
 
     # r01 basket = same 17 slots but with the expression-path ANN entry,
     # so the round-over-round comparison stays apples-to-apples
@@ -83,6 +97,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "total_r01_basket": round(total_r01, 3),
+                "total_ext_basket": round(ext_total, 3),
                 # external-load context: this box shows loadavg spikes that
                 # inflate all queries uniformly (see COVERAGE.md perf notes)
                 "loadavg_1m": round(os.getloadavg()[0], 2),
