@@ -1141,7 +1141,18 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Rows-only entries intentionally merged LAST in __spark_entry__ so they
 #: never displace a hash-verifiable query from the driver's verification
 #: window (they'd only earn a weaker rows-only row there anyway).
+def q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-query quantiles from merged daily KLL sketches.
+
+    Rows-only by nature (sketch quantiles are approximate); exactness of n
+    and rank-error bounds are asserted in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketches.kll_daily_sketches(ev, time_col="ts", value_col="value")
+    return sketches.kll_merge_quantiles(daily, [0.5, 0.9, 0.99])
+
+
 QUERIES_TAIL = {
     "q_hll_daily_users": q_hll_daily_users,
     "q_kmeans_clusters": q_kmeans_clusters,
+    "q_kll_value_quantiles": q_kll_value_quantiles,
 }

@@ -50,3 +50,58 @@ def hll_merge_estimate(daily: DataFrame) -> DataFrame:
     return daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("est_total")
     )
+
+
+def kll_daily_sketches(
+    df: DataFrame,
+    time_col: str = "ts",
+    value_col: str = "value",
+    k: int = 200,
+) -> DataFrame:
+    """One KLL quantile sketch per day over ``value_col`` — the percentile
+    analog of :func:`hll_daily_sketches`: latency/size SLO queries over any
+    date range become sketch merges, never a rescan of the raw events.
+
+    Returns ``(day, n, p50, p95, sketch)``; ``n`` is EXACT (KLL tracks the
+    stream length), quantiles carry the k=200 rank error (≈1.65%).
+    """
+    return (
+        df.groupBy(F.to_date(F.col(time_col)).alias("day"))
+        .agg(
+            F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias(
+                "sketch"
+            )
+        )
+        .select(
+            "day",
+            F.kll_sketch_get_n_double("sketch").alias("n"),
+            F.kll_sketch_get_quantile_double("sketch", F.lit(0.5)).alias("p50"),
+            F.kll_sketch_get_quantile_double("sketch", F.lit(0.95)).alias("p95"),
+            "sketch",
+        )
+    )
+
+
+def kll_merge_quantiles(daily: DataFrame, probs: list[float]) -> DataFrame:
+    """Quantiles over ALL days by folding the daily sketches.
+
+    ``kll_sketch_merge_double`` is a binary scalar (not an aggregate), so
+    the |days| sketches are collected into one array and folded with the
+    ``reduce`` higher-order function. The HOF is interpreted, but it runs
+    over |days| elements of an already-aggregated frame — never the raw
+    data — so it is irrelevant at any scale.
+    """
+    merged = daily.agg(F.collect_list("sketch").alias("sks")).select(
+        F.reduce(
+            F.slice("sks", 2, 2_000_000_000),
+            F.col("sks")[0],
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sketch")
+    )
+    cols = [F.kll_sketch_get_n_double("sketch").alias("n")] + [
+        F.kll_sketch_get_quantile_double("sketch", F.lit(p)).alias(
+            f"p{int(p * 100):02d}"
+        )
+        for p in probs
+    ]
+    return merged.select(*cols)

@@ -34,3 +34,59 @@ def test_merged_sketch_equals_direct_sketch(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("e")
     ).collect()[0]["e"]
     assert merged == direct
+
+
+def test_kll_n_exact_and_quantiles_bounded(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketches.kll_daily_sketches(ev, time_col="ts", value_col="value")
+    # n per day is exact — KLL tracks the stream length losslessly
+    exact_daily = {
+        r["day"]: r["cnt"]
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in daily.collect():
+        assert r["n"] == exact_daily[r["day"]]
+
+    merged = sketches.kll_merge_quantiles(daily, [0.5, 0.9, 0.99]).collect()[0]
+    n_total = ev.count()
+    assert merged["n"] == n_total
+    # rank error: the value returned for prob p must sit within eps of p in
+    # the TRUE cdf (k=200 → eps ~1.65%; use 5% for slack)
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    import bisect
+
+    for p, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        v = merged[col]
+        rank = bisect.bisect_right(vals, v) / n_total
+        assert abs(rank - p) < 0.05, (col, v, rank)
+
+
+def test_kll_merge_matches_direct_build(spark, sf_dir):
+    """Folding daily sketches must agree with a sketch built over the whole
+    range in one pass (same k): identical n, quantiles within 2*eps."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketches.kll_daily_sketches(ev, time_col="ts", value_col="value")
+    merged = sketches.kll_merge_quantiles(daily, [0.5, 0.99]).collect()[0]
+    direct = (
+        ev.agg(
+            F.kll_sketch_agg_double(F.col("value").cast("double"), F.lit(200)).alias(
+                "sketch"
+            )
+        )
+        .select(
+            F.kll_sketch_get_n_double("sketch").alias("n"),
+            F.kll_sketch_get_quantile_double("sketch", F.lit(0.5)).alias("p50"),
+            F.kll_sketch_get_quantile_double("sketch", F.lit(0.99)).alias("p99"),
+        )
+        .collect()[0]
+    )
+    assert merged["n"] == direct["n"]
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    import bisect
+
+    for col in ["p50", "p99"]:
+        ra = bisect.bisect_right(vals, merged[col]) / merged["n"]
+        rb = bisect.bisect_right(vals, direct[col]) / direct["n"]
+        assert abs(ra - rb) < 0.04, (col, merged[col], direct[col])
