@@ -175,6 +175,61 @@ _PAIRS: dict[str, tuple[str, str]] = {
         ORDER BY event_id, tok
         """,
     ),
+    "q_sql_filter_clause": (
+        s := """
+        SELECT event_type,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE value >= 200) AS n_big,
+               CAST(SUM(value) FILTER (WHERE value >= 200) AS DOUBLE) AS big_total
+        FROM events
+        GROUP BY event_type ORDER BY event_type
+        """,
+        s,
+    ),
+    "q_sql_range_frame": (
+        # value-based window frame: each order sums all orders of the same
+        # customer within 10000 of its own price (RANGE, not ROWS).
+        # ROUND(CAST AS DOUBLE) both sides: Spark's decimal window sum
+        # arrives as python Decimal, DuckDB's as float64 — the driver hash
+        # distinguishes those families.
+        s := """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               ROUND(CAST(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE), 2) AS near_total
+        FROM orders
+        WHERE o_custkey < 100
+        ORDER BY o_custkey, o_totalprice, o_orderkey
+        """,
+        s,
+    ),
+    "q_sql_ignore_nulls": (
+        # same semantics, dialect-split syntax: Spark puts IGNORE NULLS
+        # after the call, DuckDB inside the argument list
+        """
+        SELECT event_id,
+               LAG(big_val) IGNORE NULLS OVER (ORDER BY event_id) AS prev_big
+        FROM (
+            SELECT event_id,
+                   CASE WHEN value >= 400 THEN value END AS big_val
+            FROM events
+        ) t
+        WHERE event_id < 2000
+        ORDER BY event_id
+        """,
+        """
+        SELECT event_id,
+               LAG(big_val IGNORE NULLS) OVER (ORDER BY event_id) AS prev_big
+        FROM (
+            SELECT event_id,
+                   CASE WHEN value >= 400 THEN value END AS big_val
+            FROM events
+        ) t
+        WHERE event_id < 2000
+        ORDER BY event_id
+        """,
+    ),
     "q_sql_map_functions": (
         """
         SELECT event_type,
