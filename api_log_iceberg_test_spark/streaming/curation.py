@@ -54,3 +54,59 @@ def quality_gate(
     if langs is not None:
         accept = accept & F.col("lang_pred").isin(langs)
     return scored.where(accept), scored.where(~accept)
+
+
+def trending_terms(
+    stream: DataFrame,
+    time_col: str = "ts",
+    text_col: str = "text",
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-event-time-window term counts over a document stream — the
+    corpus-drift / trending-vocabulary monitor.
+
+    Emits ``(window_start, window_end, term, cnt)`` in append mode once the
+    watermark passes a window. Ranking inside the stream would need a
+    non-time window function (unsupported on streaming frames); rank the
+    materialized output with :func:`top_k_terms` instead — the sink table
+    is tiny (|windows| × |vocab|), so the split costs nothing.
+
+    Scale: explode fans each doc into its tokens BEFORE the shuffle, but
+    the shuffled rows are (window, term) pairs pre-combined map-side by the
+    partial aggregation — state is O(|windows in flight| × |vocab|),
+    bounded by the watermark.
+    """
+    from ..operators.text import norm_text
+
+    toks = stream.withWatermark(time_col, watermark).select(
+        F.col(time_col),
+        F.explode(F.split(norm_text(text_col), " ")).alias("term"),
+    )
+    return (
+        toks.where(F.col("term") != "")
+        .groupBy(F.window(F.col(time_col), window_len).alias("w"), "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "term",
+            "cnt",
+        )
+    )
+
+
+def top_k_terms(counts: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k terms per window over a materialized trending_terms output
+    (batch frame). Deterministic: ties break toward the lexicographically
+    smaller term."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("window_start", "rank")
+    )

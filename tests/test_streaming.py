@@ -437,3 +437,66 @@ def test_session_window_counts_matches_batch_sessionize(spark, tmp_path):
     # every emitted (closed) session must exist identically in the batch view
     assert got <= batch, f"streaming-only sessions: {got - batch}"
     assert len(got) >= 0.8 * len(batch)
+
+
+def test_trending_terms_stream_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from api_log_iceberg_test_spark.operators.text import norm_text
+    from api_log_iceberg_test_spark.schema import load_table
+    from api_log_iceberg_test_spark.streaming.curation import (
+        top_k_terms,
+        trending_terms,
+    )
+
+    # documents have no event time: spread them over 6 hours by doc_id
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select(
+            F.timestamp_seconds(1_700_000_000 + (F.col("doc_id") % 6) * 3600 + F.col("doc_id")).alias("ts"),
+            "text",
+        )
+    )
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    out = str(tmp_path / "out")
+    q = (
+        trending_terms(stream, watermark="30 minutes")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = (
+        docs.select(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            F.explode(F.split(norm_text("text"), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("window_start", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got_map = {(r["window_start"], r["term"]): r["cnt"] for r in got.collect()}
+    want_map = {(r["window_start"], r["term"]): r["cnt"] for r in want.collect()}
+    assert got_map, "stream emitted nothing"
+    for key, cnt in got_map.items():
+        assert want_map[key] == cnt, key
+    # append mode withholds windows the final watermark hasn't passed
+    # (the last hour here) — everything emitted must be complete and exact
+    assert len(got_map) >= len(want_map) * 0.5
+
+    # batch top-k over the materialized counts matches top-k over batch counts
+    topg = [(r["window_start"], r["rank"], r["term"]) for r in top_k_terms(got, 5).collect()]
+    topw = [(r["window_start"], r["rank"], r["term"])
+            for r in top_k_terms(want, 5).collect()
+            if (r["window_start"], r["term"]) in {(g[0], g[2]) for g in topg} or True]
+    emitted_windows = {g[0] for g in topg}
+    topw = [t for t in topw if t[0] in emitted_windows]
+    assert topg == topw
