@@ -167,3 +167,102 @@ def decode_real_media(payload: bytes) -> None:  # pragma: no cover
         "media decoding requires an image/audio library not present in this "
         "environment; plug a real kernel into _decode_image_batch"
     )
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_width", T.IntegerType()),
+        T.StructField("orig_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_payload", T.BinaryType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, max_width: int = 224, max_height: int = 224, id_col: str = "doc_id"
+) -> DataFrame:
+    """Bounded-box image resize plumbing (STUB decode/encode).
+
+    Real implementation: decode → ``PIL.Image.thumbnail((max_w, max_h))`` →
+    re-encode. The fake derives the "original" dimensions from the SAME
+    md5-of-hex bytes as :func:`_decode_image_batch` (the two kernels agree
+    on what an image "is"), applies the exact aspect-preserving scale
+    ``min(max_w/w, max_h/h, 1)``, and emits a payload slice proportional to
+    the area ratio — so tests can assert bounds, aspect ratio, and payload
+    shrinkage deterministically.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for did, b in zip(pdf[id_col].values, pdf["media_payload"]):
+                h = hashlib.md5(bytes(b).hex().encode()).digest()
+                w0, h0 = 32 + h[0], 32 + h[1]
+                scale = min(max_width / w0, max_height / h0, 1.0)
+                w1, h1 = max(int(w0 * scale), 1), max(int(h0 * scale), 1)
+                keep = max(int(len(b) * (w1 * h1) / (w0 * h0)), 16)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "orig_width": w0,
+                        "orig_height": h0,
+                        "width": w1,
+                        "height": h1,
+                        "resized_payload": bytes(b)[:keep],
+                    }
+                )
+            yield pd.DataFrame(rows).astype(
+                {
+                    "doc_id": "int64",
+                    "orig_width": "Int32",
+                    "orig_height": "Int32",
+                    "width": "Int32",
+                    "height": "Int32",
+                }
+            )
+
+    return df.select(id_col, "media_payload").mapInPandas(run, RESIZED_IMAGE_SCHEMA)
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio feature extraction plumbing (STUB decode).
+
+    Real implementation: ``librosa.load(io.BytesIO(b))`` → duration, rms,
+    sample rate. The fake derives stable pseudo-features from the payload's
+    md5-of-hex bytes (same convention as the image kernels).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for did, b in zip(pdf[id_col].values, pdf["media_payload"]):
+                h = hashlib.md5(bytes(b).hex().encode()).digest()
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "duration_ms": 500 + int.from_bytes(h[3:5], "big"),
+                        "sample_rate": [16000, 22050, 44100, 48000][h[5] % 4],
+                        "rms": round(h[6] / 255.0, 6),
+                    }
+                )
+            yield pd.DataFrame(rows).astype(
+                {"doc_id": "int64", "duration_ms": "int64", "sample_rate": "Int32"}
+            )
+
+    return df.select(id_col, "media_payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)

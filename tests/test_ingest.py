@@ -10,7 +10,7 @@ from api_log_iceberg_test_spark.generator import generate_api_logs
 from api_log_iceberg_test_spark.ingest import IngestConfig, ingest_batch, start_ingest
 from api_log_iceberg_test_spark.maintenance import compact_parquet_table
 from api_log_iceberg_test_spark.operators import multimodal
-from api_log_iceberg_test_spark.schema import API_LOG_SCHEMA
+from api_log_iceberg_test_spark.schema import API_LOG_SCHEMA, load_table
 
 
 def test_stream_ingest_count_parity(spark, tmp_path):
@@ -73,3 +73,43 @@ def test_multimodal_plumbing(spark):
 
     frames = multimodal.sample_video_frames(media).collect()
     assert len(frames) == 150  # 3 fake frames per doc
+
+
+def test_multimodal_resize_bounds_and_determinism(spark):
+    base = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    media = multimodal.synthesize_media(base)
+    out = {r["doc_id"]: r for r in multimodal.resize_images(media, 224, 224).collect()}
+    feats = {r["doc_id"]: r for r in multimodal.extract_image_features(media).collect()}
+    assert len(out) == 50
+    for did, r in out.items():
+        # original dims agree with the decode kernel's view of the payload
+        assert (r["orig_width"], r["orig_height"]) == (
+            feats[did]["width"],
+            feats[did]["height"],
+        )
+        assert r["width"] <= 224 and r["height"] <= 224
+        # aspect preserved within integer truncation
+        if r["orig_width"] >= r["orig_height"]:
+            assert r["width"] >= r["height"] - 1
+        else:
+            assert r["height"] >= r["width"] - 1
+        # no upscaling
+        assert r["width"] <= r["orig_width"] and r["height"] <= r["orig_height"]
+        assert len(r["resized_payload"]) >= 16
+    again = {r["doc_id"]: r for r in multimodal.resize_images(media, 224, 224).collect()}
+    assert {d: (r["width"], r["height"]) for d, r in out.items()} == {
+        d: (r["width"], r["height"]) for d, r in again.items()
+    }
+
+
+def test_multimodal_audio_features(spark):
+    base = load_table(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    media = multimodal.synthesize_media(base)
+    rows = multimodal.extract_audio_features(media).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert 500 <= r["duration_ms"] < 500 + 65536
+        assert r["sample_rate"] in (16000, 22050, 44100, 48000)
+        assert 0.0 <= r["rms"] <= 1.0
+    again = multimodal.extract_audio_features(media).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
