@@ -613,3 +613,39 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: the split hash runs over the near-dup CLUSTER representative
+    (connected-components label), not the document id, so every member of
+    a duplicate cluster lands in the same split (the public
+    "deduplicate across splits" practice — e.g. Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    ``pairs`` is any (doc_a, doc_b) near-dup pair frame (Jaccard, MinHash,
+    SimHash, embedding — caller's choice of detector). Singleton documents
+    are their own representative. The hash is the same multiplicative
+    scheme as the samplers (residue ranges ⇒ disjoint, reproducible).
+
+    Scale: components over the (tiny) pair set, one left join back to the
+    corpus on id, then a codegen'd hash projection — the corpus shuffles
+    once on id.
+    """
+    comp = connected_components(pairs)
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    h = F.pmod(rep * F.lit(2654435761), F.lit(1000))
+    split = (
+        F.when(h < train_pct * 10, F.lit("train"))
+        .when(h < (train_pct + val_pct) * 10, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.join(comp, id_col, "left").select(
+        F.col(id_col), rep.cast("long").alias("rep"), split.alias("split")
+    )

@@ -915,6 +915,13 @@ ORACLE["q_dedup_fingerprint"] = f"""
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-keyed train/val/test split (no cross-split leaks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.leakage_safe_split(docs, pairs).orderBy("doc_id")
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition quality signals (Gopher-style)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
@@ -1002,6 +1009,30 @@ ORACLE["q_pack_sequences"] = f"""
            ((cum_tokens - n_tokens) // 512)::BIGINT AS bin_id,
            cum_tokens
     FROM packed ORDER BY bucket, doc_id
+"""
+
+ORACLE["q_leakage_safe_split"] = f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION
+        SELECT doc_b, doc_a FROM jpairs
+    ),
+    walk(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(comp) AS component FROM walk GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id)::BIGINT AS rep,
+           CASE WHEN (COALESCE(c.component, d.doc_id) * 2654435761) % 1000 < 800
+                THEN 'train'
+                WHEN (COALESCE(c.component, d.doc_id) * 2654435761) % 1000 < 900
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    ORDER BY doc_id
 """
 
 ORACLE["q_repetition_signals"] = f"""
@@ -1097,6 +1128,7 @@ QUERIES = {
     "q_scd2_history": q_scd2_history,
     "q_latest_by_key": q_latest_by_key,
     "q_embed_documents": q_embed_documents,
+    "q_leakage_safe_split": q_leakage_safe_split,
     "q_repetition_signals": q_repetition_signals,
     "q_decontaminate": q_decontaminate,
     "q_source_mix_weights": q_source_mix_weights,

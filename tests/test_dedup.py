@@ -187,3 +187,27 @@ def test_ngram_contamination_broadcasts_benchmark(spark):
     bench = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
     plan = dedup.ngram_contamination(corpus, bench, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_leakage_safe_split_never_straddles(spark, sf_dir):
+    """Every near-dup pair must land in ONE split — the operator's whole
+    point — and the split sizes must roughly follow 80/10/10."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    split = dedup.leakage_safe_split(docs, pairs)
+    straddle = (
+        pairs.join(split.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("split", "split_a")
+        .select("doc_a", "doc_b", "split_a")
+        .join(split.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .where(F.col("split_a") != F.col("split"))
+        .count()
+    )
+    assert straddle == 0
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert counts.get("train", 0) / total > 0.6
+    assert 0 < counts.get("val", 0) / total < 0.25
+    assert 0 < counts.get("test", 0) / total < 0.25
