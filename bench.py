@@ -51,6 +51,7 @@ EXTENSION = [
     "q_source_mix_weights",
     "q_chunk_documents",
     "q_pack_sequences",
+    "q_leakage_safe_split",
 ]
 
 
