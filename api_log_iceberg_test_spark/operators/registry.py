@@ -915,6 +915,72 @@ ORACLE["q_dedup_fingerprint"] = f"""
 """
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: the one-page data statement a training pipeline
+    publishes — size, language mix, mean quality, near-dup and
+    contamination rates — as (section, metric, value) rows.
+
+    Composes the corpus-level operators (quality, Jaccard pairs, connected
+    components, n-gram contamination) into small aggregates unioned into a
+    tiny report frame; every input is itself independently oracled.
+
+    Scale: each section is one combinable aggregate over the corpus (or
+    over the tiny pair set); the union concatenates a handful of
+    single-digit-row frames.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    bench = docs.where(F.col("doc_id") % 10 == 7)
+    corpus = docs.where(F.col("doc_id") % 10 != 7)
+    contaminated = dedup.ngram_contamination(corpus, bench, n=5)
+
+    def row(section: str, metric: str, value) -> DataFrame:
+        return value.select(
+            F.lit(section).alias("section"),
+            F.lit(metric).alias("metric"),
+            F.col("v").cast("double").alias("value"),
+        )
+
+    corpus_stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count("text")).alias("n_tokens"),
+        F.round(F.avg(text.quality_score("text")), 4).alias("mean_quality"),
+    )
+    parts = [
+        row("corpus", "n_docs", corpus_stats.select(F.col("n_docs").alias("v"))),
+        row("corpus", "n_tokens", corpus_stats.select(F.col("n_tokens").alias("v"))),
+        row(
+            "corpus",
+            "mean_quality",
+            corpus_stats.select(F.col("mean_quality").alias("v")),
+        ),
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(
+            F.lit("lang").alias("section"),
+            F.col("lang").alias("metric"),
+            F.col("v").cast("double").alias("value"),
+        ),
+        row("dedup", "n_dup_pairs", pairs.agg(F.count(F.lit(1)).alias("v"))),
+        row("dedup", "n_dup_docs", comp.agg(F.count(F.lit(1)).alias("v"))),
+        row(
+            "dedup",
+            "n_dup_clusters",
+            comp.agg(F.countDistinct("component").alias("v")),
+        ),
+        row(
+            "contamination",
+            "n_contaminated_docs",
+            contaminated.agg(F.count(F.lit(1)).alias("v")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("section", "metric")
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-cluster-keyed train/val/test split (no cross-split leaks)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1009,6 +1075,72 @@ ORACLE["q_pack_sequences"] = f"""
            ((cum_tokens - n_tokens) // 512)::BIGINT AS bin_id,
            cum_tokens
     FROM packed ORDER BY bucket, doc_id
+"""
+
+ORACLE["q_corpus_datacard"] = f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION
+        SELECT doc_b, doc_a FROM jpairs
+    ),
+    walk(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(comp) AS component FROM walk GROUP BY id),
+    tq AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                    ELSE 0.0 END AS mtl,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[.,!?;:''"()\\-]', '', 'g')))::DOUBLE / length(text)
+                    ELSE 0.0 END AS pr,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+                    ELSE 0.0 END AS dr
+        FROM tq
+    ),
+    qual AS (
+        SELECT n_tokens,
+               ROUND(0.25 * least(n_tokens / 20.0, 1.0)
+                     + 0.25 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.0 END)
+                     + 0.25 * (1.0 - pr) + 0.25 * (1.0 - dr), 6) AS quality
+        FROM m
+    ),
+    sh5 AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+4], ' ')
+                              for i in range(1, greatest(len(toks)-4, 1) + 1)]) AS shl
+        FROM tq
+    ),
+    bench5 AS (SELECT DISTINCT unnest(shl) AS s FROM sh5 WHERE doc_id % 10 = 7),
+    corpus5 AS (SELECT doc_id, unnest(shl) AS s FROM sh5 WHERE doc_id % 10 <> 7),
+    cont AS (
+        SELECT doc_id FROM corpus5 JOIN bench5 USING (s) GROUP BY doc_id
+    )
+    SELECT * FROM (
+        SELECT 'corpus' AS section, 'n_docs' AS metric, COUNT(*)::DOUBLE AS value
+        FROM documents
+        UNION ALL
+        SELECT 'corpus', 'n_tokens', SUM(n_tokens)::DOUBLE FROM qual
+        UNION ALL
+        SELECT 'corpus', 'mean_quality', ROUND(AVG(quality), 4) FROM qual
+        UNION ALL
+        SELECT 'lang', lang, COUNT(*)::DOUBLE FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 'dedup', 'n_dup_pairs', COUNT(*)::DOUBLE FROM jpairs
+        UNION ALL
+        SELECT 'dedup', 'n_dup_docs', COUNT(*)::DOUBLE FROM comp
+        UNION ALL
+        SELECT 'dedup', 'n_dup_clusters', COUNT(DISTINCT component)::DOUBLE FROM comp
+        UNION ALL
+        SELECT 'contamination', 'n_contaminated_docs', COUNT(*)::DOUBLE FROM cont
+    ) ORDER BY section, metric
 """
 
 ORACLE["q_leakage_safe_split"] = f"""
@@ -1128,6 +1260,7 @@ QUERIES = {
     "q_scd2_history": q_scd2_history,
     "q_latest_by_key": q_latest_by_key,
     "q_embed_documents": q_embed_documents,
+    "q_corpus_datacard": q_corpus_datacard,
     "q_leakage_safe_split": q_leakage_safe_split,
     "q_repetition_signals": q_repetition_signals,
     "q_decontaminate": q_decontaminate,
