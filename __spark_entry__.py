@@ -25,8 +25,9 @@ try:  # extension operators land incrementally; keep the contract importable
     _OPS_QUERIES = _ops_registry.QUERIES
     _OPS_ORACLE = _ops_registry.ORACLE
     _OPS_TAIL = getattr(_ops_registry, "QUERIES_TAIL", {})
+    _OPS_LATE = getattr(_ops_registry, "QUERIES_LATE", {})
 except ImportError:  # pragma: no cover
-    _OPS_QUERIES, _OPS_ORACLE, _OPS_TAIL = {}, {}, {}
+    _OPS_QUERIES, _OPS_ORACLE, _OPS_TAIL, _OPS_LATE = {}, {}, {}, {}
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -70,6 +71,11 @@ def _merged(attr: str) -> dict:
     for k in _PRIORITY_ANALYTICS:
         if k in ana:
             out[k] = ana[k]
+    if attr == "QUERIES":
+        # oracled ops registered AFTER the 50-entry window filled up: they
+        # merge behind the must-stay-green analytics trio so they can never
+        # displace it (their oracles live in the same ORACLE dict)
+        out.update(_OPS_LATE)
     out.update(sql)
     out.update(ana)
     if attr == "QUERIES":  # rows-only tail: never displaces verifiable entries

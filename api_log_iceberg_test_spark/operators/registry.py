@@ -1303,6 +1303,12 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Oracled entries registered after the driver's 50-query verification
+#: window filled: merged AFTER the round-1-red analytics trio (which must
+#: re-verify green) but before the SQL/analytic breadth. Empty until the
+#: next operator lands; see __spark_entry__._merged.
+QUERIES_LATE: dict = {}
+
 #: Rows-only entries intentionally merged LAST in __spark_entry__ so they
 #: never displace a hash-verifiable query from the driver's verification
 #: window (they'd only earn a weaker rows-only row there anyway).

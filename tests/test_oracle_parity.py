@@ -38,3 +38,31 @@ def test_query_matches_oracle(spark, sf_dir, name):
     ddf = con.execute(_ORACLE[name]).fetchdf()
     errs = compare(sdf, ddf, name)
     assert not errs, "\n".join(errs)
+
+
+def test_driver_window_priority():
+    """The first 50 queries() entries (the driver's observed verification
+    window) must contain the full reference surface and the round-1-red
+    analytics trio — new operators may not displace them."""
+    window = list(_QUERIES)[:50]
+    for must in [
+        "q_count",
+        "q_frequency_by_name",
+        "q_recent_top20",
+        "q_time_range_full_scan",
+        "q_error_analysis",
+        "q_projection",
+        "q_priority_line_buckets",
+        "q_sessionize",
+        "q_tumbling_window_batch",
+    ]:
+        assert must in window, f"{must} fell out of the driver window"
+    # every in-window entry except the documented hash-family five is oracled
+    rows_only = {n for n in window if n not in _ORACLE}
+    assert rows_only <= {
+        "q_dedup_minhash_lsh",
+        "q_dedup_simhash",
+        "q_ann_cosine_topk_ivf",
+        "q_ann_cosine_topk_np",
+        "q_embedding_neardup_lsh",
+    }, f"unexpected rows-only entries in window: {rows_only}"
