@@ -131,3 +131,58 @@ def test_quantize_bounds_and_error(spark, vectors):
         assert 127 in (abs(q) for q in qs)  # max |x| elem hits full scale
         step = max(abs(x) for x in v) / 127.0
         assert r["max_err"] <= step / 2 + 1e-6, (r["max_err"], step)
+
+
+def _py_repetition(text: str) -> tuple[int, float, float, float]:
+    """Pure-Python reference for repetition_signals (obviously correct).
+
+    Whitespace = Java regex \\s ([ \\t\\n\\x0b\\f\\r]) — the engine's (and
+    DuckDB oracle's) tokenization class. Python's str.split() additionally
+    treats \\x1c-\\x1f as whitespace, which the engines do NOT (hypothesis
+    found the divergence with a lone \\x1f)."""
+    import re
+
+    ws = r"[ \t\n\x0b\f\r]"
+    t = re.sub(f"^{ws}+|{ws}+$", "", text.lower())
+    t = re.sub(f"{ws}+", " ", t)
+    toks = t.split(" ") if t else []
+    n = len(toks)
+    if n == 0:
+        return 0, 0.0, 0.0, 0.0
+    from collections import Counter
+
+    top = Counter(toks).most_common(1)[0][1]
+    bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    dup_bg = (
+        (len(bigrams) - len(set(bigrams))) / len(bigrams) if bigrams else 0.0
+    )
+    return (
+        n,
+        round(top / n, 6),
+        round((n - len(set(toks))) / n, 6),
+        round(dup_bg, 6),
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=8))
+def test_repetition_signals_match_python_reference(spark, texts):
+    from api_log_iceberg_test_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["top_unigram_frac"],
+            r["dup_token_frac"],
+            r["dup_bigram_frac"],
+        )
+        for r in text_ops.repetition_signals(df).collect()
+    }
+    for i, t in enumerate(texts):
+        want = _py_repetition(t)
+        assert got[i][0] == want[0], (i, t, got[i], want)
+        for g, w in zip(got[i][1:], want[1:]):
+            assert g == pytest.approx(w, abs=1e-9), (i, t, got[i], want)
