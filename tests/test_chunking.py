@@ -76,3 +76,14 @@ def test_pack_window_is_partitioned(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "hashpartitioning(bucket" in plan
+
+
+def test_chunking_plan_has_no_exchange(spark, sf_dir):
+    """Chunking is a per-row fan-out: the physical plan must contain NO
+    Exchange — chunks inherit the scan's partitioning at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        chunking.chunk_documents(docs, max_tokens=32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
