@@ -38,7 +38,11 @@ def chunk_documents(
     scan's partitioning, so a downstream ``maxRecordsPerFile`` shard write
     needs no exchange either.
     """
-    nrm_df = df.select(F.col(id_col), norm_text(text_col).alias("_norm"))
+    # blank/whitespace-only docs produce ZERO chunks (split('') would
+    # otherwise yield a phantom 1-token empty chunk)
+    nrm_df = df.select(F.col(id_col), norm_text(text_col).alias("_norm")).where(
+        F.length("_norm") > 0
+    )
     toks = F.split(F.col("_norm"), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(max_tokens)).cast("int")
     ex = nrm_df.select(

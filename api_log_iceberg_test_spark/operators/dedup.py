@@ -640,7 +640,10 @@ def leakage_safe_split(
     """
     comp = connected_components(pairs)
     rep = F.coalesce(F.col("component"), F.col(id_col))
-    h = F.pmod(rep * F.lit(2654435761), F.lit(1000))
+    # reduce mod 1000 BEFORE multiplying: (x·c) mod m == ((x mod m)·c) mod m,
+    # and the direct product overflows long (ANSI abort) for ids ≥ ~3.47e9 —
+    # exactly the 100 TB corpus this targets
+    h = F.pmod(F.pmod(rep, F.lit(1000)) * F.lit(2654435761), F.lit(1000))
     split = (
         F.when(h < train_pct * 10, F.lit("train"))
         .when(h < (train_pct + val_pct) * 10, F.lit("val"))

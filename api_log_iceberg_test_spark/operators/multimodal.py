@@ -205,13 +205,14 @@ def resize_images(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in batches:
+            # single source of truth for what an image "is": the decode
+            # kernel supplies the original dimensions
+            dims = _decode_image_batch(pdf["media_payload"])
             rows: list[dict[str, Any]] = []
-            for did, b in zip(pdf[id_col].values, pdf["media_payload"]):
-                h = hashlib.md5(bytes(b).hex().encode()).digest()
-                w0, h0 = 32 + h[0], 32 + h[1]
+            for did, b, w0, h0 in zip(
+                pdf[id_col].values, pdf["media_payload"], dims["width"], dims["height"]
+            ):
                 scale = min(max_width / w0, max_height / h0, 1.0)
                 w1, h1 = max(int(w0 * scale), 1), max(int(h0 * scale), 1)
                 keep = max(int(len(b) * (w1 * h1) / (w0 * h0)), 16)

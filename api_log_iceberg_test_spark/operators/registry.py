@@ -173,7 +173,12 @@ def q_train_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     different residue range over the SAME hash, guaranteeing disjointness.
     """
     docs = load_table(spark, sf_dir, "documents")
-    in_sample = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000)) < 100
+    # mod-reduce before the multiply: identical residue, no long overflow
+    # (ANSI abort) at 100 TB-scale ids
+    in_sample = (
+        F.pmod(F.pmod(F.col("doc_id"), F.lit(1000)) * F.lit(2654435761), F.lit(1000))
+        < 100
+    )
     return (
         docs.groupBy("lang")
         .agg(
@@ -195,7 +200,10 @@ def q_grouped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    hash_order = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(2147483648))
+    hash_order = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(2147483648),
+    )
     w = Window.partitionBy("lang").orderBy(hash_order.asc(), F.col("doc_id").asc())
     return (
         docs.select("doc_id", "lang")
@@ -929,7 +937,10 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-digit-row frames.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    # materialize the (tiny) pair list once: three downstream branches
+    # (pair count, components ×2) would otherwise each re-run the full
+    # Jaccard pipeline; on a cluster this would be .persist()
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).localCheckpoint()
     comp = dedup.connected_components(pairs)
     bench = docs.where(F.col("doc_id") % 10 == 7)
     corpus = docs.where(F.col("doc_id") % 10 != 7)
@@ -942,19 +953,33 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("double").alias("value"),
         )
 
-    corpus_stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(text.token_count("text")).alias("n_tokens"),
-        F.round(F.avg(text.quality_score("text")), 4).alias("mean_quality"),
+    # ONE corpus scan+agg, unpivoted to three rows with stack()
+    corpus_rows = (
+        docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.token_count("text")).alias("n_tokens"),
+            F.round(F.avg(text.quality_score("text")), 4).alias("mean_quality"),
+        )
+        .selectExpr(
+            "stack(3, 'n_docs', CAST(n_docs AS DOUBLE), "
+            "'n_tokens', CAST(n_tokens AS DOUBLE), "
+            "'mean_quality', CAST(mean_quality AS DOUBLE)) AS (metric, value)"
+        )
+        .select(F.lit("corpus").alias("section"), "metric", "value")
+    )
+    comp_rows = (
+        comp.agg(
+            F.count(F.lit(1)).alias("n_dup_docs"),
+            F.countDistinct("component").alias("n_dup_clusters"),
+        )
+        .selectExpr(
+            "stack(2, 'n_dup_docs', CAST(n_dup_docs AS DOUBLE), "
+            "'n_dup_clusters', CAST(n_dup_clusters AS DOUBLE)) AS (metric, value)"
+        )
+        .select(F.lit("dedup").alias("section"), "metric", "value")
     )
     parts = [
-        row("corpus", "n_docs", corpus_stats.select(F.col("n_docs").alias("v"))),
-        row("corpus", "n_tokens", corpus_stats.select(F.col("n_tokens").alias("v"))),
-        row(
-            "corpus",
-            "mean_quality",
-            corpus_stats.select(F.col("mean_quality").alias("v")),
-        ),
+        corpus_rows,
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("v"))
         .select(
@@ -963,12 +988,7 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("double").alias("value"),
         ),
         row("dedup", "n_dup_pairs", pairs.agg(F.count(F.lit(1)).alias("v"))),
-        row("dedup", "n_dup_docs", comp.agg(F.count(F.lit(1)).alias("v"))),
-        row(
-            "dedup",
-            "n_dup_clusters",
-            comp.agg(F.countDistinct("component").alias("v")),
-        ),
+        comp_rows,
         row(
             "contamination",
             "n_contaminated_docs",
@@ -1046,14 +1066,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["q_chunk_documents"] = f"""
-    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+ORACLE["q_chunk_documents"] = """
+    WITH t AS (
+        SELECT doc_id,
+               string_split(regexp_replace(regexp_replace(lower(text),
+                   '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'), ' ') AS toks,
+               length(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')) AS nlen
+        FROM documents
+    ),
     c AS (
         SELECT doc_id,
-               unnest([{{'idx': i,
-                         'txt': array_to_string(toks[(i*32+1):((i+1)*32)], ' ')}}
+               unnest([{'idx': i,
+                        'txt': array_to_string(toks[(i*32+1):((i+1)*32)], ' ')}
                        for i in range(0, ((len(toks) + 31) // 32)::INT)]) AS ch
-        FROM t
+        FROM t WHERE nlen > 0
     )
     SELECT doc_id, ch.idx::INT AS chunk_idx, ch.txt AS chunk_text,
            len(string_split(ch.txt, ' '))::INT AS n_chunk_tokens
@@ -1063,7 +1089,8 @@ ORACLE["q_chunk_documents"] = f"""
 ORACLE["q_pack_sequences"] = f"""
     WITH base AS (
         SELECT doc_id, doc_id % 8 AS bucket,
-               len({_TOKENS})::BIGINT AS n_tokens
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len({_TOKENS}) END)::BIGINT AS n_tokens
         FROM documents
     ), packed AS (
         SELECT bucket, doc_id, n_tokens,
@@ -1167,11 +1194,17 @@ ORACLE["q_leakage_safe_split"] = f"""
     ORDER BY doc_id
 """
 
-ORACLE["q_repetition_signals"] = f"""
-    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+ORACLE["q_repetition_signals"] = """
+    WITH t AS (
+        SELECT doc_id,
+               string_split(regexp_replace(regexp_replace(lower(text),
+                   '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'), ' ') AS toks,
+               length(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')) AS nlen
+        FROM documents
+    ),
     b AS (
         SELECT doc_id,
-               len(toks)::BIGINT AS n_tokens,
+               (CASE WHEN nlen = 0 THEN 0 ELSE len(toks) END)::BIGINT AS n_tokens,
                len(list_distinct(toks)) AS n_distinct,
                [array_to_string(toks[i:i+1], ' ')
                 for i in range(1, len(toks))] AS bg
@@ -1180,17 +1213,20 @@ ORACLE["q_repetition_signals"] = f"""
     tf AS (
         SELECT doc_id, MAX(cnt) AS top_cnt FROM (
             SELECT doc_id, term, COUNT(*) AS cnt
-            FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+            FROM (SELECT doc_id, unnest(toks) AS term FROM t WHERE nlen > 0)
             GROUP BY doc_id, term
         ) GROUP BY doc_id
     )
     SELECT b.doc_id, n_tokens,
-           ROUND(top_cnt / n_tokens, 6) AS top_unigram_frac,
-           ROUND((n_tokens - n_distinct) / n_tokens, 6) AS dup_token_frac,
-           CASE WHEN len(bg) = 0 THEN 0.0
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE ROUND(top_cnt / n_tokens, 6) END AS top_unigram_frac,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE ROUND((n_tokens - n_distinct) / n_tokens, 6)
+           END AS dup_token_frac,
+           CASE WHEN n_tokens = 0 OR len(bg) = 0 THEN 0.0
                 ELSE ROUND((len(bg) - len(list_distinct(bg))) / len(bg), 6)
            END AS dup_bigram_frac
-    FROM b JOIN tf USING (doc_id)
+    FROM b LEFT JOIN tf USING (doc_id)
     ORDER BY doc_id
 """
 
@@ -1212,7 +1248,8 @@ ORACLE["q_decontaminate"] = f"""
 ORACLE["q_source_mix_weights"] = f"""
     WITH per AS (
         SELECT source, COUNT(*) AS n_docs,
-               SUM(len({_TOKENS}))::BIGINT AS n_tokens
+               SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len({_TOKENS}) END)::BIGINT AS n_tokens
         FROM documents GROUP BY source
     ), tot AS (
         SELECT source, n_docs, n_tokens,

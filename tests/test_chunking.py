@@ -13,11 +13,20 @@ def test_chunk_reassembly_closure(spark, sf_dir):
     normalized text, and chunk token counts sum to the doc token count."""
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunking.chunk_documents(docs, max_tokens=32)
+    # collect_list after orderBy does NOT survive the groupBy shuffle —
+    # collect structs and sort by chunk_idx inside the row instead
     re = (
-        chunks.orderBy("doc_id", "chunk_idx")
-        .groupBy("doc_id")
+        chunks.groupBy("doc_id")
         .agg(
-            F.concat_ws(" ", F.collect_list("chunk_text")).alias("rejoined"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+            ).alias("rejoined"),
             F.sum("n_chunk_tokens").alias("n_total"),
         )
     )
@@ -36,13 +45,16 @@ def test_chunk_reassembly_closure(spark, sf_dir):
 
 def test_chunk_sizes(spark):
     df = spark.createDataFrame(
-        [(1, " ".join(f"t{i}" for i in range(70))), (2, "a b"), (3, "solo")],
+        [(1, " ".join(f"t{i}" for i in range(70))), (2, "a b"), (3, "solo"),
+         (4, ""), (5, "   ")],
         ["doc_id", "text"],
     )
     out = chunking.chunk_documents(df, max_tokens=32).collect()
     by_doc = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], []).append(r)
+    # blank / whitespace-only docs yield ZERO chunks (no phantom empty chunk)
+    assert 4 not in by_doc and 5 not in by_doc
     assert [r["n_chunk_tokens"] for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])] == [32, 32, 6]
     assert [r["n_chunk_tokens"] for r in by_doc[2]] == [2]
     assert [r["n_chunk_tokens"] for r in by_doc[3]] == [1]

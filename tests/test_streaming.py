@@ -494,9 +494,8 @@ def test_trending_terms_stream_equals_batch(spark, tmp_path):
 
     # batch top-k over the materialized counts matches top-k over batch counts
     topg = [(r["window_start"], r["rank"], r["term"]) for r in top_k_terms(got, 5).collect()]
+    emitted_windows = {g[0] for g in topg}
     topw = [(r["window_start"], r["rank"], r["term"])
             for r in top_k_terms(want, 5).collect()
-            if (r["window_start"], r["term"]) in {(g[0], g[2]) for g in topg} or True]
-    emitted_windows = {g[0] for g in topg}
-    topw = [t for t in topw if t[0] in emitted_windows]
+            if r["window_start"] in emitted_windows]
     assert topg == topw
