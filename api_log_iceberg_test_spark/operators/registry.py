@@ -1340,11 +1340,67 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram via width_bucket — the profiling query a
+    pipeline runs before choosing quality/filter thresholds. One
+    map-side-combinable agg; bins = O(1) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.width_bucket(F.col("value"), F.lit(0.0), F.lit(500.0), F.lit(10)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate breadth: correlation / covariance / stddev of
+    order totals vs line counts per market segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.corr("o_totalprice", "c_acctbal"), 6).alias("corr_bal"),
+            F.round(F.covar_samp("o_totalprice", "c_acctbal"), 4).alias("cov_bal"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE["q_value_histogram"] = """
+    SELECT (CASE WHEN value < 0.0 THEN 0
+                 WHEN value >= 500.0 THEN 11
+                 ELSE floor(value / 50.0)::BIGINT + 1 END) AS bucket,
+           COUNT(*) AS cnt
+    FROM events GROUP BY bucket ORDER BY bucket
+"""
+
+ORACLE["q_corr_stats"] = """
+    SELECT c_mktsegment,
+           ROUND(corr(o_totalprice, c_acctbal), 6) AS corr_bal,
+           ROUND(covar_samp(o_totalprice, c_acctbal), 4) AS cov_bal,
+           ROUND(stddev_samp(o_totalprice), 4) AS sd_price,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
 #: Oracled entries registered after the driver's 50-query verification
 #: window filled: merged AFTER the round-1-red analytics trio (which must
-#: re-verify green) but before the SQL/analytic breadth. Empty until the
-#: next operator lands; see __spark_entry__._merged.
-QUERIES_LATE: dict = {}
+#: re-verify green) but before the SQL/analytic breadth; see
+#: __spark_entry__._merged.
+QUERIES_LATE: dict = {
+    "q_value_histogram": q_value_histogram,
+    "q_corr_stats": q_corr_stats,
+}
 
 #: Rows-only entries intentionally merged LAST in __spark_entry__ so they
 #: never displace a hash-verifiable query from the driver's verification
