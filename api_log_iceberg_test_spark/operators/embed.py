@@ -51,10 +51,14 @@ def embed_documents(
         for pdf in batches:
             if not len(pdf):
                 continue
-            vecs = [_encode_text(t) for t in pdf[text_col]]
+            # NULL text → NULL embedding row (matches the oracle's
+            # md5(NULL) = NULL), not an executor crash
+            vecs = [None if t is None else _encode_text(t) for t in pdf[text_col]]
             out = {id_col: pdf[id_col].to_numpy()}
             for d in range(DIM):
-                out[f"d{d}"] = [v[d] for v in vecs]
+                out[f"d{d}"] = pd.array(
+                    [None if v is None else v[d] for v in vecs], dtype="Float64"
+                )
             yield pd.DataFrame(out)
 
     from pyspark.sql import functions as F

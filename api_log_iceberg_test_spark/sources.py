@@ -41,19 +41,37 @@ _READ_SCHEMA = T.StructType(
 _TS_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
+#: from_json/from_csv parse options (PERMISSIVE + corrupt capture).
+_PARSE_OPTS = {
+    "mode": "PERMISSIVE",
+    "columnNameOfCorruptRecord": _CORRUPT,
+    "timestampFormat": _TS_FORMAT,
+}
+
+
+def _parse_json_lines(lines: DataFrame) -> DataFrame:
+    """text scan → from_json with corrupt capture.
+
+    Parsing OVER a text scan (instead of the raw .json reader) matters:
+    Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN rule forbids any raw-file-scan
+    query whose pruned schema is just ``_corrupt_record`` — which is
+    exactly what a quarantine count() is — unless the input is cached.
+    A text scan has no such rule, so the valid/corrupt splits below are
+    plain filters with NO hidden materialization, batch and streaming
+    alike (review finding: the previous design cache()d the caller's whole
+    input inside corrupt_records()).
+    """
+    parsed = F.from_json(F.col("value"), _READ_SCHEMA, _PARSE_OPTS)
+    return lines.select(parsed.alias("r")).select("r.*")
+
+
 def read_jsonl_logs(spark: SparkSession, path: str) -> DataFrame:
     """Batch-read JSON-lines api-log records.
 
     Malformed lines surface as rows where every schema column is NULL and
-    ``_corrupt_record`` holds the raw line (Spark PERMISSIVE mode).
+    ``_corrupt_record`` holds the raw line (PERMISSIVE semantics).
     """
-    return (
-        spark.read.schema(_READ_SCHEMA)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-        .option("timestampFormat", _TS_FORMAT)
-        .json(path)
-    )
+    return _parse_json_lines(spark.read.text(path))
 
 
 def read_csv_logs(
@@ -70,30 +88,34 @@ def read_csv_logs(
     round-trips. Pass ``None`` to fall back to Spark's default (empty
     field → NULL).
     """
-    reader = (
-        spark.read.schema(_READ_SCHEMA)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-        .option("header", str(header).lower())
-        .option("timestampFormat", _TS_FORMAT)
-    )
+    opts = dict(_PARSE_OPTS)
     if null_value is not None:
-        reader = reader.option("nullValue", null_value)
-    return reader.csv(path)
+        opts["nullValue"] = null_value
+    lines = spark.read.text(path)
+    if header:
+        # text-scan parsing sees the header as data; drop the exact line
+        lines = lines.where(F.col("value") != ",".join(API_LOG_COLUMNS))
+    parsed = F.from_csv(F.col("value"), _READ_SCHEMA.simpleString(), opts)
+    return lines.select(parsed.alias("r")).select("r.*")
+
+
+def stream_jsonl_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming JSONL reader WITH the corrupt-record column — route it
+    through :func:`valid_records` (load) and :func:`corrupt_records`
+    (quarantine sink) so torn lines are captured, not silently lost; both
+    splits are stateless filters, so each runs as its own writeStream over
+    the same drop directory."""
+    return _parse_json_lines(
+        spark.readStream.option("wholetext", "false").text(path)
+    )
 
 
 def stream_jsonl_logs(spark: SparkSession, path: str) -> DataFrame:
     """Streaming JSONL source for :func:`ingest.start_ingest` — new files in
-    ``path`` become micro-batches (the log-shipper drop-directory pattern)."""
-    return (
-        spark.readStream.schema(_READ_SCHEMA)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-        .option("timestampFormat", _TS_FORMAT)
-        .json(path)
-        .where(F.col(_CORRUPT).isNull())
-        .select(*API_LOG_COLUMNS)
-    )
+    ``path`` become micro-batches (the log-shipper drop-directory pattern).
+    Valid rows only; pair with ``corrupt_records(stream_jsonl_raw(...))``
+    as a second sink when quarantine routing is required."""
+    return valid_records(stream_jsonl_raw(spark, path))
 
 
 def valid_records(df: DataFrame) -> DataFrame:
@@ -102,12 +124,10 @@ def valid_records(df: DataFrame) -> DataFrame:
 
 
 def corrupt_records(df: DataFrame) -> DataFrame:
-    """Quarantine stream: the raw text of every malformed input line.
+    """Quarantine split: the raw text of every malformed input line.
 
-    Spark refuses a lazy query that references ONLY the corrupt-record
-    column of a raw file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
-    parse must be materialized first, so the input is cached here. In a
-    production quarantine flow the parsed batch is persisted once and both
-    :func:`valid_records` and this split read the materialized result.
+    A plain filter, batch or streaming — no hidden cache (the readers
+    parse over a text scan precisely so this split never trips Spark's
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN materialization requirement).
     """
-    return df.cache().where(F.col(_CORRUPT).isNotNull()).select(_CORRUPT)
+    return df.where(F.col(_CORRUPT).isNotNull()).select(F.col(_CORRUPT))

@@ -53,6 +53,10 @@ def quality_gate(
     accept = (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     if langs is not None:
         accept = accept & F.col("lang_pred").isin(langs)
+    # NULL text ⇒ NULL predicate: where(p) and where(~p) would BOTH drop the
+    # row (three-valued logic) — exactly the silent loss the quarantine
+    # split exists to prevent. Coalesce so null-scored docs are quarantined.
+    accept = F.coalesce(accept, F.lit(False))
     return scored.where(accept), scored.where(~accept)
 
 

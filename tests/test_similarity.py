@@ -151,3 +151,53 @@ def test_neardup_pairs_symmetric_free(spark):
     )
     pairs = similarity.embedding_neardup_pairs(vecs, threshold=0.99).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+
+
+def test_l2_normalize_unit_norm_and_cosine_equivalence(spark, sf_dir):
+    """l2_normalize yields unit vectors, and cosine(a, b) equals the plain
+    dot product of the normalized copies (the retrieval pre-step it
+    exists for); zero vectors pass through."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    n = emb.select(
+        "vec_id", similarity.l2_normalize(F.col("embedding")).alias("nv"), "embedding"
+    )
+    norms = n.select(
+        F.sqrt(
+            F.aggregate(
+                "nv", F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ).alias("norm")
+    ).collect()
+    for r in norms:
+        assert abs(r["norm"] - 1.0) < 1e-9
+    a = n.limit(1).select(
+        F.col("nv").alias("nv_a"), F.col("embedding").alias("e_a")
+    )
+    pairs = a.crossJoin(n.select(F.col("nv").alias("nv_b"), F.col("embedding").alias("e_b")))
+    chk = pairs.select(
+        F.aggregate(
+            F.zip_with("nv_a", "nv_b", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dot_norm"),
+        similarity.cosine("e_a", "e_b").alias("cos"),
+    ).collect()
+    for r in chk:
+        assert abs(r["dot_norm"] - r["cos"]) < 1e-9
+
+    zero = spark.createDataFrame([(1, [0.0] * 4)], ["id", "v"])
+    z = zero.select(similarity.l2_normalize(F.col("v")).alias("nv")).collect()[0]
+    assert list(z["nv"]) == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_embed_documents_null_text_yields_null_row(spark):
+    """NULL text must produce a NULL embedding row (matching the oracle's
+    md5(NULL)), not an executor crash."""
+    from api_log_iceberg_test_spark.operators import embed  # noqa: PLC0415
+
+    df = spark.createDataFrame([(1, "hello world"), (2, None)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in embed.embed_documents(df).collect()}
+    assert out[1]["d0"] is not None
+    assert all(out[2][f"d{d}"] is None for d in range(8))

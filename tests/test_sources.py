@@ -79,3 +79,40 @@ def test_streaming_jsonl_to_ingest(spark, tmp_path):
     assert got.count() == 200
     # event-time values survive the format hop (partition_by_day derived col)
     assert got.filter(F.col("time").isNull()).count() == 0
+
+
+def test_streaming_quarantine_captures_torn_lines(spark, tmp_path):
+    """The streaming path must capture torn lines for quarantine, not
+    silently drop them (review finding)."""
+    logs = generate_api_logs(spark, 50, seed=77)
+    src = tmp_path / "drop"
+    src.mkdir()
+    sources.read_jsonl_logs  # module import sanity
+    logs.coalesce(1).write.json(
+        str(src / "good"), timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS"
+    )
+    part = next((src / "good").glob("part-*.json"))
+    (src / "in.jsonl").write_text(part.read_text() + '{"torn": \n')
+    import shutil
+
+    shutil.rmtree(src / "good")
+
+    raw = sources.stream_jsonl_raw(spark, str(src))
+    out_ok = str(tmp_path / "ok")
+    out_bad = str(tmp_path / "bad")
+    for df, out, ck in [
+        (sources.valid_records(raw), out_ok, "c1"),
+        (sources.corrupt_records(raw), out_bad, "c2"),
+    ]:
+        q = (
+            df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    assert spark.read.parquet(out_ok).count() == 50
+    bad = spark.read.parquet(out_bad).collect()
+    assert len(bad) == 1 and bad[0]["_corrupt_record"].startswith('{"torn"')

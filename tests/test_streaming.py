@@ -175,9 +175,12 @@ def test_transform_with_state_cumulative(spark, tmp_path):
     from api_log_iceberg_test_spark.streaming.state import cumulative_user_stats
 
     ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
-        "user_id", "value"
+        "event_id", "user_id", "value"
     )
-    half1 = ev.limit(400)
+    # deterministic split: limit() without ordering can pick DIFFERENT rows
+    # on re-evaluation inside exceptAll (latent flake)
+    half1 = ev.where("event_id < 400").drop("event_id")
+    ev = ev.drop("event_id")
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
@@ -201,7 +204,9 @@ def test_transform_with_state_cumulative(spark, tmp_path):
 
     run()
     # second tranche appended, restart from checkpoint: state must carry over
-    rest = ev.exceptAll(half1)
+    rest = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        "event_id >= 400"
+    ).select("user_id", "value")
     rest.coalesce(1).write.mode("append").parquet(src)
     run()
 
@@ -499,3 +504,37 @@ def test_trending_terms_stream_equals_batch(spark, tmp_path):
             for r in top_k_terms(want, 5).collect()
             if r["window_start"] in emitted_windows]
     assert topg == topw
+
+
+def test_quality_gate_quarantines_null_text(spark, tmp_path):
+    """A NULL-text document must land in the REJECTED stream, not vanish
+    (three-valued logic would drop it from both sides of a where/~where
+    split)."""
+    from api_log_iceberg_test_spark.streaming.curation import quality_gate
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, None)],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    accepted, rejected = quality_gate(stream, min_tokens=2)
+
+    outs = []
+    for name, df in [("acc", accepted), ("rej", rejected)]:
+        out = str(tmp_path / name)
+        q = (
+            df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        outs.append(spark.read.parquet(out))
+    acc_ids = {r["doc_id"] for r in outs[0].select("doc_id").collect()}
+    rej_ids = {r["doc_id"] for r in outs[1].select("doc_id").collect()}
+    assert acc_ids | rej_ids == {1, 2}, (acc_ids, rej_ids)
+    assert 2 in rej_ids
