@@ -342,6 +342,12 @@ def minhash_lsh_pairs(
        hot buckets, or cap buckets via a count pre-pass;
     4. verify candidates with exact Jaccard on the shingle-hash arrays.
     """
+    if num_perm % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm} "
+            "(permutations beyond bands*(num_perm//bands) would be "
+            "silently computed then ignored)"
+        )
     rows_per_band = num_perm // bands
     # Signature via explode + num_perm codegen'd MIN aggregates (same
     # permutation family as :func:`minhash_signature`, identical values).
@@ -450,7 +456,9 @@ def simhash_signature(col: Column | str, seed: int = 11) -> Column:
     narrow projection.
     """
     c = F.col(col) if isinstance(col, str) else col
-    tokens = F.array_distinct(F.split(F.trim(F.lower(c)), r"\s+"))
+    tokens = F.array_distinct(
+        F.split(F.regexp_replace(F.lower(c), r"^\s+|\s+$", ""), r"\s+")
+    )
     hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
 
     # Single pass over the token hashes: accumulate a 64-slot ones-count
@@ -497,7 +505,13 @@ def simhash_signatures_df(
     one = F.lit(1).cast("long")
     per = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.split(F.trim(F.lower(text_col)), r"\s+"))).alias("t"),
+        F.explode(
+            F.array_distinct(
+                F.split(
+                    F.regexp_replace(F.lower(text_col), r"^\s+|\s+$", ""), r"\s+"
+                )
+            )
+        ).alias("t"),
     ).select("id", F.xxhash64("t", F.lit(seed)).alias("h"))
     g = per.groupBy("id").agg(
         *[
@@ -639,6 +653,8 @@ def leakage_safe_split(
     once on id.
     """
     comp = connected_components(pairs)
+    if id_col != "doc_id":  # components always emit 'doc_id'
+        comp = comp.withColumnRenamed("doc_id", id_col)
     rep = F.coalesce(F.col("component"), F.col(id_col))
     # reduce mod 1000 BEFORE multiplying: (x·c) mod m == ((x mod m)·c) mod m,
     # and the direct product overflows long (ANSI abort) for ids ≥ ~3.47e9 —

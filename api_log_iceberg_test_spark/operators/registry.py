@@ -484,7 +484,10 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracles — same algorithms, DuckDB dialect
 # ---------------------------------------------------------------------------
 
-_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+#: Token source: FULL whitespace strip at the ends (trim() strips spaces
+#: only — same Java-\s-class semantics as the Spark side's _strip_ends).
+_TOKENS = ("string_split_regex(regexp_replace(lower(text), "
+           "'^\\s+|\\s+$', '', 'g'), '\\s+')")
 
 _SHINGLES = f"""
     list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -611,7 +614,7 @@ ORACLE: dict[str, str] = {
             FROM documents
         ), m AS (
             SELECT doc_id,
-                   CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+                   CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
                    CASE WHEN length(spaced) = 0 THEN 0
                         ELSE len(string_split_regex(spaced, '\\s+')) END AS n_subword_tokens,
                    CASE WHEN len(toks) > 0
@@ -720,7 +723,7 @@ ORACLE["q_curated_topk_per_lang"] = f"""
         SELECT doc_id, lang, text, {_TOKENS} AS toks FROM documents
     ), m AS (
         SELECT doc_id, lang,
-               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+               CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
                CASE WHEN len(toks) > 0
                     THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
                     ELSE 0.0 END AS mtl,
@@ -851,7 +854,9 @@ ORACLE["q_embedding_quantize"] = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     s AS (
         SELECT vec_id, v,
-               127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+               CASE WHEN list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0
+                    THEN 127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                    ELSE 1.0 END AS scale
         FROM e
     ), q AS (
         SELECT vec_id, v, scale,
@@ -1089,7 +1094,7 @@ ORACLE["q_chunk_documents"] = """
 ORACLE["q_pack_sequences"] = f"""
     WITH base AS (
         SELECT doc_id, doc_id % 8 AS bucket,
-               (CASE WHEN length(trim(text)) = 0 THEN 0
+               (CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
                      ELSE len({_TOKENS}) END)::BIGINT AS n_tokens
         FROM documents
     ), packed AS (
@@ -1120,7 +1125,7 @@ ORACLE["q_corpus_datacard"] = f"""
     tq AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
     m AS (
         SELECT doc_id,
-               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+               CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
                CASE WHEN len(toks) > 0
                     THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
                     ELSE 0.0 END AS mtl,
@@ -1248,7 +1253,7 @@ ORACLE["q_decontaminate"] = f"""
 ORACLE["q_source_mix_weights"] = f"""
     WITH per AS (
         SELECT source, COUNT(*) AS n_docs,
-               SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+               SUM(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
                         ELSE len({_TOKENS}) END)::BIGINT AS n_tokens
         FROM documents GROUP BY source
     ), tot AS (

@@ -46,7 +46,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; 0.0 when either vector is all-zero (try_divide
+    keeps one all-zero embedding from ANSI-aborting an entire corpus job
+    — and matches the BLAS path's guarded semantics)."""
+    return F.coalesce(F.try_divide(dot(a, b), norm(a) * norm(b)), F.lit(0.0))
 
 
 def cosine_topk_bruteforce(
@@ -80,7 +83,13 @@ def cosine_topk_bruteforce(
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos_raw",
-            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+            F.coalesce(
+                F.try_divide(
+                    dot(F.col("q_vec"), F.col("c_vec")),
+                    F.col("q_norm") * F.col("c_norm"),
+                ),
+                F.lit(0.0),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
@@ -123,9 +132,14 @@ def cosine_topk_numpy(
     import pandas as pd
 
     rows = queries.select(id_col, vec_col).collect()  # driver-small by contract
+    if not rows:  # empty query set: empty result, same schema as bruteforce
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     qids_l = np.array([r[0] for r in rows], dtype=np.int64)
     qm_l = np.array([list(r[1]) for r in rows], dtype=np.float64)
     qn_l = np.linalg.norm(qm_l, axis=1)
+    qn_l = np.where(qn_l == 0.0, 1.0, qn_l)  # zero query vector → scores 0
     bq = corpus.sparkSession.sparkContext.broadcast((qids_l, qm_l, qn_l))
 
     def part_topk(batches):
@@ -137,6 +151,7 @@ def cosine_topk_numpy(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             norms = np.linalg.norm(m, axis=1)
+            norms = np.where(norms == 0.0, 1.0, norms)  # zero corpus vector → 0
             cos = (m @ qm.T) / np.outer(norms, qn)  # batch × nq
             keep = min(k + 1, len(ids))
             idx = np.argpartition(-cos, keep - 1, axis=0)[:keep]  # keep × nq
@@ -416,7 +431,13 @@ def hyperplane_lsh_pairs(
         "id_b",
     )
     return (
-        pairs.withColumn("cos_raw", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        pairs.withColumn(
+            "cos_raw",
+            F.coalesce(
+                F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
+                F.lit(0.0),
+            ),
+        )
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
     )
@@ -453,8 +474,13 @@ def quantize_embeddings(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).withColumn(
+        "_maxabs", F.array_max(F.transform("_v", lambda x: F.abs(x)))
+    ).withColumn(
+        # zero vector: scale 1 → q all zeros, no ANSI divide-by-zero abort
         "_scale",
-        F.lit(127.0) / F.array_max(F.transform("_v", lambda x: F.abs(x))),
+        F.when(F.col("_maxabs") > 0, F.lit(127.0) / F.col("_maxabs")).otherwise(
+            F.lit(1.0)
+        ),
     )
     quant = base.withColumn(
         "q",
@@ -497,7 +523,13 @@ def embedding_neardup_pairs(
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_raw", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .withColumn(
+            "cos_raw",
+            F.coalesce(
+                F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
+                F.lit(0.0),
+            ),
+        )
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
     )

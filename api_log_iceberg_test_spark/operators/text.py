@@ -26,22 +26,28 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 QUALITY_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is"]
 
 
-def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of trimmed, lowercased text."""
+def _strip_ends(col: Column | str) -> Column:
+    """Lowercased text with ALL leading/trailing whitespace removed (Java
+    \s class). ``F.trim`` strips spaces ONLY — a trailing tab/newline/CR
+    would survive it and split() would then emit a phantom empty token
+    (the norm_text docstring's gotcha; a review pass found tokens()/
+    token_count/fingerprint still using F.trim and diverging from the
+    norm_text-based metrics on such inputs)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(F.lower(c)), r"\s+")
+    return F.regexp_replace(F.lower(c), r"^\s+|\s+$", "")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of fully-stripped, lowercased text."""
+    return F.split(_strip_ends(col), r"\s+")
 
 
 def norm_text(col: Column | str) -> Column:
-    """Trimmed, lowercased, single-spaced text — the token stream as ONE
-    string. Token-level metrics run as codegen'd regex/length ops over this
-    instead of interpreted (CodegenFallback) higher-order array functions.
-    Ends are stripped of ALL whitespace (F.trim strips spaces only, which
-    would leave a phantom empty token after a trailing tab/newline)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(
-        F.regexp_replace(F.lower(c), r"^\s+|\s+$", ""), r"\s+", " "
-    )
+    """Fully-stripped, lowercased, single-spaced text — the token stream as
+    ONE string. Token-level metrics run as codegen'd regex/length ops over
+    this instead of interpreted (CodegenFallback) higher-order array
+    functions."""
+    return F.regexp_replace(_strip_ends(col), r"\s+", " ")
 
 
 def _word_count_pattern(words: list[str]) -> str:
@@ -50,14 +56,20 @@ def _word_count_pattern(words: list[str]) -> str:
     Leading ``(?:^| )`` anchors to a token start; the ``(?= |$)`` lookahead
     enforces token end WITHOUT consuming the next token's separator, so
     consecutive stopwords all count; alternation backtracks until the full
-    token matches (e.g. 'and' is not half-matched by 'a')."""
-    return r"(?:^| )(?:" + "|".join(words) + r")(?= |$)"
+    token matches (e.g. 'and' is not half-matched by 'a'). Words are
+    regex-escaped — a caller-supplied list like ['c++'] must count
+    literally, not blow up the pattern."""
+    import re
+
+    return r"(?:^| )(?:" + "|".join(re.escape(w) for w in words) + r")(?= |$)"
 
 
 def token_count(col: Column | str) -> Column:
     """Whitespace token count; 0 for empty/blank text."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(tokens(c)))
+    return F.when(F.length(_strip_ends(c)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(c))
+    )
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
@@ -68,8 +80,9 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     spaced = F.regexp_replace(c, r"([^\w\s])", r" $1 ")
-    return F.when(F.length(F.trim(spaced)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(spaced), r"\s+"))
+    stripped = F.regexp_replace(spaced, r"^\s+|\s+$", "")
+    return F.when(F.length(stripped) == 0, F.lit(0)).otherwise(
+        F.size(F.split(stripped, r"\s+"))
     )
 
 

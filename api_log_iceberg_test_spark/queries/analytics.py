@@ -833,8 +833,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # right rows sort before left rows at equal ts (is_left asc) so ties
-    # count as "prior-or-equal".
-    w = Window.partitionBy("user_id").orderBy("ts", "is_left").rowsBetween(
+    # count as "prior-or-equal"; r_event_id as the final key makes the pick
+    # among equal-ts right rows deterministic (max event_id) instead of
+    # shuffle-order-dependent — latent in this testdata (no (user_id, ts)
+    # dupes) but a real flap source on data with timestamp ties.
+    w = Window.partitionBy("user_id").orderBy("ts", "is_left", "r_event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     matched = tagged.withColumn("matched_r", F.last("r_event_id", ignorenulls=True).over(w))
