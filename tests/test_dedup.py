@@ -211,3 +211,20 @@ def test_leakage_safe_split_never_straddles(spark, sf_dir):
     assert counts.get("train", 0) / total > 0.6
     assert 0 < counts.get("val", 0) / total < 0.25
     assert 0 < counts.get("test", 0) / total < 0.25
+
+
+def test_minhash_rejects_nondivisible_bands(spark, docs):
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_lsh_pairs(docs, num_perm=32, bands=5)
+
+
+def test_leakage_safe_split_custom_id_col(spark):
+    from pyspark.sql import functions as F
+
+    docs2 = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], ["my_id", "text"]
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs2, id_col="my_id", threshold=0.5)
+    out = dedup.leakage_safe_split(docs2, pairs, id_col="my_id").collect()
+    split = {r["my_id"]: r["split"] for r in out}
+    assert split[1] == split[2]  # same cluster → same split

@@ -201,3 +201,35 @@ def test_embed_documents_null_text_yields_null_row(spark):
     out = {r["doc_id"]: r for r in embed.embed_documents(df).collect()}
     assert out[1]["d0"] is not None
     assert all(out[2][f"d{d}"] is None for d in range(8))
+
+
+def test_zero_vector_does_not_abort(spark):
+    """One all-zero embedding must not ANSI-abort cosine or quantization
+    jobs; its similarities are 0 and its quantized vector is all zeros."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0]), (2, [0.5, 0.5, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    top = similarity.cosine_topk_bruteforce(df, df.where("vec_id < 2"), k=2).collect()
+    assert top, "job aborted or empty"
+    zero_scores = [r["cosine"] for r in top if r["query_id"] == 1]
+    assert zero_scores and all(s == 0.0 for s in zero_scores)
+
+    q = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    assert list(q[1]["q"]) == [0, 0, 0]
+
+    pairs = similarity.embedding_neardup_pairs(df, threshold=0.9).collect()
+    assert all({r["id_a"], r["id_b"]} != {0, 1} for r in pairs)
+
+
+def test_cosine_topk_numpy_empty_queries(spark):
+    from api_log_iceberg_test_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = similarity.cosine_topk_numpy(emb, emb.where("vec_id < 0"), k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cosine", "rank",
+    ]

@@ -107,3 +107,33 @@ def test_repetition_signals_crafted(spark):
     assert out[4]["top_unigram_frac"] == 0.0
     assert out[4]["dup_token_frac"] == 0.0
     assert out[5]["dup_bigram_frac"] == 0.0
+
+
+def test_trailing_whitespace_token_parity(spark):
+    """A trailing tab/newline must not change token counts, fingerprints,
+    or simhash signatures (the F.trim space-only gotcha)."""
+    from api_log_iceberg_test_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world\t"), (3, "\thello world\n")],
+        ["doc_id", "text"],
+    )
+    rows = df.select(
+        "doc_id",
+        text.token_count("text").alias("n"),
+        text.fingerprint("text").alias("fp"),
+        dd.simhash_signature("text").alias("sig"),
+    ).collect()
+    base = next(r for r in rows if r["doc_id"] == 1)
+    for r in rows:
+        assert r["n"] == 2, r
+        assert r["fp"] == base["fp"], r
+        assert r["sig"] == base["sig"], r
+
+
+def test_stopword_pattern_escapes_metacharacters(spark):
+    df = spark.createDataFrame([(1, "c++ and java and c++")], ["doc_id", "text"])
+    out = df.select(
+        text.stopword_ratio("text", stopwords=["c++"]).alias("r")
+    ).collect()[0]
+    assert out["r"] == pytest.approx(2 / 5, abs=1e-9)
