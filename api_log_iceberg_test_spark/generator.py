@@ -130,13 +130,23 @@ def generate_api_logs(
     """
     df = spark.range(0, n_rows, numPartitions=num_partitions)
     span_secs = span_days * 86400
+    # start_ts is defined as UTC: resolve it to an epoch DRIVER-side so the
+    # result never depends on spark.sql.session.timeZone (a string→timestamp
+    # cast in the plan would shift by the stock session's zone offset —
+    # review finding; load_table pins UTC for reads, the generator must be
+    # equally session-independent for writes)
+    from datetime import datetime, timezone
+
+    start_epoch = int(
+        datetime.strptime(start_ts, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+    )
     # monotonic base + up to ±30 s jitter → a few out-of-order rows for
     # late-data tests, like real multi-node log arrival.
     offset = (F.col("id") / F.lit(max(n_rows - 1, 1))) * F.lit(span_secs)
     jitter = (F.rand(seed + 31) - 0.5) * 60.0
-    time_col = F.timestamp_seconds(
-        F.unix_timestamp(F.lit(start_ts).cast("timestamp")) + offset + jitter
-    )
+    time_col = F.timestamp_seconds(F.lit(start_epoch) + offset + jitter)
     return _with_log_columns(df, "id", time_col, seed)
 
 

@@ -43,8 +43,19 @@ class IngestConfig:
 
     flush_count: int = 50_000  # PARQUET_FLUSH_COUNT production default
     flush_interval: str = "60 seconds"  # PARQUET_FLUSH_INTERVAL (test: 1m)
-    checkpoint_dir: str = "/tmp/api-log-ingest-checkpoint"
+    #: None (default) derives a PER-TARGET checkpoint; a fixed shared
+    #: default would make two default-config queries share streaming
+    #: offsets — the second would silently write nothing (review finding).
+    checkpoint_dir: str | None = None
     partition_by_day: bool = True  # hidden days(time) partitioning, §1.3
+
+    def checkpoint_for(self, target: str) -> str:
+        if self.checkpoint_dir is not None:
+            return self.checkpoint_dir
+        import hashlib
+
+        tag = hashlib.md5(target.encode()).hexdigest()[:12]
+        return f"/tmp/api-log-ingest-checkpoint-{tag}"
 
 
 def start_ingest(
@@ -68,12 +79,16 @@ def start_ingest(
     from pyspark.sql import functions as F
 
     df = stream_df
-    if config.partition_by_day and "time" in df.columns:
+    # the _day helper column is for the PARQUET layout only; the Iceberg
+    # table partitions via its hidden days(time) transform and must receive
+    # the 14-column schema unchanged (review finding: _day previously
+    # leaked into toTable under the default config)
+    if config.partition_by_day and not use_iceberg_table and "time" in df.columns:
         df = df.withColumn("_day", F.to_date("time"))
 
     writer = (
         df.writeStream.outputMode("append")
-        .option("checkpointLocation", config.checkpoint_dir)
+        .option("checkpointLocation", config.checkpoint_for(target))
         .option("maxRecordsPerFile", config.flush_count)
     )
     if available_now:

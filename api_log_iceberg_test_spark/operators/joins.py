@@ -41,9 +41,14 @@ def range_join_within(
         .withColumn("_bucket", F.explode(F.array(F.col("_b0") - 1, F.col("_b0"), F.col("_b0") + 1)))
         .drop("_b0")
     )
+    # No pair-dedup is needed OR correct here: the left row has exactly one
+    # bucket and the right row's three exploded buckets are distinct, so
+    # each (left, right) pair can match at most once — a trailing
+    # dropDuplicates over the projected columns would instead collapse
+    # legitimately distinct pairs that merely project equal (and add a full
+    # extra shuffle). (Review finding.)
     return (
         l.join(r, "_bucket")
         .filter(F.abs(F.col("_lt") - F.col("_rt")) <= within_us)
         .select(*left_cols, *right_cols)
-        .dropDuplicates(left_cols + right_cols)
     )

@@ -26,17 +26,24 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Top-k TF-IDF terms per document.
 
     Output: (doc_id, term, tf, score, rank); deterministic tiebreak on term.
+    Pass ``n_docs`` when the corpus size is already known to skip the
+    count job (a full extra scan at 100 TB).
     """
-    n_docs = df.count()  # one cheap job; at scale pass it in precomputed
+    if n_docs is None:
+        n_docs = df.count()
     terms = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf already holds one row per distinct (doc, term): document frequency
+    # is a plain count over it — the previous countDistinct over a SECOND
+    # tokenize/explode of the corpus doubled the dominant scan cost
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(dfreq), "term").withColumn(
         "score",
         F.round(

@@ -73,7 +73,6 @@ TESTDATA_TABLES = [
 from functools import lru_cache
 
 
-@lru_cache(maxsize=256)
 def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
     """Column names stored as parquet TIMESTAMP(NANOS) in `path`.
 
@@ -81,7 +80,24 @@ def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
     ``spark.sql.legacy.parquet.nanosAsLong=true`` they surface as LongType
     (ns since epoch) and we convert to microsecond timestamps on read. One
     driver-side footer read per path — O(1) regardless of data size.
-    """
+    The cache keys on the file's (mtime, size) as well as its path, so a
+    rewritten file is re-inspected instead of served a stale footer schema
+    (review finding: a bare lru_cache silently mis-converted after
+    overwrite)."""
+    import os
+
+    try:
+        st = os.stat(path)
+        sig = (st.st_mtime_ns, st.st_size)
+    except OSError:  # globs/directories: stat the path string only
+        sig = (0, 0)
+    return _nanos_timestamp_columns_cached(path, sig)
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_columns_cached(
+    path: str, sig: tuple[int, int]
+) -> tuple[str, ...]:
     import pyarrow.parquet as pq
 
     schema = pq.read_schema(path)

@@ -113,7 +113,13 @@ def build_session(
         .config("spark.ui.showConsoleProgress", "false")
     )
 
-    if iceberg_catalog and iceberg_available():
+    # An explicit catalog request is honored unconditionally: the env-var
+    # probe only detects SPARK_CLASSPATH/SPARK_SUBMIT_OPTS jars, and
+    # silently dropping requested config when the jar arrives some other
+    # way (spark.jars.packages, jars/ dir) sends writes to the wrong
+    # catalog; better to apply the conf and let Spark fail loudly if the
+    # runtime truly lacks Iceberg. (Review finding.)
+    if iceberg_catalog:
         for k, v in iceberg_conf(
             iceberg_catalog, iceberg_warehouse, iceberg_rest_uri
         ).items():

@@ -22,14 +22,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-SESSION_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("session_start", T.TimestampType()),
-        T.StructField("session_end", T.TimestampType()),
-        T.StructField("n_events", T.LongType()),
-    ]
-)
+def session_schema(key_col: str = "user_id", key_type: T.DataType | None = None) -> T.StructType:
+    """Output schema with the key column named/typed after the input (a
+    hardcoded long 'user_id' field previously broke any other key at the
+    Arrow boundary — review finding)."""
+    return T.StructType(
+        [
+            T.StructField(key_col, key_type or T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+
+#: Default-shaped schema kept for callers/tests that import it directly.
+SESSION_SCHEMA = session_schema()
 
 _STATE_SCHEMA = T.StructType(
     [
@@ -53,6 +61,7 @@ def sessionize_stream(
     30-minute-gap semantics).
     """
     gap_us = gap_seconds * 1_000_000
+    out_schema = session_schema(key_col, events.schema[key_col].dataType)
 
     def fn(
         key: tuple[Any, ...],
@@ -65,7 +74,7 @@ def sessionize_stream(
             state.remove()
             yield pd.DataFrame(
                 {
-                    "user_id": [user],
+                    key_col: [user],
                     "session_start": [pd.Timestamp(start_us, unit="us")],
                     "session_end": [pd.Timestamp(end_us, unit="us")],
                     "n_events": [n],
@@ -75,7 +84,9 @@ def sessionize_stream(
 
         times: list[int] = []
         for pdf in batches:
-            ts = pd.to_datetime(pdf[time_col])
+            # dropna: a null timestamp would otherwise become NaT → int64
+            # min and fabricate a year-1677 session start
+            ts = pd.to_datetime(pdf[time_col]).dropna()
             times.extend((ts.astype("int64") // 1000).tolist())  # ns → us
         if not times:
             return
@@ -88,9 +99,13 @@ def sessionize_stream(
             start_us, end_us, n = times[0], times[0], 0
 
         for t in times:
-            if t - end_us > gap_us and n > 0:
+            if n > 0 and t - end_us > gap_us:
                 closed.append((start_us, end_us, n))
-                start_us, n = t, 0
+                start_us, end_us, n = t, t, 0
+            # a late cross-batch event EARLIER than the stored start is part
+            # of the session (within gap of its end) — move the boundary
+            # back like the batch sessionizer would
+            start_us = t if n == 0 else min(start_us, t)
             end_us = max(end_us, t)
             n += 1
 
@@ -99,7 +114,7 @@ def sessionize_stream(
         if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [user] * len(closed),
+                    key_col: [user] * len(closed),
                     "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
                     "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
                     "n_events": [c for _, _, c in closed],
@@ -110,7 +125,7 @@ def sessionize_stream(
         events.groupBy(key_col)
         .applyInPandasWithState(
             fn,
-            outputStructType=SESSION_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,

@@ -101,14 +101,21 @@ def test_start_ingest_totable_dispatch(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     try:
         stream = spark.readStream.schema(API_LOG_SCHEMA).parquet(src)
+        # DEFAULT config (partition_by_day=True): the table side must still
+        # receive the unmodified 14-column schema — the _day helper is a
+        # parquet-layout concern only (regression: it used to leak in)
         q = start_ingest(
             stream,
             table,
-            IngestConfig(flush_count=100, checkpoint_dir=ckpt, partition_by_day=False),
+            IngestConfig(flush_count=100, checkpoint_dir=ckpt),
             use_iceberg_table=True,
             available_now=True,
         )
         q.awaitTermination(120)
-        assert spark.read.table(table).count() == n
+        got = spark.read.table(table)
+        assert got.count() == n
+        assert [f.name for f in got.schema.fields] == [
+            f.name for f in API_LOG_SCHEMA.fields
+        ]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
