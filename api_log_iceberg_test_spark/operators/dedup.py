@@ -668,3 +668,195 @@ def leakage_safe_split(
     return docs.join(comp, id_col, "left").select(
         F.col(id_col), rep.cast("long").alias("rep"), split.alias("split")
     )
+
+
+def shared_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document boilerplate detection: per document, the fraction of
+    its distinct word ``n``-grams that also occur in at least one OTHER
+    document (the span-level dup signal behind substring-dedup pipelines —
+    Lee et al. 2022 run it at suffix-array granularity; word-8-gram
+    granularity is the cheap distributed approximation).
+
+    Returns ``(id_col, n_spans, n_shared_spans, shared_frac)`` per doc —
+    feed ``shared_frac`` into a quality gate to drop template-heavy docs
+    that whole-document Jaccard misses (they repeat a header, not the body).
+
+    Scale: shingles leave the scan as xxhash64 longs — no text shuffles.
+    Two aggregations, both map-side combinable: distinct-doc count per
+    shingle hash, then matched-span count per doc. The shared-shingle set
+    joins back against the exploded corpus on the hash; duplication is rare
+    so AQE turns that into a broadcast at runtime. A corpus-wide template
+    shingle inflates its *count row* only (one long), never a join fanout —
+    each (doc, shingle) row matches at most one shared row, so there is no
+    s² blowup and no skew cap is needed.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    ).repartition(F.col("id"))
+    exploded = base.select("id", F.explode("sh").alias("_s")).select(
+        "id", F.xxhash64("_s").alias("_h")
+    )
+    shared = (
+        exploded.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h")
+    )
+    per_doc = exploded.join(shared, "_h").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shared_spans")
+    )
+    n_spans = F.size(F.col("sh"))
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            n_spans.alias("n_spans"),
+            F.coalesce(F.col("n_shared_spans"), F.lit(0)).alias("n_shared_spans"),
+            F.round(
+                F.coalesce(F.col("n_shared_spans"), F.lit(0)).cast("double")
+                / n_spans.cast("double"),
+                6,
+            ).alias("shared_frac"),
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_blocking: int = 3,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-subset pairs by n-gram containment C(A→B) = |A∩B| / |A|.
+
+    Jaccard misses excerpt/quote relationships: a 50-token doc fully
+    contained in a 5000-token doc has J ≈ 0.01 but containment 1.0. Output
+    is asymmetric — ``doc_a`` is the (near-)contained document, ``doc_b``
+    the container.
+
+    Candidates: A keys on its ``n_blocking`` smallest shingles; B keys on
+    ALL its shingles (an inverted index — for high containment, A's
+    smallest shingle is in B with probability ≥ threshold, so recall
+    degrades gracefully, and the blocking is deterministic so the DuckDB
+    oracle replicates it exactly). Scale: the index explode is |shingles|
+    rows/doc of (id, short string); posting-list skew (a stopword-only
+    shingle) is the same s·|A-side| fanout as LSH buckets —
+    ``max_bucket_size`` caps it via :func:`cap_buckets`. Verification
+    intersects xxhash64'd arrays, ids-only through the candidate join.
+    """
+    docs = (
+        df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+        .select(
+            "id",
+            F.slice(F.array_sort("sh"), 1, n_blocking).alias("bkeys"),
+            F.transform("sh", lambda s: F.xxhash64(s)).alias("hv"),
+        )
+        .repartition(F.col("id"))
+    )
+    left = docs.select("id", F.explode("bkeys").alias("bkey"))
+    index = cap_buckets(
+        docs.select("id", F.explode(F.array_distinct(F.col("bkeys")) if False else F.col("bkeys")).alias("bkey")),
+        ["bkey"],
+        max_bucket_size,
+    )
+    cands = (
+        left.alias("a")
+        .join(index.alias("b"), "bkey")
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hashed = docs.select("id", "hv")
+    pairs = cands.join(
+        hashed.select(F.col("id").alias("id_a"), F.col("hv").alias("sh_a")), "id_a"
+    ).join(hashed.select(F.col("id").alias("id_b"), F.col("hv").alias("sh_b")), "id_b")
+    sa = F.size(F.col("sh_a")).cast("double")
+    # size prefilter: C ≤ min(|A|,|B|)/|A| ⇒ |B| < t·|A| can't pass. Implied
+    # by the final filter ⇒ oracle unchanged.
+    return (
+        pairs.filter(F.size(F.col("sh_b")).cast("double") >= F.lit(threshold) * sa)
+        .withColumn(
+            "containment",
+            F.round(F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / sa, 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "containment")
+    )
+
+
+def fuzzy_levenshtein_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    max_dist: int = 20,
+    bucket_width: int = 64,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-match pairs: docs in the same language whose
+    normalized texts are within ``max_dist`` Levenshtein edits (the
+    character-level dedup tier — catches OCR noise and small in-place edits
+    that shingle-based tiers score poorly because every touched n-gram
+    breaks).
+
+    Blocking is (lang, first token, length bucket): an edit budget of
+    ``max_dist`` chars can't change the length by more than ``max_dist``,
+    so with ``bucket_width > max_dist`` the index side emits its bucket ±1
+    and the band join is LOSSLESS over the length dimension. The
+    first-token key is the deliberate recall tradeoff that makes the join
+    key selective at corpus scale (an edit inside token 0 escapes this
+    tier; the shingle tiers still see it) — without it, (lang, length-band)
+    buckets approach corpus size at 100 TB and the s² verify explodes.
+    ``max_bucket_size`` additionally caps template-prefix hot keys.
+
+    Verification: ``levenshtein(a, b, threshold)`` — Spark's thresholded
+    form runs the banded O(len·threshold) DP and bails early, not the full
+    O(len²) matrix. Candidate texts shuffle once on the block key (edit
+    distance needs the characters — there is no hash proxy), which is why
+    the blocking must be selective *before* the shuffle.
+    """
+    norm = normalize_text(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("_lang"),
+        norm.alias("_t"),
+        F.substring_index(norm, " ", 1).alias("_tok0"),
+        F.floor(F.length(norm) / F.lit(bucket_width)).alias("_bkt"),
+    )
+    probe = base.select("id", "_lang", "_t", "_tok0", F.col("_bkt").alias("_jb"))
+    index = base.select(
+        "id",
+        "_lang",
+        "_t",
+        "_tok0",
+        F.explode(
+            F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1)
+        ).alias("_jb"),
+    )
+    index = cap_buckets(index, ["_lang", "_tok0", "_jb"], max_bucket_size)
+    j = (
+        probe.alias("a")
+        .join(index.alias("b"), ["_lang", "_tok0", "_jb"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            F.abs(F.length(F.col("a._t")) - F.length(F.col("b._t"))) <= max_dist
+        )
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("a._t"), F.col("b._t"), max_dist),
+        )
+        .filter(F.col("edit_distance") >= 0)
+    )
+    return j.select(
+        F.col("a.id").alias("doc_a"),
+        F.col("b.id").alias("doc_b"),
+        F.col("edit_distance").cast("long").alias("edit_distance"),
+    )
