@@ -31,12 +31,17 @@ def range_join_within(
     """
     # microsecond precision end-to-end: whole-second truncation would
     # misclassify pairs straddling the boundary (e.g. Δ=300.4s)
+    # cast("timestamp_ltz") first: parquet written with isAdjustedToUTC=false
+    # arrives as TIMESTAMP_NTZ (unix_micros rejects it); the cast is a no-op
+    # on LTZ and only Δt is used, so any session-tz offset cancels.
     within_us = within_seconds * 1_000_000
-    l = left.select(*left_cols, F.unix_micros(F.col(left_time)).alias("_lt")).withColumn(
-        "_bucket", F.expr(f"_lt div {within_us}")
-    )
+    l = left.select(
+        *left_cols, F.unix_micros(F.col(left_time).cast("timestamp_ltz")).alias("_lt")
+    ).withColumn("_bucket", F.expr(f"_lt div {within_us}"))
     r = (
-        right.select(*right_cols, F.unix_micros(F.col(right_time)).alias("_rt"))
+        right.select(
+            *right_cols, F.unix_micros(F.col(right_time).cast("timestamp_ltz")).alias("_rt")
+        )
         .withColumn("_b0", F.expr(f"_rt div {within_us}"))
         .withColumn("_bucket", F.explode(F.array(F.col("_b0") - 1, F.col("_b0"), F.col("_b0") + 1)))
         .drop("_b0")

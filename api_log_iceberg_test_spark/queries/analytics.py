@@ -722,8 +722,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Compare at microsecond precision: ts.cast("long") floors to whole
     # seconds, so a true gap in (1800s, 1801s) would split sessions in the
     # (fractional-epoch) oracle but not here. unix_micros matches DuckDB's
-    # epoch_us exactly.
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    # epoch_us exactly. cast("timestamp_ltz") first: NTZ-typed parquet
+    # (isAdjustedToUTC=false) is rejected by unix_micros; the cast is a no-op
+    # on LTZ and only the gap (a difference) is used, so tz offsets cancel.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = ts_us - F.lag(ts_us).over(w)
     sess = ev.withColumn(
         "new_session", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     ).withColumn("session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))

@@ -98,8 +98,18 @@ def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
 def _nanos_timestamp_columns_cached(
     path: str, sig: tuple[int, int]
 ) -> tuple[str, ...]:
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
+    # Spark writes a table as a directory of part files; the footer of any
+    # one part carries the schema. pq.read_schema only accepts a file.
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return ()
+        path = parts[0]
     schema = pq.read_schema(path)
     out = []
     for field in schema:
@@ -196,5 +206,10 @@ def load_table(spark, sf_dir: str, name: str):
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for col in _nanos_timestamp_columns(path):
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        # Only convert if the scan actually surfaced the column as a long
+        # (TIMESTAMP(NANOS) + nanosAsLong). INT96 timestamps also read as
+        # timestamp[ns] in the pyarrow footer but Spark maps them to
+        # TimestampType directly — converting those would be a type error.
+        if df.schema[col].dataType.typeName() == "long":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df

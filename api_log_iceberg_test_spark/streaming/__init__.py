@@ -8,3 +8,18 @@ event-time toolkit a log-analytics engine needs:
 - :mod:`sessionize` — custom stateful sessionization via
   ``applyInPandasWithState``
 """
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as _F
+
+
+def ensure_event_time(df: DataFrame, time_col: str) -> DataFrame:
+    """Event-time columns must be TIMESTAMP (LTZ): ``withWatermark`` rejects
+    TIMESTAMP_NTZ, and parquet written with ``isAdjustedToUTC=false`` (the
+    pyarrow default for naive datetimes) arrives NTZ-typed. The cast is a
+    no-op when the column is already LTZ; under a UTC session timezone the
+    wall-clock values are unchanged.
+    """
+    if df.schema[time_col].dataType.typeName() == "timestamp_ntz":
+        return df.withColumn(time_col, _F.col(time_col).cast("timestamp"))
+    return df

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import ensure_event_time
+
 from ..operators import text
 
 
@@ -83,7 +85,7 @@ def trending_terms(
     """
     from ..operators.text import norm_text
 
-    toks = stream.withWatermark(time_col, watermark).select(
+    toks = ensure_event_time(stream, time_col).withWatermark(time_col, watermark).select(
         F.col(time_col),
         F.explode(F.split(norm_text(text_col), " ")).alias("term"),
     )

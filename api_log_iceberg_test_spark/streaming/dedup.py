@@ -14,6 +14,8 @@ count accordingly, or narrow the watermark to the real redelivery window.
 
 from __future__ import annotations
 
+from . import ensure_event_time
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -32,6 +34,8 @@ def dedup_stream(
     passes the key's first-seen event time — the correct primitive when
     duplicates are bounded-lateness redeliveries, not arbitrary re-sends.
     """
-    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+    return ensure_event_time(stream, time_col).withWatermark(
+        time_col, watermark
+    ).dropDuplicatesWithinWatermark(
         list(key_cols)
     )

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import ensure_event_time
+
 
 def interval_join(
     left: DataFrame,
@@ -28,8 +30,8 @@ def interval_join(
     Both inputs may be streaming; each gets a watermark so the state store
     evicts expired rows.
     """
-    l = left.withWatermark(left_time, watermark).alias("l")
-    r = right.withWatermark(right_time, watermark).alias("r")
+    l = ensure_event_time(left, left_time).withWatermark(left_time, watermark).alias("l")
+    r = ensure_event_time(right, right_time).withWatermark(right_time, watermark).alias("r")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (F.col(f"r.{right_time}") <= F.col(f"l.{left_time}"))

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import ensure_event_time
+
 
 def tumbling_counts(
     stream: DataFrame,
@@ -25,7 +27,7 @@ def tumbling_counts(
 ) -> DataFrame:
     """Per-window per-key counts; late rows beyond the watermark drop."""
     return (
-        stream.withWatermark(time_col, watermark)
+        ensure_event_time(stream, time_col).withWatermark(time_col, watermark)
         .groupBy(F.window(F.col(time_col), window_len).alias("w"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
@@ -49,7 +51,7 @@ def session_window_counts(
     q_sessionize. Prefer this when per-session logic is pure aggregation;
     drop to the stateful UDF only for custom per-event logic."""
     return (
-        stream.withWatermark(time_col, watermark)
+        ensure_event_time(stream, time_col).withWatermark(time_col, watermark)
         .groupBy(F.session_window(F.col(time_col), gap).alias("w"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -72,7 +74,7 @@ def sliding_error_rate(
     """Sliding-window error ratio — the ops dashboard query."""
     is_err = (F.col(status_col) >= 400).cast("int")
     return (
-        stream.withWatermark(time_col, watermark)
+        ensure_event_time(stream, time_col).withWatermark(time_col, watermark)
         .groupBy(F.window(F.col(time_col), window_len, slide).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_requests"),
