@@ -860,3 +860,55 @@ def fuzzy_levenshtein_pairs(
         F.col("b.id").alias("doc_b"),
         F.col("edit_distance").cast("long").alias("edit_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier 6: duplicated-span statistics (C4/Dolma-style span-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def span_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Per-document duplicated-span statistics over fixed-size token spans.
+
+    Doc-level dedup misses the common contamination mode where *parts* of a
+    document (boilerplate, license headers, templated passages) repeat
+    across an otherwise-unique corpus; C4 and Dolma both remove repeated
+    spans rather than whole documents for this reason. Each document is cut
+    into consecutive ``span_tokens``-word spans (reusing
+    :func:`~..chunking.chunk_documents` — codegen slice/posexplode, no HOFs)
+    and a span is *duplicated* when its text occurs more than once in the
+    corpus (counting multiplicity, so an in-document repeat counts too).
+
+    Returns ``(id_col, n_spans, n_dup_spans, dup_span_ratio)`` — the ratio
+    is the downstream filter knob (e.g. drop docs with ratio > 0.5).
+
+    Scale: spans shuffle as 32-char md5 digests, never as span text — both
+    the occurrence-count groupBy and the join back run on the digest, and
+    Catalyst reuses one exchange for both (same key). The final per-doc agg
+    shuffles ``(id, is_dup)`` pairs only. md5 (not xxhash64) keeps the
+    operator byte-replicable in the DuckDB oracle; collision odds within a
+    corpus are ~n²/2¹²⁸.
+    """
+    from .chunking import chunk_documents
+
+    spans = chunk_documents(
+        df, max_tokens=span_tokens, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col), F.md5("chunk_text").alias("h"))
+    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        spans.join(counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("occ") > 1, True)).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_span_ratio",
+            F.round(F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6),
+        )
+    )

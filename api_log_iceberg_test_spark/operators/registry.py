@@ -1398,6 +1398,66 @@ ORACLE["q_corr_stats"] = """
     GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Dolma-style duplicated-span statistics: per-doc fraction of
+    10-token spans whose text repeats anywhere in the corpus."""
+    return dedup.span_dup_stats(
+        load_table(spark, sf_dir, "documents"), span_tokens=10
+    ).orderBy("doc_id")
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (CCNet-style LM filter proxy): mean token
+    log-probability under the corpus's own unigram distribution."""
+    return text.unigram_lm_scores(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+# identical chunking to chunk_documents / span_dup_stats: strip+collapse,
+# drop empty docs, consecutive 10-token spans (last may be short), md5'd
+ORACLE["q_dedup_spans"] = """
+    WITH d AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') AS stripped
+        FROM documents
+    ),
+    d2 AS (
+        SELECT doc_id, string_split_regex(stripped, '\\s+') AS toks
+        FROM d WHERE length(stripped) > 0
+    ),
+    spans AS (
+        SELECT doc_id,
+               unnest([md5(array_to_string(toks[(j-1)*10+1 : j*10], ' '))
+                       for j in range(1, CAST(ceil(len(toks) / 10.0) AS BIGINT) + 1)]) AS h
+        FROM d2
+    ),
+    counts AS (SELECT h, COUNT(*) AS occ FROM spans GROUP BY h)
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           COUNT(*) FILTER (WHERE occ > 1) AS n_dup_spans,
+           ROUND(COUNT(*) FILTER (WHERE occ > 1) / COUNT(*)::DOUBLE, 6)
+               AS dup_span_ratio
+    FROM spans JOIN counts USING (h)
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLE["q_lm_quality"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term),
+    tot AS (SELECT SUM(cnt)::DOUBLE AS n_total FROM vocab)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(LN(cnt / n_total)), 4) AS avg_logprob,
+           ROUND(EXP(-AVG(LN(cnt / n_total))), 2) AS ppl_proxy
+    FROM t JOIN vocab USING (term) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
 #: Oracled entries registered after the driver's 50-query verification
 #: window filled: merged AFTER the round-1-red analytics trio (which must
 #: re-verify green) but before the SQL/analytic breadth; see
@@ -1405,6 +1465,8 @@ ORACLE["q_corr_stats"] = """
 QUERIES_LATE: dict = {
     "q_value_histogram": q_value_histogram,
     "q_corr_stats": q_corr_stats,
+    "q_dedup_spans": q_dedup_spans,
+    "q_lm_quality": q_lm_quality,
 }
 
 #: Rows-only entries intentionally merged LAST in __spark_entry__ so they

@@ -314,3 +314,48 @@ def repetition_signals(
             ),
         ).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram language-model score (CCNet-style LM filter).
+
+    Corpus curation pipelines score documents by how "typical" their token
+    stream is under a language model and drop the tails (CCNet uses a
+    KenLM 5-gram; the unigram variant is its shuffle-friendly proxy). The
+    model here IS the corpus: p(t) = count(t) / N over all documents, and a
+    document's score is the mean log-probability of its tokens, with
+    ``ppl_proxy = exp(-avg_logprob)`` as the human-readable knob (higher =
+    rarer vocabulary; both tails are suspect — boilerplate at the low end,
+    gibberish at the high end).
+
+    Returns ``(id_col, n_tokens, avg_logprob, ppl_proxy)`` for every doc
+    with ≥1 token.
+
+    Scale: one shuffle of (id, term) builds the vocabulary; the join back
+    runs on the same term key so Catalyst reuses the exchange; the grand
+    total attaches as a 1-row broadcast cross join (never a shuffle); the
+    final per-doc mean shuffles (id, logp) pairs. Vocabulary never needs to
+    broadcast, so an open-vocab 100 TB corpus (billions of distinct terms)
+    changes nothing structurally.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
+    logp = F.log(F.col("cnt") / F.col("n_total"))
+    avg = F.avg(logp)
+    return (
+        tok.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(avg, 4).alias("avg_logprob"),
+            F.round(F.exp(-avg), 2).alias("ppl_proxy"),
+        )
+    )

@@ -74,10 +74,21 @@ def main() -> None:
     ).format("noop").save()
     qs["q_count"](spark, sf_dir).collect()
 
+    # Each query executes twice: the first pass pays one-time plan
+    # analysis + Janino whole-stage-codegen compilation (measured: 17s cold
+    # vs 3.4s warm for the widest dedup plan — pure driver-side compile,
+    # cached by generated-source hash thereafter); the second pass is the
+    # steady-state execution a long-lived cluster session would see, and is
+    # what the headline reports. Cold times are reported alongside so the
+    # compile cost stays visible rather than hidden.
     results: dict[str, float] = {}
+    cold: dict[str, float] = {}
     total = 0.0
     ext_total = 0.0
     for name in HEADLINE + ["q_ann_cosine_topk"] + EXTENSION:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        cold[name] = round(time.time() - t0, 3)
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         dt = round(time.time() - t0, 3)
@@ -99,6 +110,10 @@ def main() -> None:
                 "queries": results,
                 "total_r01_basket": round(total_r01, 3),
                 "total_ext_basket": round(ext_total, 3),
+                "queries_cold": cold,
+                "headline_total_cold_sec": round(
+                    sum(cold[n] for n in HEADLINE), 3
+                ),
                 # external-load context: this box shows loadavg spikes that
                 # inflate all queries uniformly (see COVERAGE.md perf notes)
                 "loadavg_1m": round(os.getloadavg()[0], 2),

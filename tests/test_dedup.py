@@ -228,3 +228,31 @@ def test_leakage_safe_split_custom_id_col(spark):
     out = dedup.leakage_safe_split(docs2, pairs, id_col="my_id").collect()
     split = {r["my_id"]: r["split"] for r in out}
     assert split[1] == split[2]  # same cluster → same split
+
+
+def test_span_dup_stats_planted(spark):
+    # doc 1 and 2 share their first 10-token span exactly; doc 3 is unique;
+    # doc 4 repeats its own first span inside itself (in-document dup).
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail one two three four five six seven eight"),
+            (2, boiler + " other ending nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+            (3, "completely different words with no overlap at all here now then when"),
+            (4, boiler + " " + boiler),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup.span_dup_stats(df, span_tokens=10).collect()}
+    # docs 1/2/4 share the boilerplate span (occ >= 2) -> at least 1 dup span
+    assert out[1]["n_spans"] == 2 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_spans"] == 2 and out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_span_ratio"] == 0.0
+    # doc 4 = boiler twice: both of its spans are the same duplicated span
+    assert out[4]["n_spans"] == 2 and out[4]["n_dup_spans"] == 2
+    assert out[4]["dup_span_ratio"] == 1.0
+
+
+def test_span_dup_stats_blank_docs_dropped(spark):
+    df = spark.createDataFrame([(1, "   "), (2, "")], ["doc_id", "text"])
+    assert dedup.span_dup_stats(df).count() == 0

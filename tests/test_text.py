@@ -137,3 +137,31 @@ def test_stopword_pattern_escapes_metacharacters(spark):
         text.stopword_ratio("text", stopwords=["c++"]).alias("r")
     ).collect()[0]
     assert out["r"] == pytest.approx(2 / 5, abs=1e-9)
+
+
+def test_unigram_lm_scores_ranks_rare_docs(spark):
+    # 'common' appears 8x corpus-wide, 'rare' once: the all-common doc must
+    # score a higher avg logprob (more typical) than the doc with 'rare'.
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common common rare"),
+            (3, "common "),  # trailing whitespace must not add a token
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.unigram_lm_scores(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 4
+    assert out[3]["n_tokens"] == 1
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+    assert out[2]["ppl_proxy"] > out[1]["ppl_proxy"]
+    # p(common) = 8/9 -> avg_logprob of doc 1 = ln(8/9)
+    import math
+
+    assert abs(out[1]["avg_logprob"] - round(math.log(8 / 9), 4)) < 1e-9
+
+
+def test_unigram_lm_scores_empty_doc_excluded(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "")], ["doc_id", "text"])
+    ids = [r["doc_id"] for r in text.unigram_lm_scores(df).collect()]
+    assert ids == [1]
