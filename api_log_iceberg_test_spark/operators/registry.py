@@ -1329,6 +1329,20 @@ def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank (ADC+R).
+
+    Rows-only: PQ retrieval is approximate by design (recall vs the exact
+    BLAS path and planted-cluster exactness are asserted in
+    tests/test_similarity.py); the reported scores ARE exact cosines —
+    quantization only selects the shortlist."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.cosine_topk_pq(emb, queries, k=10, rerank=160).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means cluster sizes over the embeddings corpus.
 
@@ -1443,6 +1457,34 @@ ORACLE["q_dedup_spans"] = """
     GROUP BY doc_id ORDER BY doc_id
 """
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-symbol pairs (first BPE merge iteration) over the
+    frequency-weighted corpus vocabulary."""
+    return text.bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_k=50)
+
+
+# same construction: vocab with counts, in-word char bigrams + (last,</w>)
+# terminal pair, weighted by word frequency; ties broken (left, right)
+ORACLE["q_bpe_pair_counts"] = f"""
+    WITH tok AS (
+        SELECT unnest({_TOKENS}) AS word FROM documents
+    ),
+    vocab AS (
+        SELECT word, COUNT(*) AS word_cnt FROM tok WHERE word <> '' GROUP BY word
+    ),
+    pairs AS (
+        SELECT substr(word, i, 1) AS "left",
+               CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
+                    ELSE '</w>' END AS "right",
+               word_cnt
+        FROM vocab, unnest(range(1, length(word) + 1)) AS r(i)
+    )
+    SELECT "left", "right", SUM(word_cnt)::BIGINT AS pair_cnt
+    FROM pairs GROUP BY "left", "right"
+    ORDER BY pair_cnt DESC, "left", "right" LIMIT 50
+"""
+
+
 ORACLE["q_lm_quality"] = f"""
     WITH tok AS (
         SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
@@ -1467,6 +1509,7 @@ QUERIES_LATE: dict = {
     "q_corr_stats": q_corr_stats,
     "q_dedup_spans": q_dedup_spans,
     "q_lm_quality": q_lm_quality,
+    "q_bpe_pair_counts": q_bpe_pair_counts,
 }
 
 #: Rows-only entries intentionally merged LAST in __spark_entry__ so they
@@ -1486,4 +1529,5 @@ QUERIES_TAIL = {
     "q_hll_daily_users": q_hll_daily_users,
     "q_kmeans_clusters": q_kmeans_clusters,
     "q_kll_value_quantiles": q_kll_value_quantiles,
+    "q_ann_pq_topk": q_ann_pq_topk,
 }

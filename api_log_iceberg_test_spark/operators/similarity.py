@@ -533,3 +533,177 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-bound scale path
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(sample, m: int = 8, ksub: int = 16, iters: int = 10):
+    """Deterministic per-subspace Lloyd k-means over a training sample.
+
+    ``sample`` is an (n × dim) float64 array of L2-normalized vectors;
+    returns an (m × ksub × dim/m) codebook array. Seeding is deterministic
+    (first-k distinct rows per subspace), so identical inputs give identical
+    codebooks — no RNG anywhere.
+    """
+    import numpy as np
+
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        # deterministic seeding: first ksub distinct subvectors (pad by
+        # repeating the last when the sample has fewer distinct values)
+        uniq = np.unique(sub, axis=0)
+        cent = uniq[:ksub] if len(uniq) >= ksub else np.vstack(
+            [uniq, np.repeat(uniq[-1:], ksub - len(uniq), axis=0)]
+        )
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 2048,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via product quantization + ADC.
+
+    The 100-TB ANN regime is memory-bound: a 64-dim float corpus is 256 B/
+    vector, but its PQ code is ``m`` bytes (8 here, a 32× compression), so
+    executors scan codes at cache speed and never touch raw vectors at
+    query time. Codebooks train on a bounded, deterministic driver-side
+    sample (the standard practice — FAISS trains PQ on ~100k vectors
+    regardless of corpus size); each corpus Arrow batch is then encoded and
+    scored distributedly: asymmetric distance computation (ADC) replaces
+    the dot product with ``m`` table lookups per (query, code) pair, where
+    each query's ``m × ksub`` lookup table holds its subspace dot products
+    with every centroid.
+
+    ``rerank=N`` enables the standard ADC+R refinement: the per-batch ADC
+    top-N shortlist is re-scored with EXACT cosines against the raw batch
+    vectors (still inside the same Arrow batch — no second pass, no join),
+    so quantization error only affects *which* candidates survive, never
+    their reported scores or relative order. On corpora where true
+    neighbors barely outscore the noise floor (synthetic near-random
+    embeddings are the worst case) re-ranking is what makes PQ usable.
+
+    Same output shape as the exact paths (query_id, neighbor_id, score,
+    rank); rows-only for the oracle (approximate by design) — recall vs the
+    exact BLAS path is asserted in tests.
+
+    Scale: codes + codebooks shuffle nothing; per-batch partial top-k keeps
+    ``partitions × nq × (k+1)`` rows before the final window, exactly like
+    :func:`cosine_topk_numpy`. Vectors are L2-normalized before encoding so
+    ADC inner product ≈ cosine.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()  # driver-small by contract
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
+    # deterministic bounded sample: smallest `sample_size` ids (stable under
+    # partitioning; PQ training only needs a representative sample)
+    srows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    sm = np.array([list(r[1]) for r in srows], dtype=np.float64)
+    sn = np.linalg.norm(sm, axis=1)
+    sm = sm / np.where(sn == 0.0, 1.0, sn)[:, None]
+    books = pq_train_codebooks(sm, m=m, ksub=ksub)
+
+    qids_l = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm_l = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn_l = np.linalg.norm(qm_l, axis=1)
+    qm_l = qm_l / np.where(qn_l == 0.0, 1.0, qn_l)[:, None]
+    dsub = qm_l.shape[1] // m
+    # LUT[q, j, c] = <q_j, centroid_jc>  → nq × m × ksub
+    lut_l = np.einsum("qjd,jcd->qjc", qm_l.reshape(len(qids_l), m, dsub), books)
+    bq = corpus.sparkSession.sparkContext.broadcast((qids_l, qm_l, lut_l, books))
+
+    def part_topk(batches):
+        qids, qm, lut, bks = bq.value
+        nq = len(qids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mtx = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            nrm = np.linalg.norm(mtx, axis=1)
+            mtx = mtx / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+            sub = mtx.reshape(len(ids), m, dsub)
+            # encode: nearest centroid per subspace (batch × m)
+            codes = np.empty((len(ids), m), dtype=np.int64)
+            for j in range(m):
+                d = ((sub[:, j, None, :] - bks[None, j]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            # ADC: score[b, q] = sum_j LUT[q, j, codes[b, j]]
+            scores = np.zeros((len(ids), nq))
+            for j in range(m):
+                scores += lut[:, j, :][:, codes[:, j]].T  # batch × nq
+            if rerank:
+                # exact re-rank of the per-batch ADC shortlist: quantization
+                # picks the candidates, true cosines order them
+                keep0 = min(rerank, len(ids))
+                idx0 = np.argpartition(-scores, keep0 - 1, axis=0)[:keep0]
+                sel = idx0.T  # nq × keep0 row indices into the batch
+                exact_sc = np.einsum("qkd,qd->qk", mtx[sel], qm)
+                keep = min(k + 1, keep0)
+                top = np.argpartition(-exact_sc, keep - 1, axis=1)[:, :keep]
+                rows = np.take_along_axis(sel, top, axis=1)  # nq × keep
+                out_sc = np.take_along_axis(exact_sc, top, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, keep),
+                        "neighbor_id": ids[rows.ravel()],
+                        "score": out_sc.ravel(),
+                    }
+                )
+                continue
+            keep = min(k + 1, len(ids))
+            idx = np.argpartition(-scores, keep - 1, axis=0)[:keep]
+            flat = idx.T.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, keep),
+                    "neighbor_id": ids[flat],
+                    "score": scores[flat, np.repeat(np.arange(nq), keep)],
+                }
+            )
+
+    partial = corpus.mapInPandas(
+        part_topk, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        partial.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+    )

@@ -359,3 +359,50 @@ def unigram_lm_scores(
             F.round(F.exp(-avg), 2).alias("ppl_proxy"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50,
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies — the first BPE merge iteration.
+
+    Tokenizer training (Sennrich-style BPE) repeatedly merges the most
+    frequent adjacent symbol pair; this operator computes the statistics
+    that drive that choice at corpus scale: every in-word character bigram
+    plus the terminal ``(last_char, </w>)`` pair, weighted by word
+    frequency. Returns the ``top_k`` pairs as ``(left, right, pair_cnt)``.
+
+    Scale: the token stream collapses to the *vocabulary* first (one
+    shuffle of (word) with map-side partial counts — the classic BPE trick:
+    pair counting is per distinct word × frequency, never per token), so
+    the char-level posexplode fans out over |vocab| rows, not |corpus|
+    tokens. All pair extraction is codegen substring arithmetic — no HOFs,
+    no Python.
+    """
+    tok = df.select(F.explode(tokens(text_col)).alias("word")).filter(
+        F.col("word") != ""
+    )
+    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("word_cnt"))
+    n = F.length("word")
+    ex = vocab.select(
+        "word",
+        "word_cnt",
+        n.alias("n"),
+        F.posexplode(F.sequence(F.lit(1), n)).alias("_p", "i"),
+    )
+    pairs = ex.select(
+        F.expr("substring(word, i, 1)").alias("left"),
+        F.when(F.col("i") < F.col("n"), F.expr("substring(word, i + 1, 1)"))
+        .otherwise(F.lit("</w>"))
+        .alias("right"),
+        "word_cnt",
+    )
+    return (
+        pairs.groupBy("left", "right")
+        .agg(F.sum("word_cnt").alias("pair_cnt"))
+        .orderBy(F.desc("pair_cnt"), "left", "right")
+        .limit(top_k)
+    )

@@ -165,3 +165,25 @@ def test_unigram_lm_scores_empty_doc_excluded(spark):
     df = spark.createDataFrame([(1, "a b"), (2, "")], ["doc_id", "text"])
     ids = [r["doc_id"] for r in text.unigram_lm_scores(df).collect()]
     assert ids == [1]
+
+
+def test_bpe_pair_counts_crafted(spark):
+    # vocabulary: "aa" x3, "ab" x1 -> per-word pairs weighted by frequency:
+    # aa -> (a,a),(a,</w>) x3;  ab -> (a,b),(b,</w>) x1
+    df = spark.createDataFrame(
+        [(1, "aa aa ab"), (2, "aa")], ["doc_id", "text"]
+    )
+    out = {(r["left"], r["right"]): r["pair_cnt"] for r in text.bpe_pair_counts(df).collect()}
+    assert out == {
+        ("a", "a"): 3,
+        ("a", "</w>"): 3,
+        ("a", "b"): 1,
+        ("b", "</w>"): 1,
+    }
+
+
+def test_bpe_pair_counts_single_char_words(spark):
+    # 1-char words produce only the terminal pair
+    df = spark.createDataFrame([(1, "x y x")], ["doc_id", "text"])
+    out = {(r["left"], r["right"]): r["pair_cnt"] for r in text.bpe_pair_counts(df).collect()}
+    assert out == {("x", "</w>"): 2, ("y", "</w>"): 1}
