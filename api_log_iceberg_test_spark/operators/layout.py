@@ -1,0 +1,73 @@
+"""Z-order (Morton) clustering for multi-dimensional scan pruning.
+
+The reference's table is clustered by time alone (hidden `days(time)`
+partitioning, SURVEY.md §1.3), which prunes only time predicates. When a
+second selective dimension exists (tenant, key range, status), engines
+cluster files on a space-filling curve instead: sorting by the interleaved
+Morton code bounds EVERY participating dimension within a run of rows, so
+file/row-group min-max stats prune multi-dimensional predicates — this is
+Iceberg's ``zorder`` rewrite strategy and Delta's ``OPTIMIZE ZORDER BY``.
+
+The z-value here is a pure codegen expression (shift/mask/or arithmetic —
+no UDFs, no HOFs), so it runs at scan speed and is byte-replicable in the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_value(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton code interleaving ``bits`` low bits of each column.
+
+    Bit ``i`` of column ``j`` lands at output position ``i * d + j`` — the
+    canonical interleave. Inputs must already be non-negative integer
+    bucket ordinals (bucketize floats/dates first); values are masked to
+    ``bits`` bits. The expression expands to ``bits × d`` shift-and-or
+    terms — wide but branch-free and fully inside whole-stage codegen.
+    """
+    d = len(cols)
+    if d < 2:
+        raise ValueError("z-ordering needs at least 2 columns")
+    if bits * d > 63:
+        raise ValueError(f"bits*dims = {bits * d} exceeds a signed 64-bit value")
+    out = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        cc = (F.col(c) if isinstance(c, str) else c).cast("long")
+        for i in range(bits):
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(cc, i).bitwiseAND(F.lit(1)), i * d + j)
+            )
+    return out
+
+
+def zorder_sql(cols: list[str], bits: int = 16) -> str:
+    """The identical Morton interleave as ANSI SQL text (DuckDB oracle)."""
+    d = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(f"((({c}::BIGINT >> {i}) & 1) << {i * d + j})")
+    return " | ".join(terms)
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Range-partition + sort rows by their Morton code.
+
+    The write-side half of a zorder rewrite: downstream
+    ``write.parquet``/Iceberg append emits files whose min-max stats are
+    tight in every clustered dimension. One range exchange (sampled
+    boundaries) + in-partition sort — the same cost shape as a global sort
+    on one column.
+    """
+    z = zorder_value(list(cols), bits).alias("_z")
+    out = df.withColumn("_z", z)
+    parts = [F.col("_z")] if num_partitions is None else [num_partitions, F.col("_z")]
+    return out.repartitionByRange(*parts).sortWithinPartitions("_z").drop("_z")

@@ -1457,10 +1457,55 @@ ORACLE["q_dedup_spans"] = """
     GROUP BY doc_id ORDER BY doc_id
 """
 
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering statistics: bucket lineitem by the top 8 bits of
+    the (part, supp) Morton code and report per-bucket min/max of BOTH
+    dimensions — each spans ≤ 1/16 of its domain (low 4 bits), which is
+    exactly the file-stat tightness a zorder rewrite buys for pruning."""
+    from . import layout
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("pk"),
+        (F.col("l_suppkey") % 256).alias("sk"),
+    )
+    z = layout.zorder_value(["pk", "sk"], bits=8)
+    return (
+        li.withColumn("zbucket", F.shiftright(z, 8))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("pk").alias("pk_min"),
+            F.max("pk").alias("pk_max"),
+            F.min("sk").alias("sk_min"),
+            F.max("sk").alias("sk_max"),
+        )
+        .orderBy("zbucket")
+    )
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 adjacent-symbol pairs (first BPE merge iteration) over the
     frequency-weighted corpus vocabulary."""
     return text.bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_k=50)
+
+
+def _zorder_oracle() -> str:
+    from . import layout
+
+    zexpr = layout.zorder_sql(["pk", "sk"], bits=8)
+    return f"""
+    WITH b AS (
+        SELECT l_partkey % 256 AS pk, l_suppkey % 256 AS sk FROM lineitem
+    ),
+    z AS (SELECT pk, sk, ({zexpr}) >> 8 AS zbucket FROM b)
+    SELECT zbucket, COUNT(*) AS cnt,
+           MIN(pk) AS pk_min, MAX(pk) AS pk_max,
+           MIN(sk) AS sk_min, MAX(sk) AS sk_max
+    FROM z GROUP BY zbucket ORDER BY zbucket
+"""
+
+
+ORACLE["q_zorder_stats"] = _zorder_oracle()
 
 
 # same construction: vocab with counts, in-word char bigrams + (last,</w>)
@@ -1510,6 +1555,7 @@ QUERIES_LATE: dict = {
     "q_dedup_spans": q_dedup_spans,
     "q_lm_quality": q_lm_quality,
     "q_bpe_pair_counts": q_bpe_pair_counts,
+    "q_zorder_stats": q_zorder_stats,
 }
 
 #: Rows-only entries intentionally merged LAST in __spark_entry__ so they

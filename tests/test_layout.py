@@ -1,0 +1,87 @@
+"""Z-order layout: Morton-code correctness and clustering properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from api_log_iceberg_test_spark.operators import layout
+
+
+def _morton2(a: int, b: int, bits: int = 16) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_zorder_value_matches_reference_bits(spark):
+    rows = [(a, b) for a in [0, 1, 5, 255, 65535] for b in [0, 2, 7, 100, 65535]]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn("z", layout.zorder_value(["a", "b"])).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _morton2(a, b), (a, b)
+
+
+def test_zorder_three_dims_and_bounds(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["x", "y", "z"])
+    (val,) = df.select(layout.zorder_value(["x", "y", "z"], bits=4).alias("v")).first()
+    ref = 0
+    for i in range(4):
+        ref |= ((1 >> i) & 1) << (3 * i)
+        ref |= ((2 >> i) & 1) << (3 * i + 1)
+        ref |= ((3 >> i) & 1) << (3 * i + 2)
+    assert val == ref
+    with pytest.raises(ValueError):
+        layout.zorder_value(["x"])
+    with pytest.raises(ValueError):
+        layout.zorder_value(["x", "y"], bits=32)
+
+
+def test_cluster_by_zorder_sorts_partitions(spark):
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") * 7 % 64).alias("b")
+    )
+    out = layout.cluster_by_zorder(df, ["a", "b"], bits=6, num_partitions=4)
+    # rows within each partition must be Morton-sorted, partitions disjoint
+    import pandas as pd
+
+    def check(it):
+        def morton(a, b, bits=6):  # local: workers can't import test modules
+            out = 0
+            for i in range(bits):
+                out |= ((int(a) >> i) & 1) << (2 * i)
+                out |= ((int(b) >> i) & 1) << (2 * i + 1)
+            return out
+
+        for pdf in it:
+            if len(pdf):
+                z = [morton(a, b) for a, b in zip(pdf["a"], pdf["b"])]
+                yield pd.DataFrame(
+                    {
+                        "lo": [z[0]],
+                        "hi": [z[-1]],
+                        "sorted": [all(x <= y for x, y in zip(z, z[1:]))],
+                    }
+                )
+
+    parts = out.mapInPandas(check, "lo long, hi long, sorted boolean").collect()
+    assert all(p["sorted"] for p in parts)
+    spans = sorted((p["lo"], p["hi"]) for p in parts)
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 <= l2  # range partitions don't overlap
+
+
+def test_zorder_bucket_bounds_both_dims(spark, sf_dir):
+    from api_log_iceberg_test_spark.operators.registry import q_zorder_stats
+
+    rows = q_zorder_stats(spark, sf_dir).collect()
+    assert rows, "expected non-empty bucket stats"
+    for r in rows:
+        # top-8-of-16 z-prefix leaves 4 low bits per dim: span <= 15
+        assert r["pk_max"] - r["pk_min"] <= 15
+        assert r["sk_max"] - r["sk_min"] <= 15
