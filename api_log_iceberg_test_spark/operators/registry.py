@@ -96,8 +96,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the vector column pinned to array<double>.
+
+    The oracles compare against DuckDB double-precision arithmetic; if a
+    future testdata regeneration stores float32 vectors (as the round-3 one
+    silently switched timestamps to NTZ), float math would drift from the
+    oracle. The cast is a no-op on the current double-typed data.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
+    if emb.schema["embedding"].dataType.simpleString() != "array<double>":
+        emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return emb
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.cosine_topk_bruteforce(emb, queries, k=5).orderBy(
         "query_id", "rank"
@@ -107,7 +121,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: approximate by design (recall vs brute force asserted in
     tests/test_similarity.py)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     centroids = similarity.compute_centroids(emb)
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.cosine_topk_ivf(emb, queries, centroids, k=5, nprobe=2).orderBy(
@@ -120,7 +134,7 @@ def q_ann_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     ULP-level cosine drift vs the sequential expression path (pairwise vs
     sequential summation) makes hash-compare meaningless; neighbor-set
     parity with q_ann_cosine_topk is asserted in tests/test_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.cosine_topk_numpy(emb, queries, k=5).orderBy(
         "query_id", "rank"
@@ -128,7 +142,7 @@ def q_ann_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     return similarity.embedding_neardup_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
 
 
@@ -136,7 +150,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: hyperplane-LSH scale path — exact-verified subset of
     q_embedding_neardup (precision 1.0); recall asserted in
     tests/test_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     return similarity.hyperplane_lsh_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
 
 
@@ -456,7 +470,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quantized vector is emitted as a comma-joined string so the
     driver's value-hash compares a scalar column identically in both
     engines (array stringification differs between pandas sources)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     q = similarity.quantize_embeddings(emb)
     return q.select(
         "vec_id",
@@ -1336,7 +1350,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BLAS path and planted-cluster exactness are asserted in
     tests/test_similarity.py); the reported scores ARE exact cosines —
     quantization only selects the shortlist."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.cosine_topk_pq(emb, queries, k=10, rerank=160).orderBy(
         "query_id", "rank"
@@ -1350,7 +1364,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaying 10 rounds of Lloyd's in DuckDB SQL is impractical —
     determinism, convergence, and nearest-centroid optimality are asserted
     in tests/test_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     assign = similarity.kmeans_assign(emb, k=8)
     return (
         assign.groupBy("cluster")

@@ -52,6 +52,12 @@ EXTENSION = [
     "q_chunk_documents",
     "q_pack_sequences",
     "q_leakage_safe_split",
+    # round 3
+    "q_dedup_spans",
+    "q_lm_quality",
+    "q_bpe_pair_counts",
+    "q_zorder_stats",
+    "q_ann_pq_topk",
 ]
 
 
