@@ -912,3 +912,39 @@ def span_dup_stats(
             F.round(F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier 7: incremental dedup (new batch vs historical corpus)
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    key: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admit only new-batch docs that are novel vs the historical corpus
+    AND unique within the batch.
+
+    The steady-state lakehouse shape: a full-corpus re-dedup per ingest is
+    O(history) every day, while the incremental form is O(batch) against a
+    persisted *hash index* — the corpus side reduces to 16-byte md5 digests
+    (a distinct projection any engine can maintain incrementally as an
+    aggregate table), and the batch anti-joins against it. Returns the
+    surviving batch rows as ``(id_col, text_hash, n_copies)`` with
+    ``n_copies`` counting the batch-internal multiplicity.
+
+    Scale: the anti-join shuffles digests, never text; with the hash index
+    bucketed by digest (``storage.write_bucketed``) the batch side alone
+    shuffles. Within-batch dedup reuses the same digest exchange.
+    """
+    idx = corpus.select(F.md5(normalize_text(key)).alias("text_hash")).distinct()
+    hashed = batch.withColumn("text_hash", F.md5(normalize_text(key)))
+    return (
+        hashed.join(idx, "text_hash", "left_anti")
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "text_hash", "n_copies")
+    )

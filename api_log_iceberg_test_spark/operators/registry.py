@@ -1471,6 +1471,32 @@ ORACLE["q_dedup_spans"] = """
     GROUP BY doc_id ORDER BY doc_id
 """
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: docs with id ≥ 400 arrive as the new batch
+    and must be novel vs the historical corpus (id < 400) and unique within
+    the batch — the O(batch) steady-state alternative to daily full-corpus
+    re-dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    return dedup.incremental_dedup(corpus, batch).orderBy("doc_id")
+
+
+ORACLE["q_dedup_incremental"] = """
+    WITH h AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash
+        FROM documents
+    ),
+    corpus AS (SELECT DISTINCT text_hash FROM h WHERE doc_id < 400),
+    batch AS (SELECT * FROM h WHERE doc_id >= 400)
+    SELECT MIN(doc_id) AS doc_id, text_hash, COUNT(*) AS n_copies
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text_hash = b.text_hash)
+    GROUP BY text_hash ORDER BY doc_id
+"""
+
+
 def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering statistics: bucket lineitem by the top 8 bits of
     the (part, supp) Morton code and report per-bucket min/max of BOTH
@@ -1570,6 +1596,7 @@ QUERIES_LATE: dict = {
     "q_lm_quality": q_lm_quality,
     "q_bpe_pair_counts": q_bpe_pair_counts,
     "q_zorder_stats": q_zorder_stats,
+    "q_dedup_incremental": q_dedup_incremental,
 }
 
 #: Rows-only entries intentionally merged LAST in __spark_entry__ so they

@@ -256,3 +256,22 @@ def test_span_dup_stats_planted(spark):
 def test_span_dup_stats_blank_docs_dropped(spark):
     df = spark.createDataFrame([(1, "   "), (2, "")], ["doc_id", "text"])
     assert dedup.span_dup_stats(df).count() == 0
+
+
+def test_incremental_dedup_planted(spark):
+    corpus = spark.createDataFrame(
+        [(1, "known doc one"), (2, "known doc two")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "KNOWN   doc one"),  # dup of corpus after normalization
+            (11, "fresh doc"),
+            (12, "fresh doc"),  # batch-internal dup of 11
+            (13, "another fresh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup.incremental_dedup(corpus, batch).collect()}
+    assert set(out) == {11, 13}
+    assert out[11]["n_copies"] == 2
+    assert out[13]["n_copies"] == 1
