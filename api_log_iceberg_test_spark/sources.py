@@ -131,3 +131,25 @@ def corrupt_records(df: DataFrame) -> DataFrame:
     QUERY_ONLY_CORRUPT_RECORD_COLUMN materialization requirement).
     """
     return df.where(F.col(_CORRUPT).isNotNull()).select(F.col(_CORRUPT))
+
+
+def write_orc_logs(df: DataFrame, path: str) -> None:
+    """Persist log records as ORC — Spark's second columnar native format
+    (built into the distribution, no extra jars). Useful when downstream
+    consumers are Hive/Trino deployments standardized on ORC; schema,
+    compression, and predicate-pushdown behavior mirror the Parquet path.
+    """
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc_logs(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC log records with the fixed schema (no inference pass)."""
+    return spark.read.schema(API_LOG_SCHEMA).orc(path).select(*API_LOG_COLUMNS)
+
+
+def read_text_logs(spark: SparkSession, path: str) -> DataFrame:
+    """Raw-line ingestion (``format("text")``): one string column ``value``
+    per line, parsed with the same PERMISSIVE JSONL semantics. The shape
+    for logs shipped as opaque line blobs (syslog relays, S3 inventory
+    dumps) where parse and load must be separate, restartable stages."""
+    return _parse_json_lines(spark.read.text(path))

@@ -116,3 +116,25 @@ def test_streaming_quarantine_captures_torn_lines(spark, tmp_path):
     assert spark.read.parquet(out_ok).count() == 50
     bad = spark.read.parquet(out_bad).collect()
     assert len(bad) == 1 and bad[0]["_corrupt_record"].startswith('{"torn"')
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = generate_api_logs(spark, 200, seed=11)
+    p = str(tmp_path / "logs_orc")
+    sources.write_orc_logs(df, p)
+    back = sources.read_orc_logs(spark, p)
+    assert back.count() == 200
+    assert back.columns == df.columns
+    # value-level parity on a stable projection
+    a = sorted((r["requestId"], r["name"]) for r in df.collect())
+    b = sorted((r["requestId"], r["name"]) for r in back.collect())
+    assert a == b
+
+
+def test_text_source_parses_jsonl(spark, tmp_path):
+    df = generate_api_logs(spark, 50, seed=12)
+    p = str(tmp_path / "logs_jsonl_as_text")
+    df.coalesce(1).write.json(p, timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS")
+    parsed = sources.read_text_logs(spark, p)
+    assert sources.valid_records(parsed).count() == 50
+    assert sources.corrupt_records(parsed).count() == 0
