@@ -511,18 +511,55 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (doc_a < doc_b, cos ≥ threshold).
 
-    Brute-force all-pairs — exact, for modest corpora / the oracle. The
-    100 TB path is :func:`cosine_topk_ivf` with queries=corpus (cell join
-    prunes pairs to same-cell candidates).
+    Exact, with LOSSLESS candidate pruning: for unit vectors
+    ``cos(a,b) ≥ t  ⟺  ‖â−b̂‖ ≤ √(2−2t)``, and any 1-Lipschitz projection
+    bounds that distance — here the first normalized coordinate, so
+    ``|â₀−b̂₀| > √(2−2t)`` rules a pair out *provably*. Bucketing the
+    projection at width √(2−2t) and equi-joining each row to its own and
+    two adjacent buckets therefore finds every qualifying pair exactly
+    once (left side keeps a single bucket, right side explodes ±1, like
+    :func:`~.joins.range_join_within`), replacing the all-pairs
+    nested-loop product with a shuffle join on compact bucket keys. Result
+    set is byte-identical to the unpruned join — the DuckDB theta-join
+    oracle still hash-matches.
+
+    Pruning power depends on the projection's spread vs √(2−2t): strong for
+    tight thresholds / anisotropic corpora, weaker on isotropic noise
+    (high-dim near-dup detection is LSH-hard in the worst case) — the
+    recall-traded 100 TB paths remain :func:`hyperplane_lsh_pairs` and the
+    IVF cell join. This entry is the exact anchor they are validated
+    against.
     """
-    a = corpus.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(F.col(vec_col)).alias("na")
+    import math
+
+    eps = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12))
+    nv = norm(F.col(vec_col))
+    p0 = F.coalesce(
+        F.try_divide(F.element_at(F.col(vec_col), 1), nv), F.lit(0.0)
     )
-    b = corpus.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm(F.col(vec_col)).alias("nb")
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        nv.alias("_n"),
+        F.floor(p0 / F.lit(eps)).alias("_b0"),
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
+        F.col("_b0").alias("_bucket"),
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+        F.explode(
+            F.array(F.col("_b0") - 1, F.col("_b0"), F.col("_b0") + 1)
+        ).alias("_bucket"),
     )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_raw",
             F.coalesce(

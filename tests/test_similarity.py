@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from api_log_iceberg_test_spark.operators import similarity
 from api_log_iceberg_test_spark.schema import load_table
 
@@ -288,3 +290,51 @@ def test_pq_empty_queries(spark):
     )
     out = similarity.cosine_topk_pq(pl, pl.filter("vec_id < 0"), k=5)
     assert out.count() == 0
+
+
+def test_neardup_projection_pruning_is_lossless(spark):
+    # pruned bucketed join must equal the unpruned theta join exactly,
+    # including pairs whose projections straddle a bucket boundary
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 8))
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    rows += [
+        (100 + i, (base[i] + 1e-4 * rng.normal(size=8)).tolist())
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for t in (0.999, 0.8):
+        got = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in similarity.embedding_neardup_pairs(df, threshold=t).collect()
+        }
+        brute = (
+            df.alias("x")
+            .join(df.alias("y"), F.col("x.vec_id") < F.col("y.vec_id"))
+            .select(
+                F.col("x.vec_id").alias("id_a"),
+                F.col("y.vec_id").alias("id_b"),
+                F.round(
+                    F.expr(
+                        "aggregate(zip_with(x.embedding, y.embedding, (p,q)->p*q), 0D, (acc,v)->acc+v)"
+                        " / (sqrt(aggregate(transform(x.embedding, p->p*p), 0D, (acc,v)->acc+v))"
+                        " * sqrt(aggregate(transform(y.embedding, p->p*p), 0D, (acc,v)->acc+v)))"
+                    ),
+                    6,
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= t)
+        )
+        ref = {(r.id_a, r.id_b, r.cosine) for r in brute.collect()}
+        assert got == ref, f"threshold {t}"
+
+
+def test_neardup_zero_vector_safe(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [0.0] * 8), (3, [1.0] + [0.0] * 7)],
+        "vec_id long, embedding array<double>",
+    )
+    # zero vectors define cos := 0 -> no pairs at positive thresholds
+    assert similarity.embedding_neardup_pairs(df, threshold=0.5).count() == 0
