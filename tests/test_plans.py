@@ -158,3 +158,29 @@ def test_fan_out_noop_on_wide_scans(spark, sf_dir):
     wide = docs.repartition(target + 4)
     same = fan_out(wide)
     assert same is wide  # no-op: not even a new plan node
+
+
+def test_neardup_avoids_nested_loop_join(spark, sf_dir):
+    # round 3: the exact near-dup entry joins on projection buckets — a
+    # cartesian/BroadcastNestedLoopJoin reappearing means the lossless
+    # pruning regressed to the all-pairs product
+    plan = _plan(spark, sf_dir, "q_embedding_neardup")
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # still a join, now equi on _bucket
+
+
+def test_span_dedup_no_python_and_shared_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_dedup_spans")
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_lm_quality_total_is_broadcast(spark, sf_dir):
+    # the 1-row grand total must attach via broadcast, never a shuffle join
+    plan = _plan(spark, sf_dir, "q_lm_quality")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_zorder_stats_single_agg_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_zorder_stats")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
