@@ -1612,9 +1612,22 @@ def q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kll_merge_quantiles(daily, [0.5, 0.9, 0.99])
 
 
+def q_cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type frequencies from merged daily count-min sketches.
+
+    Rows-only by nature (CMS is approximate: true ≤ est ≤ true + eps·N);
+    bounds and merge losslessness are asserted in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    daily = sketches.cms_daily_sketches(ev)
+    merged = sketches.cms_merge(spark, daily)
+    return sketches.cms_estimate_counts(spark, merged, sorted(keys)).orderBy("key")
+
+
 QUERIES_TAIL = {
     "q_hll_daily_users": q_hll_daily_users,
     "q_kmeans_clusters": q_kmeans_clusters,
     "q_kll_value_quantiles": q_kll_value_quantiles,
     "q_ann_pq_topk": q_ann_pq_topk,
+    "q_cms_event_counts": q_cms_event_counts,
 }

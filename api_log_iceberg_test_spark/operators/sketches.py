@@ -105,3 +105,56 @@ def kll_merge_quantiles(daily: DataFrame, probs: list[float]) -> DataFrame:
         for p in probs
     ]
     return merged.select(*cols)
+
+
+def cms_daily_sketches(
+    df: DataFrame,
+    time_col: str = "ts",
+    value_col: str = "event_type",
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """One count-min sketch per day over ``value_col`` — the *frequency*
+    member of the sketch trio (HLL = distinct, KLL = quantiles, CMS =
+    per-key counts). Built by Spark's JVM-side ``count_min_sketch``
+    aggregate; the binary is ``d=⌈ln(1/(1−conf))⌉ × w=⌈2/eps⌉`` counters,
+    additive under merge, so any date-range frequency query folds daily
+    sketches instead of rescanning raw events.
+    """
+    return df.groupBy(F.to_date(F.col(time_col)).alias("day")).agg(
+        F.expr(
+            f"count_min_sketch({value_col}, {eps}d, {confidence}d, {seed})"
+        ).alias("sketch")
+    )
+
+
+def cms_merge(spark, daily: DataFrame):
+    """Union all daily sketches into one JVM CountMinSketch.
+
+    CMS merge is counter addition, so merged == directly-built exactly
+    (asserted in tests). Spark exposes no SQL-level CMS merge, but the
+    sketches are KB-sized and |days| of them collect to the driver — the
+    same "reads |days| small rows, never the raw data" contract as the
+    HLL/KLL rollups.
+    """
+    rows = daily.select("sketch").collect()
+    if not rows:
+        return None
+    jvm = spark._jvm
+    out = None
+    for r in rows:
+        stream = jvm.java.io.ByteArrayInputStream(bytes(r["sketch"]))
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(stream)
+        out = sk if out is None else out.mergeInPlace(sk)
+    return out
+
+
+def cms_estimate_counts(spark, merged, keys: list) -> DataFrame:
+    """Frequency estimates for ``keys`` from a merged sketch.
+
+    CMS guarantees ``true ≤ est ≤ true + eps·N`` with the configured
+    confidence; for heavy hitters over small key domains the estimate is
+    exact in practice (collision-free rows)."""
+    data = [(k, int(merged.estimateCount(k)) if merged else 0) for k in keys]
+    return spark.createDataFrame(data, "key string, est_cnt long")

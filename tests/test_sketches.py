@@ -90,3 +90,43 @@ def test_kll_merge_matches_direct_build(spark, sf_dir):
         ra = bisect.bisect_right(vals, merged[col]) / merged["n"]
         rb = bisect.bisect_right(vals, direct[col]) / direct["n"]
         assert abs(ra - rb) < 0.04, (col, merged[col], direct[col])
+
+
+def test_cms_bounds_and_merge_losslessness(spark, sf_dir):
+    from api_log_iceberg_test_spark.operators import sketches
+    from api_log_iceberg_test_spark.schema import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n_total = sum(exact.values())
+    daily = sketches.cms_daily_sketches(ev)
+    merged = sketches.cms_merge(spark, daily)
+    est = {
+        r["key"]: r["est_cnt"]
+        for r in sketches.cms_estimate_counts(spark, merged, sorted(exact)).collect()
+    }
+    eps = 0.001
+    for k, true_cnt in exact.items():
+        assert est[k] >= true_cnt, (k, est[k], true_cnt)
+        assert est[k] <= true_cnt + eps * n_total, (k, est[k], true_cnt)
+    # merge losslessness: CMS merge is counter addition, so the merged
+    # sketch must estimate identically to one built over the whole table
+    whole = ev.agg(
+        F.expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").alias("sketch")
+    )
+    direct = sketches.cms_merge(spark, whole)
+    for k in exact:
+        assert merged.estimateCount(k) == direct.estimateCount(k), k
+
+
+def test_cms_empty_input(spark):
+    from api_log_iceberg_test_spark.operators import sketches
+
+    empty = spark.createDataFrame([], "ts timestamp, event_type string")
+    daily = sketches.cms_daily_sketches(empty)
+    assert sketches.cms_merge(spark, daily) is None
+    out = sketches.cms_estimate_counts(spark, None, ["x"])
+    assert [tuple(r) for r in out.collect()] == [("x", 0)]
