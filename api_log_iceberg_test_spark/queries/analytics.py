@@ -1308,3 +1308,130 @@ QUERIES = {
     "q_limit_scan": q_limit_scan,
     "q_show_tables": q_show_tables,
 }
+
+
+# --- product-analytics companions to sessionization -------------------------
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel: per signup-day cohort, the fraction of users
+    whose first signup is followed by a purchase within 7 days.
+
+    The classic event-sequence query (sessionize's companion): one shuffle
+    keys users, the purchase join stays on the same key, the cohort agg is
+    combinable. NTZ-safe — only same-type timestamp comparisons and
+    interval arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    per_user = (
+        signups.join(purchases, "user_id", "left")
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("p_ts") >= F.col("signup_ts"))
+                    & (
+                        F.col("p_ts")
+                        <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return (
+        per_user.groupBy(F.date_trunc("day", F.col("signup_ts")).alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum("converted").cast("long").alias("n_converted_7d"),
+            F.round(
+                F.sum("converted") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("conv_rate"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users cohorted by first-signup week, counted
+    as retained in week N if they emit ANY event N weeks later (N ≤ 4).
+
+    Distinct-user counting per (cohort, offset) cell — the matrix every
+    growth dashboard draws. Scale: both aggs are partial-combinable; the
+    activity join shuffles on user_id once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.to_date(F.min("ts")).alias("signup_day"))
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("act_day"))
+    return (
+        signups.join(activity, "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(F.datediff(F.col("act_day"), F.col("signup_day")) / 7).cast(
+                "long"
+            ),
+        )
+        .filter((F.col("week_offset") >= 0) & (F.col("week_offset") <= 4))
+        .groupBy(
+            F.date_trunc("week", F.col("signup_day")).alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+ORACLE["q_funnel_conversion"] = """
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+    per_user AS (
+        SELECT s.user_id, s.signup_ts,
+               MAX(CASE WHEN p.p_ts >= s.signup_ts
+                         AND p.p_ts <= s.signup_ts + INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END) AS converted
+        FROM s LEFT JOIN p ON s.user_id = p.user_id
+        GROUP BY s.user_id, s.signup_ts
+    )
+    SELECT date_trunc('day', signup_ts) AS cohort_day,
+           COUNT(*) AS n_signups,
+           SUM(converted)::BIGINT AS n_converted_7d,
+           ROUND(SUM(converted) / COUNT(*)::DOUBLE, 6) AS conv_rate
+    FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE["q_retention_cohorts"] = """
+    WITH s AS (
+        SELECT user_id, MIN(ts)::DATE AS signup_day FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    a AS (SELECT user_id, ts::DATE AS act_day FROM events),
+    j AS (
+        SELECT s.user_id, s.signup_day,
+               (date_diff('day', s.signup_day, a.act_day) // 7) AS week_offset
+        FROM s JOIN a ON s.user_id = a.user_id
+        WHERE date_diff('day', s.signup_day, a.act_day) >= 0
+          AND date_diff('day', s.signup_day, a.act_day) <= 34
+    )
+    SELECT date_trunc('week', signup_day)::TIMESTAMP AS cohort_week,
+           week_offset, COUNT(DISTINCT user_id) AS n_active
+    FROM j WHERE week_offset BETWEEN 0 AND 4
+    GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
+"""
+
+QUERIES["q_funnel_conversion"] = q_funnel_conversion
+QUERIES["q_retention_cohorts"] = q_retention_cohorts

@@ -186,3 +186,53 @@ def test_repetition_signals_match_python_reference(spark, texts):
         assert got[i][0] == want[0], (i, t, got[i], want)
         for g, w in zip(got[i][1:], want[1:]):
             assert g == pytest.approx(w, abs=1e-9), (i, t, got[i], want)
+
+
+def test_funnel_conversion_window_boundary(spark, tmp_path):
+    import datetime as dt
+
+    from api_log_iceberg_test_spark.queries.analytics import q_funnel_conversion
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: converts exactly at the 7-day boundary (inclusive)
+        (1, t0, 1, "signup", 0.0, "{}"),
+        (2, t0 + dt.timedelta(days=7), 1, "purchase", 1.0, "{}"),
+        # user 2: purchase 1s past the boundary -> not converted
+        (3, t0, 2, "signup", 0.0, "{}"),
+        (4, t0 + dt.timedelta(days=7, seconds=1), 2, "purchase", 1.0, "{}"),
+        # user 3: purchase BEFORE signup -> not converted
+        (5, t0, 3, "signup", 0.0, "{}"),
+        (6, t0 - dt.timedelta(hours=1), 3, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "funnel")
+    df.write.parquet(d + "/events.parquet")
+    out = q_funnel_conversion(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_signups"] == 3 and r["n_converted_7d"] == 1
+    assert abs(r["conv_rate"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_retention_cohorts_offsets(spark, tmp_path):
+    import datetime as dt
+
+    from api_log_iceberg_test_spark.queries.analytics import q_retention_cohorts
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)  # a Monday
+    rows = [
+        (1, t0, 1, "signup", 0.0, "{}"),
+        (2, t0 + dt.timedelta(days=8), 1, "click", 0.0, "{}"),   # week 1
+        (3, t0 + dt.timedelta(days=20), 1, "click", 0.0, "{}"),  # week 2
+        (4, t0 + dt.timedelta(days=40), 1, "click", 0.0, "{}"),  # week 5: out
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "retention")
+    df.write.parquet(d + "/events.parquet")
+    out = {(r["week_offset"]): r["n_active"] for r in q_retention_cohorts(spark, d).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}  # signup day itself + weeks 1,2; week 5 excluded
