@@ -1189,6 +1189,106 @@ ORACLE["q_corpus_datacard"] = f"""
     ) ORDER BY section, metric
 """
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation disposition: every corpus doc gets its first
+    failing filter — too_short → low_quality → contaminated → duplicate —
+    or 'kept'. The single-query form of the full pre-training data path
+    whose stages (quality, contamination, near-dup clustering) are each
+    independently oracled.
+
+    Scale: one corpus scan computes tokens+quality; the pair list /
+    components / contamination sets are tiny relative to the corpus and
+    left-join back on doc_id (the contamination side broadcasts; the
+    component side is |dup docs|)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).localCheckpoint()
+    comp = dedup.connected_components(pairs)
+    bench = docs.where(F.col("doc_id") % 10 == 7)
+    corpus = docs.where(F.col("doc_id") % 10 != 7)
+    cont = dedup.ngram_contamination(corpus, bench, n=5).select(
+        "doc_id", F.lit(True).alias("_cont")
+    )
+    base = corpus.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+    )
+    disposition = (
+        F.when(F.col("n_tokens") < 12, "too_short")
+        .when(F.col("quality") < 0.9, "low_quality")
+        .when(F.col("_cont"), "contaminated")
+        .when(
+            F.col("component").isNotNull() & (F.col("component") != F.col("doc_id")),
+            "duplicate",
+        )
+        .otherwise("kept")
+    )
+    return (
+        base.join(comp, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select("doc_id", "n_tokens", "quality", disposition.alias("disposition"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["q_curation_pipeline"] = f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION
+        SELECT doc_b, doc_a FROM jpairs
+    ),
+    walk(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(comp) AS component FROM walk GROUP BY id),
+    tq AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                    ELSE 0.0 END AS mtl,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[.,!?;:''"()\\-]', '', 'g')))::DOUBLE / length(text)
+                    ELSE 0.0 END AS pr,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+                    ELSE 0.0 END AS dr
+        FROM tq
+    ),
+    qual AS (
+        SELECT doc_id, n_tokens,
+               ROUND(0.25 * least(n_tokens / 20.0, 1.0)
+                     + 0.25 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.0 END)
+                     + 0.25 * (1.0 - pr) + 0.25 * (1.0 - dr), 6) AS quality
+        FROM m
+    ),
+    sh5 AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+4], ' ')
+                              for i in range(1, greatest(len(toks)-4, 1) + 1)]) AS shl
+        FROM tq
+    ),
+    bench5 AS (SELECT DISTINCT unnest(shl) AS s FROM sh5 WHERE doc_id % 10 = 7),
+    corpus5 AS (SELECT doc_id, unnest(shl) AS s FROM sh5 WHERE doc_id % 10 <> 7),
+    cont AS (SELECT DISTINCT doc_id FROM corpus5 JOIN bench5 USING (s))
+    SELECT q.doc_id, q.n_tokens::BIGINT AS n_tokens, q.quality,
+           CASE WHEN q.n_tokens < 12 THEN 'too_short'
+                WHEN q.quality < 0.9 THEN 'low_quality'
+                WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN p.component IS NOT NULL AND p.component <> q.doc_id THEN 'duplicate'
+                ELSE 'kept' END AS disposition
+    FROM qual q
+    LEFT JOIN comp p ON q.doc_id = p.doc_id
+    LEFT JOIN cont c ON q.doc_id = c.doc_id
+    WHERE q.doc_id % 10 <> 7
+    ORDER BY q.doc_id
+"""
+
+
 ORACLE["q_leakage_safe_split"] = f"""
     WITH RECURSIVE {_JACCARD_CTES},
     edges AS (
@@ -1597,6 +1697,7 @@ QUERIES_LATE: dict = {
     "q_bpe_pair_counts": q_bpe_pair_counts,
     "q_zorder_stats": q_zorder_stats,
     "q_dedup_incremental": q_dedup_incremental,
+    "q_curation_pipeline": q_curation_pipeline,
 }
 
 #: Rows-only entries intentionally merged LAST in __spark_entry__ so they

@@ -236,3 +236,37 @@ def test_retention_cohorts_offsets(spark, tmp_path):
     df.write.parquet(d + "/events.parquet")
     out = {(r["week_offset"]): r["n_active"] for r in q_retention_cohorts(spark, d).collect()}
     assert out == {0: 1, 1: 1, 2: 1}  # signup day itself + weeks 1,2; week 5 excluded
+
+
+def test_curation_pipeline_all_dispositions(spark, tmp_path):
+    from api_log_iceberg_test_spark.operators.registry import q_curation_pipeline
+
+    long_clean = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    dup_text = (
+        "uniform victor whiskey xray yankee zulu amber bronze copper dusk "
+        "ember frost garnet harbor indigo jasper"
+    )
+    bench_text = "needle one two three four shared with benchmark document here"
+    rows = [
+        (1, "tiny", "en", "s"),                      # too_short
+        (2, "1 2 3 4 5 6 7 8 9 10 11 12 13", "en", "s"),  # low_quality (digits)
+        # shares the 5-gram "needle one two three four" with bench doc 7
+        (3, "needle one two three four plus many other clean tokens follow here now", "en", "s"),
+        (4, dup_text, "en", "s"),                    # duplicate pair (4, 5)
+        (5, dup_text + " extra", "en", "s"),
+        (6, long_clean, "en", "s"),                  # kept
+        (7, bench_text, "en", "s"),                  # benchmark split (id % 10 == 7)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    d = str(tmp_path / "curation")
+    df.write.parquet(d + "/documents.parquet")
+    out = {r["doc_id"]: r["disposition"] for r in q_curation_pipeline(spark, d).collect()}
+    assert out[1] == "too_short"
+    assert out[2] == "low_quality"
+    assert out[3] == "contaminated"
+    assert out[5] == "duplicate" and out[4] == "kept"  # 4 is the cluster min -> canonical
+    assert out[6] == "kept"
+    assert 7 not in out  # benchmark docs are not part of the curated corpus
