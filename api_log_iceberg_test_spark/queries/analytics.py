@@ -1435,3 +1435,36 @@ ORACLE["q_retention_cohorts"] = """
 
 QUERIES["q_funnel_conversion"] = q_funnel_conversion
 QUERIES["q_retention_cohorts"] = q_retention_cohorts
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecasting revenue change — a pure scan-side
+    filter + single combinable agg. Every predicate pushes to the parquet
+    scan; the only exchange is the 1-row partial-agg merge. (Q9/Q11 are
+    the two TPC-H shapes this suite omits: the testdata ships no partsupp
+    table, and ps_supplycost/ps_availqty cannot be faithfully synthesized.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+ORACLE["q_forecast_revenue"] = """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+QUERIES["q_forecast_revenue"] = q_forecast_revenue

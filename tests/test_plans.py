@@ -184,3 +184,13 @@ def test_zorder_stats_single_agg_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_zorder_stats")
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_forecast_revenue_pushes_all_predicates(spark, sf_dir):
+    # TPC-H Q6's whole point: every predicate reaches the parquet scan
+    plan = _plan(spark, sf_dir, "q_forecast_revenue")
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    assert "Join" not in plan
