@@ -1468,3 +1468,80 @@ ORACLE["q_forecast_revenue"] = """
 """
 
 QUERIES["q_forecast_revenue"] = q_forecast_revenue
+
+
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each purchase, the user's FIRST signup/click
+    at-or-after it (pandas merge_asof direction='forward'; kdb aj's dual).
+
+    Same scalable union-marker composition as the backward variant —
+    mirrored window: descending event time, right rows before left rows at
+    equal ts (ties count as at-or-after), ``r_event_id DESC`` so equal-ts
+    right rows resolve to the minimum id deterministically. One shuffle on
+    the join key; a nearest-direction join composes from the backward +
+    forward picks by |Δt|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = ev.filter(F.col("event_type").isin("signup", "click")).select(
+        "user_id", "ts", F.col("event_id").alias("r_event_id")
+    )
+    tagged = left.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_left"),
+        "event_id",
+        F.lit(None).cast("long").alias("r_event_id"),
+    ).unionByName(
+        right.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_left"),
+            F.lit(None).cast("long").alias("event_id"),
+            "r_event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("is_left"), F.desc("r_event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = tagged.withColumn(
+        "matched_r", F.last("r_event_id", ignorenulls=True).over(w)
+    )
+    return (
+        matched.filter(F.col("is_left") == 1)
+        .select("user_id", "event_id", F.col("matched_r").alias("next_event_id"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+ORACLE["q_asof_join_forward"] = """
+    WITH l AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT user_id, ts, event_id AS r_event_id FROM events
+        WHERE event_type IN ('signup', 'click')
+    ),
+    tagged AS (
+        SELECT user_id, ts, 1 AS is_left, event_id, NULL::BIGINT AS r_event_id FROM l
+        UNION ALL
+        SELECT user_id, ts, 0, NULL::BIGINT, r_event_id FROM r
+    ),
+    m AS (
+        SELECT *,
+               LAST_VALUE(r_event_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, is_left ASC, r_event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS next_event_id
+        FROM tagged
+    )
+    SELECT user_id, event_id, next_event_id
+    FROM m WHERE is_left = 1 ORDER BY user_id, event_id
+"""
+
+QUERIES["q_asof_join_forward"] = q_asof_join_forward

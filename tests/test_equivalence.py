@@ -270,3 +270,32 @@ def test_curation_pipeline_all_dispositions(spark, tmp_path):
     assert out[5] == "duplicate" and out[4] == "kept"  # 4 is the cluster min -> canonical
     assert out[6] == "kept"
     assert 7 not in out  # benchmark docs are not part of the curated corpus
+
+
+def test_asof_forward_semantics(spark, tmp_path):
+    import datetime as dt
+
+    from api_log_iceberg_test_spark.queries.analytics import q_asof_join_forward
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # purchase at t5: equal-ts click (id 20) must match over later ones
+        (10, t(5), 1, "purchase", 0.0, "{}"),
+        (20, t(5), 1, "click", 0.0, "{}"),
+        (21, t(9), 1, "click", 0.0, "{}"),
+        # purchase after the last right event -> no forward match
+        (11, t(30), 1, "purchase", 0.0, "{}"),
+        # equal-ts tie between two clicks: deterministic min event_id
+        (12, t(2), 2, "purchase", 0.0, "{}"),
+        (30, t(4), 2, "click", 0.0, "{}"),
+        (31, t(4), 2, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "asof_fwd")
+    df.write.parquet(d + "/events.parquet")
+    out = {r["event_id"]: r["next_event_id"] for r in q_asof_join_forward(spark, d).collect()}
+    assert out[10] == 20  # at-or-after includes equal ts
+    assert out[11] is None  # nothing after
+    assert out[12] == 30  # min id among equal-ts candidates
