@@ -1189,6 +1189,72 @@ ORACLE["q_corpus_datacard"] = f"""
     ) ORDER BY section, metric
 """
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the domain-mix reweighting as an actual sampled corpus:
+    each source gets acceptance rate min(1, uniform_target/actual_share),
+    applied with the same deterministic multiplicative hash as
+    q_train_sample — so the mixed corpus is reproducible and split-safe.
+
+    All thresholds are INTEGER arithmetic (per-mille =
+    total_tokens·1000 div (n_sources·source_tokens), capped at 1000), so
+    Spark and the oracle agree bit-for-bit with no float boundary risk.
+
+    Scale: the per-source threshold table is |sources| rows and broadcasts;
+    the acceptance predicate is a codegen'd scan-side filter."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", text.token_count("text").cast("long").alias("_nt")
+    )
+    per = docs.groupBy("source").agg(F.sum("_nt").alias("src_tokens"))
+    thr = per.select(
+        "source",
+        F.least(
+            F.lit(1000).cast("long"),
+            F.expr("(sum(src_tokens) OVER () * 1000) div (count(*) OVER () * src_tokens)"),
+        ).alias("_thr"),
+    )
+    residue = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(1000)) * F.lit(2654435761), F.lit(1000)
+    )
+    kept = docs.join(F.broadcast(thr), "source").withColumn(
+        "_keep", residue < F.col("_thr")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.min("_thr").alias("per_mille"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["q_weighted_sample"] = f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+                    THEN 0 ELSE len({_TOKENS}) END AS nt
+        FROM documents
+    ),
+    per AS (SELECT source, SUM(nt) AS src_tokens FROM d GROUP BY source),
+    thr AS (
+        SELECT source,
+               LEAST(1000, (SUM(src_tokens) OVER () * 1000)
+                           // (COUNT(*) OVER () * src_tokens)) AS per_mille
+        FROM per
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN (d.doc_id % 1000 * 2654435761) % 1000 < t.per_mille
+                    THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           MIN(t.per_mille)::BIGINT AS per_mille
+    FROM d JOIN thr t ON d.source = t.source
+    GROUP BY d.source ORDER BY d.source
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation disposition: every corpus doc gets its first
     failing filter — too_short → low_quality → contaminated → duplicate —
@@ -1698,6 +1764,7 @@ QUERIES_LATE: dict = {
     "q_zorder_stats": q_zorder_stats,
     "q_dedup_incremental": q_dedup_incremental,
     "q_curation_pipeline": q_curation_pipeline,
+    "q_weighted_sample": q_weighted_sample,
 }
 
 #: Rows-only entries intentionally merged LAST in __spark_entry__ so they

@@ -299,3 +299,20 @@ def test_asof_forward_semantics(spark, tmp_path):
     assert out[10] == 20  # at-or-after includes equal ts
     assert out[11] is None  # nothing after
     assert out[12] == 30  # min id among equal-ts candidates
+
+
+def test_weighted_sample_downsamples_heavy_source(spark, tmp_path):
+    from api_log_iceberg_test_spark.operators.registry import q_weighted_sample
+
+    # src_big holds ~4x the tokens of src_small -> its per-mille rate must
+    # be capped below 1000 while src_small stays at 1000 (upweight capped)
+    rows = [(i, "word " * 40, "en", "src_big") for i in range(80)]
+    rows += [(100 + i, "word " * 10, "en", "src_small") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    d = str(tmp_path / "wsample")
+    df.write.parquet(d + "/documents.parquet")
+    out = {r["source"]: r for r in q_weighted_sample(spark, d).collect()}
+    assert out["src_small"]["per_mille"] == 1000
+    assert out["src_small"]["n_kept"] == 20
+    assert out["src_big"]["per_mille"] < 1000
+    assert out["src_big"]["n_kept"] < 80
