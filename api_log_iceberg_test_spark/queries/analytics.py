@@ -1545,3 +1545,124 @@ ORACLE["q_asof_join_forward"] = """
 """
 
 QUERIES["q_asof_join_forward"] = q_asof_join_forward
+
+
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (merge_asof direction='nearest'): for each
+    purchase, whichever signup/click is closer in time, looking both ways;
+    |Δt| ties resolve backward.
+
+    Composes the backward and forward picks as two windows over ONE tagged
+    union — same partition key, so one shuffle and two in-partition sorts,
+    still no range explode. Per direction the carried (ts, id) columns are
+    null on exactly the same rows, so paired last-IGNORE-NULLS picks stay
+    row-consistent. NTZ-safe: |Δt| uses the cast-to-LTZ epoch trick.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = ev.filter(F.col("event_type").isin("signup", "click")).select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    tagged = left.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_left"),
+        "event_id",
+        F.lit(None).cast("timestamp_ntz").cast(left.schema["ts"].dataType).alias("r_ts"),
+        F.lit(None).cast("long").alias("r_event_id"),
+    ).unionByName(
+        right.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_left"),
+            F.lit(None).cast("long").alias("event_id"),
+            "r_ts",
+            "r_event_id",
+        )
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left", "r_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("is_left"), F.desc("r_event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp_ltz"))
+    m = (
+        tagged.withColumn("b_id", F.last("r_event_id", ignorenulls=True).over(wb))
+        .withColumn("b_ts", F.last("r_ts", ignorenulls=True).over(wb))
+        .withColumn("f_id", F.last("r_event_id", ignorenulls=True).over(wf))
+        .withColumn("f_ts", F.last("r_ts", ignorenulls=True).over(wf))
+        .filter(F.col("is_left") == 1)
+    )
+    db = us("ts") - us("b_ts")
+    df_ = us("f_ts") - us("ts")
+    nearest = (
+        F.when(F.col("b_id").isNull(), F.col("f_id"))
+        .when(F.col("f_id").isNull(), F.col("b_id"))
+        .when(df_ < db, F.col("f_id"))
+        .otherwise(F.col("b_id"))
+    )
+    direction = (
+        F.when(F.col("b_id").isNull() & F.col("f_id").isNull(), F.lit(None).cast("string"))
+        .when(F.col("b_id").isNull(), "forward")
+        .when(F.col("f_id").isNull(), "backward")
+        .when(df_ < db, "forward")
+        .otherwise("backward")
+    )
+    return m.select(
+        "user_id",
+        "event_id",
+        nearest.alias("nearest_event_id"),
+        direction.alias("direction"),
+    ).orderBy("user_id", "event_id")
+
+
+ORACLE["q_asof_join_nearest"] = """
+    WITH l AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT user_id, ts, ts AS r_ts, event_id AS r_event_id FROM events
+        WHERE event_type IN ('signup', 'click')
+    ),
+    tagged AS (
+        SELECT user_id, ts, 1 AS is_left, event_id,
+               NULL::TIMESTAMP AS r_ts, NULL::BIGINT AS r_event_id FROM l
+        UNION ALL
+        SELECT user_id, ts, 0, NULL::BIGINT, r_ts, r_event_id FROM r
+    ),
+    m AS (
+        SELECT *,
+               LAST_VALUE(r_event_id IGNORE NULLS) OVER wb AS b_id,
+               LAST_VALUE(r_ts IGNORE NULLS) OVER wb AS b_ts,
+               LAST_VALUE(r_event_id IGNORE NULLS) OVER wf AS f_id,
+               LAST_VALUE(r_ts IGNORE NULLS) OVER wf AS f_ts
+        FROM tagged
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts, is_left, r_event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY ts DESC, is_left ASC, r_event_id DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN b_id IS NULL THEN f_id
+                WHEN f_id IS NULL THEN b_id
+                WHEN epoch_us(f_ts) - epoch_us(ts) < epoch_us(ts) - epoch_us(b_ts)
+                     THEN f_id ELSE b_id END AS nearest_event_id,
+           CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+                WHEN b_id IS NULL THEN 'forward'
+                WHEN f_id IS NULL THEN 'backward'
+                WHEN epoch_us(f_ts) - epoch_us(ts) < epoch_us(ts) - epoch_us(b_ts)
+                     THEN 'forward' ELSE 'backward' END AS direction
+    FROM m WHERE is_left = 1 ORDER BY user_id, event_id
+"""
+
+QUERIES["q_asof_join_nearest"] = q_asof_join_nearest

@@ -316,3 +316,34 @@ def test_weighted_sample_downsamples_heavy_source(spark, tmp_path):
     assert out["src_small"]["n_kept"] == 20
     assert out["src_big"]["per_mille"] < 1000
     assert out["src_big"]["n_kept"] < 80
+
+
+def test_asof_nearest_picks_closer_side(spark, tmp_path):
+    import datetime as dt
+
+    from api_log_iceberg_test_spark.queries.analytics import q_asof_join_nearest
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # backward at -3s, forward at +1s -> forward wins
+        (10, t(10), 1, "purchase", 0.0, "{}"),
+        (20, t(7), 1, "click", 0.0, "{}"),
+        (21, t(11), 1, "click", 0.0, "{}"),
+        # exact |dt| tie (backward -2s, forward +2s) -> backward wins
+        (11, t(20), 2, "purchase", 0.0, "{}"),
+        (30, t(18), 2, "click", 0.0, "{}"),
+        (31, t(22), 2, "click", 0.0, "{}"),
+        # only a backward candidate exists
+        (12, t(40), 3, "purchase", 0.0, "{}"),
+        (40, t(35), 3, "signup", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "asof_near")
+    df.write.parquet(d + "/events.parquet")
+    out = {r["event_id"]: (r["nearest_event_id"], r["direction"])
+           for r in q_asof_join_nearest(spark, d).collect()}
+    assert out[10] == (21, "forward")
+    assert out[11] == (30, "backward")
+    assert out[12] == (40, "backward")
