@@ -942,9 +942,9 @@ def incremental_dedup(
     """
     idx = corpus.select(F.md5(normalize_text(key)).alias("text_hash")).distinct()
     hashed = batch.withColumn("text_hash", F.md5(normalize_text(key)))
-    return (
-        hashed.join(idx, "text_hash", "left_anti")
-        .groupBy("text_hash")
-        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
-        .select(id_col, "text_hash", "n_copies")
+    fresh = hashed.join(idx, "text_hash", "left_anti").drop("text_hash")
+    # within-batch dedup IS normalized_dedup — one canonical implementation
+    # of the md5(normalize)/min-id/count convention
+    return normalized_dedup(fresh, key=key, id_col=id_col).select(
+        id_col, "text_hash", "n_copies"
     )

@@ -67,7 +67,7 @@ def cluster_by_zorder(
     boundaries) + in-partition sort — the same cost shape as a global sort
     on one column.
     """
-    z = zorder_value(list(cols), bits).alias("_z")
-    out = df.withColumn("_z", z)
-    parts = [F.col("_z")] if num_partitions is None else [num_partitions, F.col("_z")]
-    return out.repartitionByRange(*parts).sortWithinPartitions("_z").drop("_z")
+    zcol = "__zorder_sort_key"  # collision-safe: never a user column name
+    out = df.withColumn(zcol, zorder_value(list(cols), bits))
+    parts = [F.col(zcol)] if num_partitions is None else [num_partitions, F.col(zcol)]
+    return out.repartitionByRange(*parts).sortWithinPartitions(zcol).drop(zcol)

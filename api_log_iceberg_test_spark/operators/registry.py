@@ -1786,7 +1786,15 @@ def q_cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by nature (CMS is approximate: true ≤ est ≤ true + eps·N);
     bounds and merge losslessness are asserted in tests/test_sketches.py."""
     ev = load_table(spark, sf_dir, "events")
-    keys = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    # NULL keys: sorted() would raise on None vs str and estimateCount(None)
+    # is undefined — NULL frequency is a COUNT(*) FILTER, not a sketch probe
+    keys = [
+        r["event_type"]
+        for r in ev.select("event_type")
+        .filter(F.col("event_type").isNotNull())
+        .distinct()
+        .collect()
+    ]
     daily = sketches.cms_daily_sketches(ev)
     merged = sketches.cms_merge(spark, daily)
     return sketches.cms_estimate_counts(spark, merged, sorted(keys)).orderBy("key")

@@ -520,8 +520,10 @@ def embedding_neardup_pairs(
     once (left side keeps a single bucket, right side explodes ±1, like
     :func:`~.joins.range_join_within`), replacing the all-pairs
     nested-loop product with a shuffle join on compact bucket keys. Result
-    set is byte-identical to the unpruned join — the DuckDB theta-join
-    oracle still hash-matches.
+    set matches the unpruned join — the DuckDB theta-join oracle still
+    hash-matches. The bound is exact in real arithmetic; the bucket width
+    carries a 1e-6 relative slack so double rounding at the cosine
+    threshold boundary cannot strand a qualifying pair two buckets away.
 
     Pruning power depends on the projection's spread vs √(2−2t): strong for
     tight thresholds / anisotropic corpora, weaker on isotropic noise
@@ -532,7 +534,7 @@ def embedding_neardup_pairs(
     """
     import math
 
-    eps = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12))
+    eps = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12)) * (1.0 + 1e-6)
     nv = norm(F.col(vec_col))
     p0 = F.coalesce(
         F.try_divide(F.element_at(F.col(vec_col), 1), nv), F.lit(0.0)
@@ -665,6 +667,10 @@ def cosine_topk_pq(
     srows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
     )
+    if not srows:  # empty corpus: empty result, like the exact paths
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
     sm = np.array([list(r[1]) for r in srows], dtype=np.float64)
     sn = np.linalg.norm(sm, axis=1)
     sm = sm / np.where(sn == 0.0, 1.0, sn)[:, None]

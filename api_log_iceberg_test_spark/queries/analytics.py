@@ -811,6 +811,58 @@ def q_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- as-of join (custom operator the reference lacks; SURVEY.md §7) -----------
 
 
+def _asof_tagged(ev: DataFrame, carry_ts: bool = False) -> DataFrame:
+    """Shared scaffold for the as-of family: purchases as the left side,
+    signup/click as the right side, unioned with a marker and typed NULL
+    padding so one window pass per direction resolves every match. With
+    ``carry_ts`` the right-side event time is also carried (needed by the
+    nearest direction to compare |Δt|); ``r_ts``/``r_event_id`` are null on
+    exactly the same rows, so paired last-IGNORE-NULLS picks stay
+    row-consistent."""
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = ev.filter(F.col("event_type").isin("signup", "click")).select(
+        "user_id", "ts", F.col("event_id").alias("r_event_id")
+    )
+    ts_type = ev.schema["ts"].dataType
+    lcols = [
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(1).alias("is_left"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("r_event_id"),
+    ]
+    rcols = [
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(0).alias("is_left"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("r_event_id"),
+    ]
+    if carry_ts:
+        lcols.append(F.lit(None).cast(ts_type).alias("r_ts"))
+        rcols.append(F.col("ts").alias("r_ts"))
+    return left.select(*lcols).unionByName(right.select(*rcols))
+
+
+def _asof_window(direction: str):
+    """The per-direction window. Tie-break asymmetry is deliberate and
+    lives here only: backward takes the MAX id among equal-ts rights (the
+    last one laid down), forward the MIN (the first one coming up); right
+    rows sort before left rows at equal ts in both, so ties count as
+    matches."""
+    if direction == "backward":
+        order = [F.asc("ts"), F.asc("is_left"), F.asc("r_event_id")]
+    else:
+        order = [F.desc("ts"), F.asc("is_left"), F.desc("r_event_id")]
+    return (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the user's most recent prior-or-equal
     signup/click event.
@@ -821,28 +873,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on the join key, no range-explode, no pair blowup. (DuckDB
     oracle uses its native ASOF JOIN.)
     """
-    ev = load_table(spark, sf_dir, "events")
-    left = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("ts"), F.col("event_id").alias("event_id")
-    )
-    right = ev.filter(F.col("event_type").isin("signup", "click")).select(
-        "user_id", F.col("ts").alias("ts"), F.col("event_id").alias("r_event_id")
-    )
-    tagged = left.select(
-        "user_id", "ts", F.lit(1).alias("is_left"), "event_id", F.lit(None).cast("long").alias("r_event_id")
-    ).unionByName(
-        right.select(
-            "user_id", "ts", F.lit(0).alias("is_left"), F.lit(None).cast("long").alias("event_id"), "r_event_id"
-        )
-    )
-    # right rows sort before left rows at equal ts (is_left asc) so ties
-    # count as "prior-or-equal"; r_event_id as the final key makes the pick
-    # among equal-ts right rows deterministic (max event_id) instead of
-    # shuffle-order-dependent — latent in this testdata (no (user_id, ts)
-    # dupes) but a real flap source on data with timestamp ties.
-    w = Window.partitionBy("user_id").orderBy("ts", "is_left", "r_event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    tagged = _asof_tagged(load_table(spark, sf_dir, "events"))
+    w = _asof_window("backward")
     matched = tagged.withColumn("matched_r", F.last("r_event_id", ignorenulls=True).over(w))
     return (
         matched.filter(F.col("is_left") == 1)
@@ -1481,33 +1513,8 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join key; a nearest-direction join composes from the backward +
     forward picks by |Δt|.
     """
-    ev = load_table(spark, sf_dir, "events")
-    left = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id"
-    )
-    right = ev.filter(F.col("event_type").isin("signup", "click")).select(
-        "user_id", "ts", F.col("event_id").alias("r_event_id")
-    )
-    tagged = left.select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("is_left"),
-        "event_id",
-        F.lit(None).cast("long").alias("r_event_id"),
-    ).unionByName(
-        right.select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("is_left"),
-            F.lit(None).cast("long").alias("event_id"),
-            "r_event_id",
-        )
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.desc("ts"), F.asc("is_left"), F.desc("r_event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    tagged = _asof_tagged(load_table(spark, sf_dir, "events"))
+    w = _asof_window("forward")
     matched = tagged.withColumn(
         "matched_r", F.last("r_event_id", ignorenulls=True).over(w)
     )
@@ -1558,43 +1565,9 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     null on exactly the same rows, so paired last-IGNORE-NULLS picks stay
     row-consistent. NTZ-safe: |Δt| uses the cast-to-LTZ epoch trick.
     """
-    ev = load_table(spark, sf_dir, "events")
-    left = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id"
-    )
-    right = ev.filter(F.col("event_type").isin("signup", "click")).select(
-        "user_id",
-        "ts",
-        F.col("ts").alias("r_ts"),
-        F.col("event_id").alias("r_event_id"),
-    )
-    tagged = left.select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("is_left"),
-        "event_id",
-        F.lit(None).cast("timestamp_ntz").cast(left.schema["ts"].dataType).alias("r_ts"),
-        F.lit(None).cast("long").alias("r_event_id"),
-    ).unionByName(
-        right.select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("is_left"),
-            F.lit(None).cast("long").alias("event_id"),
-            "r_ts",
-            "r_event_id",
-        )
-    )
-    wb = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_left", "r_event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wf = (
-        Window.partitionBy("user_id")
-        .orderBy(F.desc("ts"), F.asc("is_left"), F.desc("r_event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    tagged = _asof_tagged(load_table(spark, sf_dir, "events"), carry_ts=True)
+    wb = _asof_window("backward")
+    wf = _asof_window("forward")
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp_ltz"))
     m = (
         tagged.withColumn("b_id", F.last("r_event_id", ignorenulls=True).over(wb))

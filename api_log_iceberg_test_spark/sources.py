@@ -147,9 +147,8 @@ def read_orc_logs(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(API_LOG_SCHEMA).orc(path).select(*API_LOG_COLUMNS)
 
 
-def read_text_logs(spark: SparkSession, path: str) -> DataFrame:
-    """Raw-line ingestion (``format("text")``): one string column ``value``
-    per line, parsed with the same PERMISSIVE JSONL semantics. The shape
-    for logs shipped as opaque line blobs (syslog relays, S3 inventory
-    dumps) where parse and load must be separate, restartable stages."""
-    return _parse_json_lines(spark.read.text(path))
+#: Raw-line ingestion alias: :func:`read_jsonl_logs` already IS the
+#: ``format("text")`` + parse composition (line blobs in, PERMISSIVE parse,
+#: quarantine split) — the name documents the syslog-relay/S3-inventory
+#: ingestion shape without duplicating the implementation.
+read_text_logs = read_jsonl_logs

@@ -58,6 +58,15 @@ EXTENSION = [
     "q_bpe_pair_counts",
     "q_zorder_stats",
     "q_ann_pq_topk",
+    "q_dedup_incremental",
+    "q_curation_pipeline",
+    "q_weighted_sample",
+    "q_funnel_conversion",
+    "q_retention_cohorts",
+    "q_asof_join_forward",
+    "q_asof_join_nearest",
+    "q_forecast_revenue",
+    "q_cms_event_counts",
 ]
 
 
