@@ -27,6 +27,11 @@ TS_SENSITIVE = [
     "q_tumbling_window_batch",
     "q_hourly_rollup",
     "q_asof_join",
+    # round-3 additions doing interval/epoch arithmetic on ts
+    "q_funnel_conversion",
+    "q_retention_cohorts",
+    "q_asof_join_forward",
+    "q_asof_join_nearest",
 ]
 
 
