@@ -1639,3 +1639,66 @@ ORACLE["q_asof_join_nearest"] = """
 """
 
 QUERIES["q_asof_join_nearest"] = q_asof_join_nearest
+
+
+def q_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height (decile) histogram of event values — the profiling
+    companion to q_value_histogram's equi-width buckets.
+
+    NOT the naive NTILE-over-global-sort plan (a single-partition window —
+    wrong at any scale): decile boundaries come from one combinable exact
+    `percentile` aggregate, broadcast back, and the bucket id is a codegen
+    sum of 9 comparisons at scan speed. Boundary ties land in the lower
+    bucket in both engines, so counts are deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    probs = [i / 10.0 for i in range(1, 10)]
+    bounds = ev.agg(
+        *[
+            F.expr(f"percentile(value, {p})").alias(f"b{i}")
+            for i, p in enumerate(probs, 1)
+        ]
+    )
+    j = ev.crossJoin(F.broadcast(bounds))
+    bucket = sum(
+        [F.when(F.col("value") > F.col(f"b{i}"), 1).otherwise(0) for i in range(1, 10)],
+        F.lit(0),
+    ).cast("long")
+    return (
+        j.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE["q_equiheight_histogram"] = """
+    WITH b AS (
+        SELECT quantile_cont(value, 0.1) AS b1, quantile_cont(value, 0.2) AS b2,
+               quantile_cont(value, 0.3) AS b3, quantile_cont(value, 0.4) AS b4,
+               quantile_cont(value, 0.5) AS b5, quantile_cont(value, 0.6) AS b6,
+               quantile_cont(value, 0.7) AS b7, quantile_cont(value, 0.8) AS b8,
+               quantile_cont(value, 0.9) AS b9
+        FROM events
+    )
+    SELECT (CASE WHEN value > b1 THEN 1 ELSE 0 END
+          + CASE WHEN value > b2 THEN 1 ELSE 0 END
+          + CASE WHEN value > b3 THEN 1 ELSE 0 END
+          + CASE WHEN value > b4 THEN 1 ELSE 0 END
+          + CASE WHEN value > b5 THEN 1 ELSE 0 END
+          + CASE WHEN value > b6 THEN 1 ELSE 0 END
+          + CASE WHEN value > b7 THEN 1 ELSE 0 END
+          + CASE WHEN value > b8 THEN 1 ELSE 0 END
+          + CASE WHEN value > b9 THEN 1 ELSE 0 END)::BIGINT AS bucket,
+           COUNT(*) AS cnt,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi
+    FROM events CROSS JOIN b
+    GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["q_equiheight_histogram"] = q_equiheight_histogram

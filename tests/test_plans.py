@@ -194,3 +194,11 @@ def test_forecast_revenue_pushes_all_predicates(spark, sf_dir):
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, f"{col} not pushed: {pushed}"
     assert "Join" not in plan
+
+
+def test_equiheight_histogram_avoids_global_window(spark, sf_dir):
+    # equi-height deciles must come from a combinable percentile agg +
+    # broadcast, never an NTILE over a single-partition global sort
+    plan = _plan(spark, sf_dir, "q_equiheight_histogram")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
