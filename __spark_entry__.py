@@ -47,16 +47,76 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-1 driver verification covered only the FIRST 50 queries() entries in
-# merge (= dict insertion) order, leaving every extension operator unchecked.
-# Merge order is therefore a priority order: reference §2 surface first, then
-# ALL LLM-pipeline extension operators, then the round-1-red analytics entries
-# (to prove their oracle fixes), then the SQL surface, then the analytic
-# breadth (already green in CORRECTNESS_r01).
-_PRIORITY_ANALYTICS = [
-    "q_priority_line_buckets",  # red in r01: HUGEINT SUM(CASE) artifact
-    "q_sessionize",  # red in r01: HUGEINT window-SUM artifact
-    "q_tumbling_window_batch",  # red in r01: TIMESTAMPTZ artifact
+# The driver verifies only the FIRST 50 queries() entries per round (merge =
+# dict insertion order), so the order below is a ROTATING verification window.
+# Round-4 policy (VERDICT r03 #1): keep the 9 pinned sentinels (reference §2
+# surface + the round-1-red analytics trio), then spend every remaining slot
+# on entries that have never earned a driver CORRECTNESS row — all round-3
+# operators, the q_sql_* front door, the analytics additions, and this
+# round's new operators — plus the three re-certifications the verdict asked
+# for (non-vacuous q_embedding_neardup, displaced-since-r02 q_show_tables /
+# q_limit_scan). Entries green in r03 rotate OUT; their evidence stands.
+# tests/test_oracle_parity.py::test_driver_window_priority enforces that no
+# never-verified entry stays outside the window while capacity allows.
+_WINDOW_R04 = [
+    # pinned sentinels: full reference §2 surface ...
+    "q_count",
+    "q_frequency_by_name",
+    "q_recent_top20",
+    "q_time_range_full_scan",
+    "q_error_analysis",
+    "q_projection",
+    # ... and the round-1-red analytics trio (oracle fixes must stay proven)
+    "q_priority_line_buckets",
+    "q_sessionize",
+    "q_tumbling_window_batch",
+    # round-3 operators: oracled, never driver-verified
+    "q_corr_stats",
+    "q_dedup_spans",
+    "q_lm_quality",
+    "q_bpe_pair_counts",
+    "q_zorder_stats",
+    "q_dedup_incremental",
+    "q_curation_pipeline",
+    "q_weighted_sample",
+    "q_funnel_conversion",
+    "q_retention_cohorts",
+    "q_forecast_revenue",
+    "q_asof_join_forward",
+    "q_asof_join_nearest",
+    "q_equiheight_histogram",
+    # raw-SQL front door: oracled, never driver-verified
+    "q_sql_correlated_exists",
+    "q_sql_cte_join",
+    "q_sql_case_having",
+    "q_sql_grouping_sets",
+    "q_sql_intersect",
+    "q_sql_regexp_extract",
+    "q_sql_array_agg",
+    "q_sql_unpivot",
+    "q_sql_null_scalars",
+    "q_sql_intersect_all",
+    "q_sql_lateral_explode",
+    "q_sql_filter_clause",
+    "q_sql_range_frame",
+    "q_sql_ignore_nulls",
+    "q_sql_map_functions",
+    # re-certifications requested by VERDICT r03
+    "q_embedding_neardup",  # threshold fix: was green-but-vacuous (0 rows)
+    "q_show_tables",  # §2 S8, displaced since r02
+    "q_limit_scan",  # §2 O3, displaced since r02
+    # round-4 operators (added below as they land)
+    "q_pagerank",
+    "q_triangle_counts",
+    "q_hopping_window_batch",
+    "q_winsorized_stats",
+    # rows-only approximate family: never driver-verified (weaker rows-only
+    # driver check by design; bounds/merge parity asserted in pytest)
+    "q_hll_daily_users",
+    "q_kmeans_clusters",
+    "q_kll_value_quantiles",
+    "q_ann_pq_topk",
+    "q_cms_event_counts",
 ]
 
 
@@ -65,21 +125,24 @@ def _merged(attr: str) -> dict:
     ana = getattr(analytics, attr)
     sql = getattr(sql_surface, attr)
     ops = _OPS_QUERIES if attr == "QUERIES" else _OPS_ORACLE
-    out: dict = {}
-    out.update(api)
-    out.update(ops)
-    for k in _PRIORITY_ANALYTICS:
-        if k in ana:
-            out[k] = ana[k]
+    full: dict = {}
+    full.update(api)
+    full.update(ops)
     if attr == "QUERIES":
-        # oracled ops registered AFTER the 50-entry window filled up: they
-        # merge behind the must-stay-green analytics trio so they can never
-        # displace it (their oracles live in the same ORACLE dict)
-        out.update(_OPS_LATE)
-    out.update(sql)
-    out.update(ana)
-    if attr == "QUERIES":  # rows-only tail: never displaces verifiable entries
-        out.update(_OPS_TAIL)
+        full.update(_OPS_LATE)
+    full.update(sql)
+    full.update(ana)
+    if attr == "QUERIES":
+        full.update(_OPS_TAIL)
+    if attr != "QUERIES":
+        return full  # oracle dict order is irrelevant to the driver
+    out: dict = {}
+    for k in _WINDOW_R04:  # window entries first, in window order
+        if k in full:
+            out[k] = full[k]
+    for k, v in full.items():  # then everything already proven, stable order
+        if k not in out:
+            out[k] = v
     return out
 
 

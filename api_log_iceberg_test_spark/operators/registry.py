@@ -142,16 +142,23 @@ def q_ann_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold 0.42: the driver testdata plants no true near-dups (max
+    pairwise cosine ≈ 0.51 at sf0.01), so the round-3 registered 0.9 cutoff
+    made the oracle compare empty sets. 0.42 yields a stable non-empty pair
+    set (27/34/441 pairs at sf0.001/0.01/0.1) with ≥3e-5 margin to the
+    nearest pair's cosine, so the hash compare certifies real pairs."""
     emb = _load_embeddings(spark, sf_dir)
-    return similarity.embedding_neardup_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.42).orderBy("id_a", "id_b")
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: hyperplane-LSH scale path — exact-verified subset of
     q_embedding_neardup (precision 1.0); recall asserted in
-    tests/test_similarity.py."""
+    tests/test_similarity.py. Same 0.42 threshold so the driver row is
+    non-vacuous (collision-probability recall is lower at wide angles,
+    which the rows-only check tolerates by design)."""
     emb = _load_embeddings(spark, sf_dir)
-    return similarity.hyperplane_lsh_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
+    return similarity.hyperplane_lsh_pairs(emb, threshold=0.42).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -617,7 +624,7 @@ ORACLE: dict[str, str] = {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.42
         ORDER BY id_a, id_b
     """,
     "q_text_analyze": f"""
@@ -1200,7 +1207,13 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and the oracle agree bit-for-bit with no float boundary risk.
 
     Scale: the per-source threshold table is |sources| rows and broadcasts;
-    the acceptance predicate is a codegen'd scan-side filter."""
+    the acceptance predicate is a codegen'd scan-side filter.
+
+    Zero-token sources (every doc empty): per-mille is defined as NULL via
+    an explicit NULLIF on the divisor — the comparison ``residue < NULL``
+    is then false for every doc, so such a source reports ``n_kept = 0``
+    and ``per_mille = NULL``. Both engines state this disposition
+    explicitly rather than relying on matching div-by-zero behavior."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", text.token_count("text").cast("long").alias("_nt")
     )
@@ -1209,7 +1222,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.least(
             F.lit(1000).cast("long"),
-            F.expr("(sum(src_tokens) OVER () * 1000) div (count(*) OVER () * src_tokens)"),
+            F.expr(
+                "(sum(src_tokens) OVER () * 1000)"
+                " div (count(*) OVER () * nullif(src_tokens, 0))"
+            ),
         ).alias("_thr"),
     )
     residue = F.pmod(
@@ -1242,7 +1258,7 @@ ORACLE["q_weighted_sample"] = f"""
     thr AS (
         SELECT source,
                LEAST(1000, (SUM(src_tokens) OVER () * 1000)
-                           // (COUNT(*) OVER () * src_tokens)) AS per_mille
+                           // (COUNT(*) OVER () * NULLIF(src_tokens, 0))) AS per_mille
         FROM per
     )
     SELECT d.source,
