@@ -33,7 +33,10 @@ def range_join_within(
     # misclassify pairs straddling the boundary (e.g. Δ=300.4s)
     # cast("timestamp_ltz") first: parquet written with isAdjustedToUTC=false
     # arrives as TIMESTAMP_NTZ (unix_micros rejects it); the cast is a no-op
-    # on LTZ and only Δt is used, so any session-tz offset cancels.
+    # on LTZ and only Δt is used, so any session-tz offset cancels. The
+    # offset-cancels argument assumes a FIXED-offset session zone (UTC, the
+    # build_session default): under a DST zone two events straddling a
+    # transition would pick up different offsets and skew Δt by the DST gap.
     within_us = within_seconds * 1_000_000
     l = left.select(
         *left_cols, F.unix_micros(F.col(left_time).cast("timestamp_ltz")).alias("_lt")

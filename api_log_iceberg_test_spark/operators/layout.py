@@ -19,14 +19,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def zorder_value(cols: list[Column | str], bits: int = 16) -> Column:
+def zorder_value(
+    cols: list[Column | str], bits: int = 16, validate: bool = False
+) -> Column:
     """Morton code interleaving ``bits`` low bits of each column.
 
     Bit ``i`` of column ``j`` lands at output position ``i * d + j`` — the
     canonical interleave. Inputs must already be non-negative integer
-    bucket ordinals (bucketize floats/dates first); values are masked to
-    ``bits`` bits. The expression expands to ``bits × d`` shift-and-or
-    terms — wide but branch-free and fully inside whole-stage codegen.
+    bucket ordinals in ``[0, 2**bits)`` (bucketize floats/dates first).
+    Out-of-range inputs ALIAS silently: only the low ``bits`` bits
+    participate, so ordinals ``2**bits`` apart interleave identically, and
+    a negative value contributes its two's-complement low bits (e.g. ``-1``
+    looks like ``2**bits - 1``) — clustering quietly degrades rather than
+    erroring. Pass ``validate=True`` on a first run / in tests to turn
+    violations into an executor-side error instead (kept off the default
+    hot path: the guard adds a branch per row and, more importantly, the
+    DuckDB oracle twin :func:`zorder_sql` has no error channel to mirror
+    it). The expression expands to ``bits × d`` shift-and-or terms — wide
+    but branch-free and fully inside whole-stage codegen.
     """
     d = len(cols)
     if d < 2:
@@ -40,6 +50,14 @@ def zorder_value(cols: list[Column | str], bits: int = 16) -> Column:
             out = out.bitwiseOR(
                 F.shiftleft(F.shiftright(cc, i).bitwiseAND(F.lit(1)), i * d + j)
             )
+    if validate:
+        ok = F.lit(True)
+        for c in cols:
+            cc = (F.col(c) if isinstance(c, str) else c).cast("long")
+            ok = ok & (cc >= 0) & (cc < F.lit(1 << bits))
+        out = F.when(ok, out).otherwise(
+            F.raise_error(F.lit(f"zorder_value: input outside [0, 2**{bits})"))
+        )
     return out
 
 

@@ -137,6 +137,14 @@ def cms_merge(spark, daily: DataFrame):
     sketches are KB-sized and |days| of them collect to the driver — the
     same "reads |days| small rows, never the raw data" contract as the
     HLL/KLL rollups.
+
+    Deployment caveat (unlike the DataFrame-only HLL/KLL paths): the merge
+    itself deserializes ``org.apache.spark.util.sketch.CountMinSketch`` via
+    ``spark._jvm``/py4j, which classic PySpark exposes but Spark Connect
+    does not. Under Connect, either merge driver-side by decoding the
+    serialized counter arrays (format: spark/util/sketch/CountMinSketchImpl
+    writeTo — version, depth, width, counters) or run this step on a
+    classic session.
     """
     rows = daily.select("sketch").collect()
     if not rows:

@@ -27,7 +27,7 @@ QUALITY_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is"]
 
 
 def _strip_ends(col: Column | str) -> Column:
-    """Lowercased text with ALL leading/trailing whitespace removed (Java
+    r"""Lowercased text with ALL leading/trailing whitespace removed (Java
     \s class). ``F.trim`` strips spaces ONLY — a trailing tab/newline/CR
     would survive it and split() would then emit a phantom empty token
     (the norm_text docstring's gotcha; a review pass found tokens()/
