@@ -371,19 +371,30 @@ def minhash_lsh_pairs(
     # whole-stage codegen — a combined agg is forced to ObjectHashAggregate
     # by collect_list and drags the full shingle arrays through it
     # (VERDICT r01 rec 5).
+    #
+    # For the reuse to ACTUALLY fire, every consumer must prune the shared
+    # subtree to the SAME columns: a round-4 plan audit found that carrying
+    # a pre-reduced `hp = pmod(h64, p)` column made the signature branch
+    # prune to (id, hp) while collect_list pruned to (id, h64) — canonically
+    # different subtrees, so ReuseExchange matched nothing and the corpus
+    # was scanned, shingled, and shuffled once per consumer (4x). Reducing
+    # h64 mod p INSIDE the MIN aggregates keeps the shared subtree at
+    # exactly (id, h64): one scan, one 8-byte-per-row shuffle, reused by
+    # every branch (pmod is a codegen'd scalar — recomputing it per
+    # permutation is free next to a second corpus scan).
     per = (
         df.select(
             F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("s")
         )
         .select("id", F.xxhash64("s").alias("h64"))
-        .withColumn("hp", F.pmod(F.col("h64"), p))
         .repartition(F.col("id"))
     )
+    hp = F.pmod(F.col("h64"), p)
     docs = (
         per.groupBy("id")
         .agg(
             *[
-                F.min(F.pmod(F.lit(a) * F.col("hp") + F.lit(b), p)).alias(f"_m{i}")
+                F.min(F.pmod(F.lit(a) * hp + F.lit(b), p)).alias(f"_m{i}")
                 for i, (a, b) in enumerate(ab)
             ]
         )

@@ -202,3 +202,18 @@ def test_equiheight_histogram_avoids_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_equiheight_histogram")
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_minhash_corpus_scanned_once(spark, sf_dir):
+    # The sig-MIN, banding, and both verification branches must all hang off
+    # ONE scan+shingle+shuffle subtree. Reuse is only visible in the FINAL
+    # adaptive plan (AQE matches canonicalized stages at runtime), so
+    # execute first. A round-4 audit found a pre-reduced pmod column made
+    # the signature branch prune differently and doubled the corpus scan.
+    df = _QUERIES["q_dedup_minhash_lsh"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    real_scans = [l for l in final.splitlines() if "FileScan parquet" in l]
+    assert len(real_scans) == 1, f"corpus scanned {len(real_scans)}x:\n{final}"
+    assert "ReusedExchange" in final
