@@ -141,28 +141,35 @@ def ngram_jaccard_pairs(
     degrades gracefully. ``None`` (default) disables, keeping the operator
     byte-exact with its SQL oracle.
     """
-    # One pass computes blocking keys + hashed shingles, then a repartition
-    # on id materializes it into a single exchange that BOTH consumers
-    # (blocking explode, verification joins) reuse — without it each branch
-    # re-runs the tokenize/shingle subtree from the scan. Candidates carry
-    # only ids through the join + distinct; the (large) hash arrays join
-    # back afterwards. Jaccard verification runs on xxhash64'd arrays:
-    # long intersects are far cheaper than string intersects and the value
-    # is identical absent a 64-bit collision inside one pair (~1e-13/pair).
-    # Two-step select: `sh` is materialized by the first projection so the
-    # second's two consumers (bkeys, hv) don't each re-run the shingle
-    # extraction (CollapseProject keeps non-cheap expressions single).
-    docs = (
-        df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
-        .select(
-            "id",
-            F.slice(F.array_sort("sh"), 1, n_blocking).alias("bkeys"),
-            F.transform("sh", lambda s: F.xxhash64(s)).alias("hv"),
-        )
-        .repartition(F.col("id"))
-    )
+    # One pass computes the shingle arrays, then a repartition on id
+    # materializes them into a single exchange that EVERY consumer (blocking
+    # explode ×2 via the self-join, verification joins ×2) reuses — without
+    # it each branch re-runs the tokenize/shingle subtree from the scan.
+    # Both derived columns (blocking keys, hashed shingles) are computed
+    # DOWNSTREAM of the exchange: deriving them upstream makes the blocking
+    # branch prune the shared subtree to (id, bkeys) and the verification
+    # branch to (id, hv) — canonically different subtrees, so exchange reuse
+    # silently misses and the corpus is scanned and shingled twice (the
+    # round-4 MinHash audit found the identical pattern there). With every
+    # consumer pruning to exactly (id, sh), the final adaptive plan shows
+    # one FileScan + three ReusedExchange; the shuffle carries the string
+    # shingle arrays (compresses well, and one shuffle pass costs less than
+    # a second scan+regex pass over the corpus).
+    # Candidates carry only ids through the join + distinct; the (large)
+    # hash arrays join back afterwards. Jaccard verification runs on
+    # xxhash64'd arrays: long intersects are far cheaper than string
+    # intersects and the value is identical absent a 64-bit collision
+    # inside one pair (~1e-13/pair).
+    docs = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    ).repartition(F.col("id"))
     keyed = cap_buckets(
-        docs.select("id", F.explode("bkeys").alias("bkey")), ["bkey"], max_bucket_size
+        docs.select(
+            "id",
+            F.explode(F.slice(F.array_sort("sh"), 1, n_blocking)).alias("bkey"),
+        ),
+        ["bkey"],
+        max_bucket_size,
     )
     cands = (
         keyed.alias("a")
@@ -171,7 +178,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    hashed = docs.select("id", "hv")
+    hashed = docs.select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hv"))
     pairs = (
         cands.join(hashed.select(F.col("id").alias("id_a"), F.col("hv").alias("sh_a")), "id_a")
         .join(hashed.select(F.col("id").alias("id_b"), F.col("hv").alias("sh_b")), "id_b")
@@ -898,19 +905,31 @@ def span_dup_stats(
     Returns ``(id_col, n_spans, n_dup_spans, dup_span_ratio)`` — the ratio
     is the downstream filter knob (e.g. drop docs with ratio > 0.5).
 
-    Scale: spans shuffle as 32-char md5 digests, never as span text — both
-    the occurrence-count groupBy and the join back run on the digest, and
-    Catalyst reuses one exchange for both (same key). The final per-doc agg
-    shuffles ``(id, is_dup)`` pairs only. md5 (not xxhash64) keeps the
-    operator byte-replicable in the DuckDB oracle; collision odds within a
-    corpus are ~n²/2¹²⁸.
+    Scale: spans shuffle as 32-char md5 digests, never as span text — the
+    chunked corpus shuffles ONCE on the digest via an explicit repartition,
+    and both consumers (occurrence-count agg, join back) read that same
+    exchange: the count aggregates ``F.count(id)`` rather than ``count(*)``
+    (identical for the never-null id) so its subtree prunes to the same
+    ``(id, h)`` columns as the join side — otherwise Catalyst prunes the id
+    away, the subtrees canonicalize differently, and the corpus is scanned
+    and chunked twice (the round-4 MinHash audit pattern). Both join sides
+    inherit hashpartitioning(h), so the join itself adds no exchange. The
+    final per-doc agg shuffles ``(id, is_dup)`` pairs only. Skew note: a
+    corpus-wide template span concentrates its rows in one h-partition; at
+    100 TB cap or pre-filter pathological spans upstream (the digest rows
+    are 40 bytes, so even a 1e8-occurrence span is a ~4 GB partition —
+    spillable, not fatal). md5 (not xxhash64) keeps the operator
+    byte-replicable in the DuckDB oracle; collision odds within a corpus
+    are ~n²/2¹²⁸.
     """
     from .chunking import chunk_documents
 
-    spans = chunk_documents(
-        df, max_tokens=span_tokens, text_col=text_col, id_col=id_col
-    ).select(F.col(id_col), F.md5("chunk_text").alias("h"))
-    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    spans = (
+        chunk_documents(df, max_tokens=span_tokens, text_col=text_col, id_col=id_col)
+        .select(F.col(id_col), F.md5("chunk_text").alias("h"))
+        .repartition(F.col("h"))
+    )
+    counts = spans.groupBy("h").agg(F.count(F.col(id_col)).alias("occ"))
     return (
         spans.join(counts, "h")
         .groupBy(id_col)
