@@ -955,7 +955,7 @@ ORACLE: dict[str, str] = {
         ORDER BY event_type NULLS FIRST, day NULLS FIRST
     """,
     "q_tumbling_window_batch": """
-        SELECT to_timestamp((epoch(ts)::BIGINT // 21600) * 21600)::TIMESTAMP AS window_start,
+        SELECT to_timestamp((epoch_us(ts) // 21600000000) * 21600)::TIMESTAMP AS window_start,
                event_type, COUNT(*) AS cnt
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
     """,
@@ -1702,3 +1702,104 @@ ORACLE["q_equiheight_histogram"] = """
 """
 
 QUERIES["q_equiheight_histogram"] = q_equiheight_histogram
+
+
+def q_hopping_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window() with a slide — hopping/sliding windows in batch, the
+    exact expression the streaming sliding rollup uses (each event lands in
+    size/slide = 3 windows). Spark explodes each row into its 3 windows at
+    scan speed; the shuffle carries (window, event_type) partial counts, so
+    the 3× expansion collapses map-side before the exchange.
+
+    Oracle: window starts are epoch-aligned multiples of the slide, so the
+    3 covering windows of ts are (epoch//slide - k)*slide for k in 0..2.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "2 hours").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE["q_hopping_window_batch"] = """
+    WITH h AS (
+        -- epoch_us, not epoch(..)::BIGINT: the BIGINT cast ROUNDS fractional
+        -- seconds, shifting events within 0.5s below a boundary into the
+        -- wrong bucket; integer microseconds floor-divide exactly
+        SELECT event_type,
+               to_timestamp(((epoch_us(ts) // 7200000000) - t.off) * 7200)::TIMESTAMP
+                   AS window_start
+        FROM events CROSS JOIN unnest([0, 1, 2]) AS t(off)
+    )
+    SELECT window_start, event_type, COUNT(*) AS cnt
+    FROM h GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+QUERIES["q_hopping_window_batch"] = q_hopping_window_batch
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clamped) robust moments per event type — the
+    outlier-resistant profiling aggregate a quality pipeline uses before
+    setting filter thresholds.
+
+    Plan: one exact-percentile aggregate per group (combinable, |groups|
+    rows), broadcast back, clamp in a codegen projection, re-aggregate.
+    Two scans of the fact table, zero non-broadcast joins. At 100 TB swap
+    `percentile` for `approx_percentile` (KLL-backed, same plan shape) —
+    exact kept here for the differential oracle.
+
+    NULL values are excluded up front (explicit disposition — Spark and
+    DuckDB happen to agree that least/greatest skip NULLs, but the filter
+    makes winsorization over non-null values an invariant, not a
+    coincidence).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clamped = ev.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("v"),
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count("v").alias("n_vals"),
+            F.round(F.min("p05"), 6).alias("p05"),
+            F.round(F.min("p95"), 6).alias("p95"),
+            F.round(F.avg("v"), 4).alias("wins_mean"),
+            F.round(F.stddev_samp("v"), 4).alias("wins_sd"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q_winsorized_stats"] = """
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    c AS (
+        SELECT e.event_type, b.p05, b.p95,
+               least(greatest(value, b.p05), b.p95) AS v
+        FROM events e JOIN b USING (event_type)
+        WHERE e.value IS NOT NULL
+    )
+    SELECT event_type,
+           COUNT(v) AS n_vals,
+           ROUND(MIN(p05), 6) AS p05,
+           ROUND(MIN(p95), 6) AS p95,
+           ROUND(AVG(v), 4) AS wins_mean,
+           ROUND(stddev_samp(v), 4) AS wins_sd
+    FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["q_winsorized_stats"] = q_winsorized_stats

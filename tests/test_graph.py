@@ -1,0 +1,134 @@
+"""Graph operator tests: PageRank invariants, triangle-count exactness on
+known graphs, and orientation/degeneracy edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from api_log_iceberg_test_spark.operators import graph
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "a bigint, b bigint")
+
+
+def _wedges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, w bigint")
+
+
+# --- pagerank ---------------------------------------------------------------
+
+
+def test_pagerank_sums_to_one_without_dangling(spark):
+    """On a graph with no dangling nodes, total rank mass is conserved."""
+    e = _wedges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)])
+    total = graph.pagerank(e, k=10).agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    """A directed cycle is symmetric: every node gets rank 1/N exactly."""
+    e = _wedges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("d", "a", 1)])
+    rows = graph.pagerank(e, k=15).collect()
+    for r in rows:
+        assert r["rank"] == pytest.approx(0.25, abs=1e-12)
+
+
+def test_pagerank_sink_hub_ordering(spark):
+    """A node every other node points at must out-rank its pointers."""
+    e = _wedges(
+        spark,
+        [("a", "hub", 1), ("b", "hub", 1), ("c", "hub", 1), ("hub", "a", 1)],
+    )
+    ranks = {r["node"]: r["rank"] for r in graph.pagerank(e, k=20).collect()}
+    assert ranks["hub"] > ranks["a"] > ranks["b"]  # a also gets hub's mass
+    assert ranks["b"] == pytest.approx(ranks["c"], abs=1e-12)
+
+
+def test_pagerank_weights_split_proportionally(spark):
+    """Out-mass splits by edge weight: a 3:1 weighted fork sends 3x the
+    contribution to the heavy branch (checked after one iteration)."""
+    e = _wedges(spark, [("s", "x", 3), ("s", "y", 1)])
+    ranks = {r["node"]: r["rank"] for r in graph.pagerank(e, k=1).collect()}
+    base = (1 - 0.85) / 3
+    assert ranks["x"] == pytest.approx(base + 0.85 * (1 / 3) * 0.75, abs=1e-12)
+    assert ranks["y"] == pytest.approx(base + 0.85 * (1 / 3) * 0.25, abs=1e-12)
+
+
+def test_transition_edges_orders_by_time_and_id(spark):
+    """Per-user edge extraction follows (ts, event_id) order — equal
+    timestamps are tie-broken by id, so edges are deterministic."""
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "view"),
+            (2, "2024-01-01 00:00:01", 10, "click"),
+            (3, "2024-01-01 00:00:01", 10, "purchase"),  # same ts as id=2
+            (4, "2024-01-01 00:00:00", 20, "view"),
+        ],
+        "event_id bigint, ts string, user_id bigint, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (r["src"], r["dst"]): r["w"]
+        for r in graph.transition_edges(ev).collect()
+    }
+    assert got == {("view", "click"): 1, ("click", "purchase"): 1}
+
+
+# --- triangles --------------------------------------------------------------
+
+
+def test_triangle_counts_on_k4(spark):
+    """K4 has 4 triangles; every vertex sits in exactly C(3,2)=3 of them."""
+    e = _edges(
+        spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    )
+    rows = graph.triangle_counts(e).collect()
+    assert {r["node"]: r["n_triangles"] for r in rows} == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_path_has_none(spark):
+    """A path graph is triangle-free — result is empty, not zero-rows-err."""
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    assert graph.triangle_counts(e).count() == 0
+
+
+def test_triangle_counts_skewed_star_plus_one(spark):
+    """Star + one rim edge: exactly one triangle regardless of hub degree —
+    the orientation must not double count through the high-degree hub."""
+    hub_edges = [(0, i) for i in range(1, 50)] + [(1, 2)]
+    e = _edges(spark, hub_edges)
+    rows = graph.triangle_counts(e).collect()
+    assert {r["node"]: r["n_triangles"] for r in rows} == {0: 1, 1: 1, 2: 1}
+
+
+def test_cooccurrence_edges_distinct_and_canonical(spark):
+    """Repeat co-purchases collapse; edges come out with a < b."""
+    li = spark.createDataFrame(
+        [(100, 7), (100, 3), (100, 3), (200, 3), (200, 7), (300, 9)],
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    rows = graph.cooccurrence_edges(li).collect()
+    assert sorted((r["a"], r["b"]) for r in rows) == [(3, 7)]
+
+
+def test_triangle_matches_naive_on_testdata(spark, sf_dir):
+    """Oriented count == naive a<b<c count on the real co-occurrence graph."""
+    from api_log_iceberg_test_spark.schema import load_table
+
+    edges = graph.cooccurrence_edges(load_table(spark, sf_dir, "lineitem")).cache()
+    oriented_total = (
+        graph.triangle_counts(edges).agg(F.sum("n_triangles")).collect()[0][0]
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
+    naive = (
+        e1.join(e2, e1.b == e2.b2a)
+        .join(
+            edges.select(F.col("a").alias("xa"), F.col("b").alias("xc")),
+            (F.col("a") == F.col("xa")) & (F.col("c") == F.col("xc")),
+        )
+        .count()
+    )
+    edges.unpersist()
+    assert oriented_total == naive * 3  # corner-sum counts each triangle 3x
