@@ -978,3 +978,42 @@ def incremental_dedup(
     return normalized_dedup(fresh, key=key, id_col=id_col).select(
         id_col, "text_hash", "n_copies"
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str = "p_name",
+    block_expr: str = "split_part({name}, ' ', -1)",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Typo-level near-duplicate names: distinct name pairs within edit
+    distance ``max_dist``, candidates restricted by a blocking key.
+
+    The character-level member of the dedup family (n-gram Jaccard and
+    MinHash operate on token sets and miss single-character typos; edit
+    distance catches them). A full levenshtein self-join is O(n²·L²) —
+    unplannable at scale — so candidates are blocked on a cheap key (here
+    the final token; for free text, a phonetic code or length+prefix band)
+    and only in-block pairs pay the levenshtein. The block key shuffles as
+    a short string; ``levenshtein`` is a codegen JVM builtin.
+
+    Returns (name_a, name_b, dist) with name_a < name_b — every pair
+    emitted exactly once, no hash functions, fully SQL-expressible.
+    """
+    names = (
+        df.select(F.col(name_col).alias("name"))
+        .filter(F.col("name").isNotNull())
+        .distinct()
+        .withColumn("block", F.expr(block_expr.format(name="name")))
+    )
+    right = names.select(F.col("name").alias("name_b"), F.col("block"))
+    return (
+        names.join(right, "block")
+        .filter(F.col("name") < F.col("name_b"))
+        .select(
+            F.col("name").alias("name_a"),
+            "name_b",
+            F.levenshtein("name", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

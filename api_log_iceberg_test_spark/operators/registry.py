@@ -1864,6 +1864,65 @@ ORACLE["q_triangle_counts"] = """
 """
 
 
+def q_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate part names (blocked levenshtein join):
+    the character-level dedup tier — token-set methods (Jaccard/MinHash)
+    cannot see single-character typos."""
+    return dedup.fuzzy_name_pairs(
+        load_table(spark, sf_dir, "part"), name_col="p_name", max_dist=2
+    ).orderBy("name_a", "name_b")
+
+
+ORACLE["q_fuzzy_match_names"] = """
+    WITH n AS (
+        SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+    ),
+    b AS (SELECT name, split_part(name, ' ', -1) AS block FROM n)
+    SELECT x.name AS name_a, y.name AS name_b,
+           levenshtein(x.name, y.name)::INTEGER AS dist
+    FROM b x JOIN b y ON x.block = y.block AND x.name < y.name
+    WHERE levenshtein(x.name, y.name) <= 2
+    ORDER BY name_a, name_b
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 terms by document frequency with their full posting lists —
+    the core retrieval-index build (term dictionary + sorted postings).
+
+    Scale: one explode + distinct collapses per-doc repeats map-side; the
+    only shuffle carries (term, doc_id). collect_list is bounded per term
+    by document frequency — at open-web scale, segment postings by doc_id
+    range (posting-list sharding) instead of one array per term; the
+    aggregation shape is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select("doc_id", F.explode(text.tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return (
+        t.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(30)
+    )
+
+
+ORACLE["q_inverted_index"] = f"""
+    WITH t AS (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+        ) WHERE term <> ''
+    )
+    SELECT term, COUNT(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+    FROM t GROUP BY term ORDER BY df DESC, term LIMIT 30
+"""
+
+
 #: Oracled entries registered after the driver's 50-query verification
 #: window filled: merged AFTER the round-1-red analytics trio (which must
 #: re-verify green) but before the SQL/analytic breadth; see
@@ -1880,6 +1939,8 @@ QUERIES_LATE: dict = {
     "q_weighted_sample": q_weighted_sample,
     "q_pagerank": q_pagerank,
     "q_triangle_counts": q_triangle_counts,
+    "q_fuzzy_match_names": q_fuzzy_match_names,
+    "q_inverted_index": q_inverted_index,
 }
 
 #: Rows-only entries intentionally merged LAST in __spark_entry__ so they

@@ -1803,3 +1803,122 @@ ORACLE["q_winsorized_stats"] = """
 """
 
 QUERIES["q_winsorized_stats"] = q_winsorized_stats
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection: flag events whose value deviates
+    > 2.5 sample-sd from the trailing-100-event mean within its type.
+
+    The batch shape of a streaming anomaly monitor. One shuffle on
+    event_type, one sort per partition; the frame is ROWS-based (100
+    PRECEDING .. 1 PRECEDING — the current row is excluded so it cannot
+    mask its own anomaly). Warm-up rows (< 30 trailing events) and
+    zero-variance frames are excluded explicitly in both engines — division
+    by zero is engine-defined, never relied on. Deterministic: the sort key
+    (ts, event_id) is unique.
+
+    Scale: partition-by-type parallelism is |types|-bounded; at 100 TB
+    re-key to (type, day) with a per-day warm-up carry — noted, not needed
+    at bench scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.count("value").over(w).alias("n_trail"),
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    )
+    return (
+        scored.filter((F.col("n_trail") >= 30) & (F.col("sd") > 0))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 2.5)
+        .orderBy("event_id")
+    )
+
+
+ORACLE["q_rolling_zscore"] = """
+    WITH s AS (
+        SELECT event_id, event_type, value,
+               COUNT(value) OVER w AS n_trail,
+               AVG(value) OVER w AS mu,
+               stddev_samp(value) OVER w AS sd
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type,
+           ROUND(value, 6) AS value,
+           ROUND((value - mu) / sd, 4) AS zscore
+    FROM s
+    WHERE n_trail >= 30 AND sd > 0
+      AND abs(ROUND((value - mu) / sd, 4)) > 2.5
+    ORDER BY event_id
+"""
+
+QUERIES["q_rolling_zscore"] = q_rolling_zscore
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type — open/close via row_number over the
+    unique (ts, event_id) order, NOT max_by/arg_min (whose tie behavior is
+    engine-defined). One shuffle on (event_type, day); both window passes
+    and the final aggregation reuse that single exchange.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    w_asc = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("event_type", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    marked = ev.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    return (
+        marked.groupBy("event_type", "day")
+        .agg(
+            F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE["q_ohlc_bars"] = """
+    WITH m AS (
+        SELECT event_type, date_trunc('day', ts) AS day, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, day,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           COUNT(*) AS n_events
+    FROM m GROUP BY event_type, day ORDER BY event_type, day
+"""
+
+QUERIES["q_ohlc_bars"] = q_ohlc_bars

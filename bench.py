@@ -69,6 +69,15 @@ EXTENSION = [
     "q_cms_event_counts",
 ]
 
+#: Round-4 additions, timed as their own basket (total_r4_basket) so the
+#: earlier baskets stay comparable across rounds (VERDICT r03 rec 8).
+ROUND4 = [
+    "q_pagerank",
+    "q_triangle_counts",
+    "q_hopping_window_batch",
+    "q_winsorized_stats",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,7 +109,8 @@ def main() -> None:
     cold: dict[str, float] = {}
     total = 0.0
     ext_total = 0.0
-    for name in HEADLINE + ["q_ann_cosine_topk"] + EXTENSION:
+    r4_total = 0.0
+    for name in HEADLINE + ["q_ann_cosine_topk"] + EXTENSION + ROUND4:
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         cold[name] = round(time.time() - t0, 3)
@@ -112,6 +122,8 @@ def main() -> None:
             total += dt
         elif name in EXTENSION:
             ext_total += dt
+        elif name in ROUND4:
+            r4_total += dt
 
     # r01 basket = same 17 slots but with the expression-path ANN entry,
     # so the round-over-round comparison stays apples-to-apples
@@ -125,6 +137,7 @@ def main() -> None:
                 "queries": results,
                 "total_r01_basket": round(total_r01, 3),
                 "total_ext_basket": round(ext_total, 3),
+                "total_r4_basket": round(r4_total, 3),
                 "queries_cold": cold,
                 "headline_total_cold_sec": round(
                     sum(cold[n] for n in HEADLINE), 3

@@ -104,9 +104,17 @@ def test_no_query_stays_driver_dark():
     checked = _ever_driver_checked()
     dark = [n for n in _QUERIES if n not in checked]
     dark_out = [n for n in dark if n not in window]
-    if len(dark) <= 50:
+    # capacity = 50 slots minus the 9 pinned sentinels (driver-checked every
+    # round by policy, so never dark) minus the explicit re-certifications
+    # VERDICT r03 requested (previously green, must re-prove under changed
+    # code: the non-vacuous neardup threshold and the displaced S8/O3 rows)
+    recerts = {"q_embedding_neardup", "q_show_tables", "q_limit_scan"}
+    capacity = 41 - len(recerts & window)
+    if len(dark) <= capacity:
         assert not dark_out, (
             f"never-driver-verified entries left outside the window: {dark_out}"
         )
-    else:  # overflow: every non-dark window slot must be a pinned sentinel
-        assert len([n for n in window if n in dark]) >= 41
+    else:  # overflow: every non-pinned, non-recert slot must hold a dark entry
+        assert len([n for n in window if n in dark]) >= capacity, (
+            "window wastes slots on already-verified entries while dark ones wait"
+        )
