@@ -389,6 +389,14 @@ def minhash_lsh_pairs(
     # exactly (id, h64): one scan, one 8-byte-per-row shuffle, reused by
     # every branch (pmod is a codegen'd scalar — recomputing it per
     # permutation is free next to a second corpus scan).
+    #
+    # Reuse evidence must come from the FINAL adaptive plan only
+    # (`executedPlan()` text BEFORE "== Initial Plan =="): the initial-plan
+    # section legitimately prints the un-deduplicated tree, and a round-4
+    # audit that counted scans across the whole string misread it as 4
+    # scans / 0 reuse. Verified: 1 FileScan + 3 ReusedExchange at sf0.001
+    # AND sf0.1, and an A/B against a localCheckpoint variant showed no
+    # timing difference (tests/test_plans.py::test_minhash_corpus_scanned_once).
     per = (
         df.select(
             F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("s")
@@ -410,6 +418,7 @@ def minhash_lsh_pairs(
             F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig"),
         )
     )
+    # verification arrays: only candidate ids ever join against this branch
     # verification arrays: only candidate ids ever join against this branch
     hv_docs = per.groupBy("id").agg(F.collect_list("h64").alias("hv64"))
 

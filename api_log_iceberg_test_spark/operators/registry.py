@@ -1923,6 +1923,249 @@ ORACLE["q_inverted_index"] = f"""
 """
 
 
+def q_chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → embed → mean-pool: the retrieval-pipeline composition that
+    turns long documents into one vector (split into context windows,
+    encode each, average back per document).
+
+    Chunking and the Arrow-batched stub encoder are the existing oracled
+    operators; the pooling stage is one combinable avg per dimension over
+    the chunk rows — no shuffle beyond the doc_id agg.
+
+    The pooled vector is reported in the encoder's native int8-style byte
+    quantization (0..255 per dim, the `q_embedding_quantize` convention):
+    the per-chunk float dims are 1e-6-quantized, so float means of 2 or 4
+    chunks land EXACTLY on round-half-at-6dp boundaries where Spark
+    (BigDecimal HALF_UP) and DuckDB (scaled float rounding) disagree —
+    observed on 4 of 500 docs. Byte-space pooling is exact integer
+    arithmetic end-to-end: the only division is one AVG (identical double
+    in both engines) and integer halves round away-from-zero in both.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    chunks = chunking.chunk_documents(docs, max_tokens=32)
+    emb = embed.embed_documents(chunks, text_col="chunk_text", id_col="doc_id")
+    # invert the encoder's affine map to recover the exact byte per dim:
+    # d = byte/255*2-1 rounded 6dp ⇒ (d+1)*127.5 = byte ± 1.3e-4 ⇒ round
+    as_bytes = emb.select(
+        "doc_id",
+        *[
+            F.round((F.col(f"d{d}") + 1) * 127.5).cast("long").alias(f"b{d}")
+            for d in range(embed.DIM)
+        ],
+    )
+    return (
+        as_bytes.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            *[
+                F.round(F.avg(f"b{d}")).cast("long").alias(f"d{d}")
+                for d in range(embed.DIM)
+            ],
+        )
+        .orderBy("doc_id")
+    )
+
+
+_POOL_DIMS = ",\n           ".join(
+    f"ROUND(AVG({_BYTE.format(i=2 * d + 1, j=2 * d + 2)}))::BIGINT AS d{d}"
+    for d in range(embed.DIM)
+)
+
+# chunking CTE identical to ORACLE["q_chunk_documents"]; per-chunk dims
+# replay the md5-nibble encoder in exact byte space (see the query doc)
+ORACLE["q_chunk_embed_pool"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(regexp_replace(regexp_replace(lower(text),
+                   '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'), ' ') AS toks,
+               length(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')) AS nlen
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               unnest([array_to_string(toks[(i*32+1):((i+1)*32)], ' ')
+                       for i in range(0, ((len(toks) + 31) // 32)::INT)]) AS chunk_text
+        FROM t WHERE nlen > 0
+    ),
+    h AS (SELECT doc_id, md5(chunk_text) AS hh FROM c)
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           {_POOL_DIMS}
+    FROM h GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-relative quality calibration: each document's quality score
+    converted to its percentile rank WITHIN its source — the normalization
+    that makes one quality threshold meaningful across heterogeneous
+    sources (a 0.7 from a clean source and a 0.7 from a noisy one sit at
+    very different percentiles).
+
+    percent_rank is deterministic under ties (equal scores share a rank).
+    Scale: one shuffle on source; the window sorts within partitions only
+    — never a global sort. Skewed source sizes are the classic window
+    hazard; at 100 TB pre-aggregate a per-source score histogram and
+    broadcast the CDF instead (same output, bounded state) — noted, exact
+    window kept here for the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        "doc_id", "source", text.quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy("quality")
+    return (
+        scored.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["q_quality_calibration"] = f"""
+    WITH t AS (
+        SELECT doc_id, source, text, {_TOKENS} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id, source,
+               CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                    ELSE 0.0 END AS mtl,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[.,!?;:''"()\\-]', '', 'g')))::DOUBLE / length(text)
+                    ELSE 0.0 END AS pr,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+                    ELSE 0.0 END AS dr
+        FROM t
+    ), s AS (
+        SELECT doc_id, source,
+               ROUND(0.25 * least(n_tokens / 20.0, 1.0)
+                     + 0.25 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.0 END)
+                     + 0.25 * (1.0 - pr) + 0.25 * (1.0 - dr), 6) AS quality
+        FROM m
+    )
+    SELECT doc_id, source, quality,
+           ROUND(percent_rank() OVER (PARTITION BY source ORDER BY quality), 6)
+               AS pct_rank
+    FROM s ORDER BY doc_id
+"""
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based negative sampling: k=3 negatives per anchor
+    document for contrastive-pair training data.
+
+    No global ordering (the row_number-over-everything approach is a
+    single-partition window — wrong at any scale): anchors hash into one
+    of 64 buckets per draw and take that bucket's min-id document as the
+    negative. The bucket-representative table is 64 rows (broadcast); the
+    anchor side stays a codegen scan projection. Self-collisions (anchor
+    IS its bucket's representative) are filtered and documented — an
+    anchor then yields < k negatives for that draw.
+
+    The draw hash mod-reduces the id BEFORE multiplying (ids up to ~3.5e9
+    would otherwise overflow int64 under ANSI arithmetic — the repo-wide
+    sampling-hash convention).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    reps = (
+        docs.groupBy((F.col("doc_id") % 64).alias("bucket"))
+        .agg(F.min("doc_id").alias("neg_id"))
+    )
+    anchors = docs.select(
+        "doc_id", F.explode(F.array(*[F.lit(j) for j in (1, 2, 3)])).alias("draw")
+    )
+    m = (1 << 31) - 1
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(m)) * F.lit(2654435761)
+        + F.col("draw") * F.lit(40503),
+        F.lit(m),
+    ) % 64
+    return (
+        anchors.withColumn("bucket", bucket)
+        .join(F.broadcast(reps), "bucket")
+        .filter(F.col("neg_id") != F.col("doc_id"))
+        .select("doc_id", "draw", "neg_id")
+        .orderBy("doc_id", "draw")
+    )
+
+
+ORACLE["q_negative_sampling"] = """
+    WITH reps AS (
+        SELECT doc_id % 64 AS bucket, MIN(doc_id) AS neg_id
+        FROM documents GROUP BY doc_id % 64
+    ),
+    anchors AS (
+        SELECT doc_id, t.draw
+        FROM documents CROSS JOIN unnest([1, 2, 3]) AS t(draw)
+    ),
+    b AS (
+        SELECT doc_id, draw,
+               (((doc_id % 2147483647) * 2654435761 + draw * 40503)
+                % 2147483647) % 64 AS bucket
+        FROM anchors
+    )
+    SELECT doc_id, draw, neg_id
+    FROM b JOIN reps USING (bucket)
+    WHERE neg_id <> doc_id
+    ORDER BY doc_id, draw
+"""
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage metric: per-document out-of-vocabulary rate
+    against the corpus's own top-100 term vocabulary — the check a
+    pipeline runs before freezing a tokenizer (high OOV = the vocab won't
+    cover the corpus).
+
+    Plan: vocabulary agg (map-side partials, |vocab| result) broadcasts
+    into a left join against the exploded token stream; per-doc agg counts
+    misses. Empty docs are excluded up front (no tokens → rate undefined).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    ).filter(F.col("term") != "").localCheckpoint(eager=False)
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(100)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), True)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6)
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["q_oov_rate"] = f"""
+    WITH tok AS (
+        SELECT doc_id, term FROM (
+            SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+        ) WHERE term <> ''
+    ),
+    vocab AS (
+        SELECT term FROM tok GROUP BY term
+        ORDER BY COUNT(*) DESC, term LIMIT 100
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE term NOT IN (SELECT term FROM vocab)) AS n_oov,
+           ROUND(COUNT(*) FILTER (WHERE term NOT IN (SELECT term FROM vocab))
+                 / COUNT(*)::DOUBLE, 6) AS oov_rate
+    FROM tok GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 #: Oracled entries registered after the driver's 50-query verification
 #: window filled: merged AFTER the round-1-red analytics trio (which must
 #: re-verify green) but before the SQL/analytic breadth; see
@@ -1941,6 +2184,10 @@ QUERIES_LATE: dict = {
     "q_triangle_counts": q_triangle_counts,
     "q_fuzzy_match_names": q_fuzzy_match_names,
     "q_inverted_index": q_inverted_index,
+    "q_chunk_embed_pool": q_chunk_embed_pool,
+    "q_quality_calibration": q_quality_calibration,
+    "q_negative_sampling": q_negative_sampling,
+    "q_oov_rate": q_oov_rate,
 }
 
 #: Rows-only entries intentionally merged LAST in __spark_entry__ so they

@@ -76,6 +76,14 @@ ROUND4 = [
     "q_triangle_counts",
     "q_hopping_window_batch",
     "q_winsorized_stats",
+    "q_fuzzy_match_names",
+    "q_rolling_zscore",
+    "q_inverted_index",
+    "q_ohlc_bars",
+    "q_chunk_embed_pool",
+    "q_quality_calibration",
+    "q_negative_sampling",
+    "q_oov_rate",
 ]
 
 
