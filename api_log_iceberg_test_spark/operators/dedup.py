@@ -1026,3 +1026,75 @@ def fuzzy_name_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — the web-scale
+    path :func:`connected_components` defers to.
+
+    Min-label propagation converges in O(diameter) rounds: fine for the
+    shallow clusters near-dup graphs produce, quadratic-wall-clock on a
+    long-chain pathology (a crawl ring of 10^6 pages = 10^6 rounds). The
+    star operations contract paths roughly geometrically, converging in
+    O(log² n) rounds on ANY topology, with each round the same edge-list
+    join/agg shapes. Output is identical: (doc_id, component) with
+    component = min reachable id.
+
+    Round = large-star then small-star over the undirected neighbor list
+    (self-loops included so isolated endpoints keep a row):
+
+    * large-star: every neighbor v > u re-links to m(u) = min(N(u) ∪ u);
+    * small-star: every neighbor v ≤ u re-links to m(u).
+
+    Both emit (v, m) edges — each round is per-operation one groupBy(u)
+    min-agg (map-side combinable) + one join of the edge list to the
+    |V|-row min table, then a distinct on compact (node, node) pairs.
+    Lineage is cut per round with localCheckpoint. Convergence: the edge
+    list is a fixed point when every node's min equals its own partner set
+    — checked as "no edge changed", a count over the round's diff.
+    """
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # symmetrize + self-loops: N(u) always contains u so min() is total
+    e = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .union(e.select(F.col("u"), F.col("u").alias("v")))
+        .union(e.select(F.col("v").alias("u"), F.col("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def star(edges: DataFrame, large: bool) -> DataFrame:
+        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+        keep = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        relinked = (
+            edges.filter(keep)
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # parent links (u, m) persist so the star stays connected;
+        # symmetrize so the next operation's neighbor lists see both ends
+        out = relinked.union(mins.select(F.col("u"), F.col("m").alias("v")))
+        return (
+            out.union(out.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        nxt = star(star(e, large=True), large=False).localCheckpoint()
+        # fixed point: the symmetric edge multiset is unchanged
+        if nxt.exceptAll(e).limit(1).count() == 0 and e.exceptAll(nxt).limit(1).count() == 0:
+            e = nxt
+            break
+        e = nxt
+    # at the fixed point every node's neighborhood min IS its component
+    return (
+        e.groupBy("u")
+        .agg(F.min("v").alias("component"))
+        .select(F.col("u").alias("doc_id"), "component")
+    )

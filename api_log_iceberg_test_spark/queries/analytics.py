@@ -1922,3 +1922,199 @@ ORACLE["q_ohlc_bars"] = """
 """
 
 QUERIES["q_ohlc_bars"] = q_ohlc_bars
+
+
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window in batch — Spark's native gap-merge session
+    operator (the same expression `streaming.windows.session_window_counts`
+    uses with a watermark), complementing q_sessionize's hand-rolled
+    lag+cumsum formulation. Session end = last event + gap; an event
+    exactly `gap` after its predecessor starts a NEW session (strict
+    merge inequality — the oracle replays it at microsecond precision).
+
+    One shuffle on user_id; the gap-merge happens inside the session-window
+    aggregation, state bounded per key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE["q_session_window_batch"] = """
+    WITH s AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM g GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+QUERIES["q_session_window_batch"] = q_session_window_batch
+
+
+def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend: regr_slope/intercept/r2 of event value against
+    days-since-2024-01-01 — the linear-regression aggregate family
+    completing the corr/covar statistical breadth. The regressor is
+    anchored to a fixed epoch (not raw microseconds) so the moment sums
+    don't catastrophically cancel.
+
+    One combinable aggregate per group — map-side partials carry the five
+    moment sums, so the shuffle is |groups| rows at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    anchor = 1704067200000000  # epoch_us('2024-01-01 00:00:00' UTC)
+    x = (F.unix_micros(F.col("ts").cast("timestamp_ltz")) - F.lit(anchor)) / (
+        86400.0 * 1e6
+    )
+    return (
+        ev.select("event_type", F.col("value").alias("y"), x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("regr_slope(y, x)"), 6).alias("slope_per_day"),
+            F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+            F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q_regression_trend"] = """
+    WITH b AS (
+        SELECT event_type, value AS y,
+               (epoch_us(ts) - 1704067200000000) / (86400.0 * 1e6) AS x
+        FROM events
+    )
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(regr_slope(y, x), 6) AS slope_per_day,
+           ROUND(regr_intercept(y, x), 4) AS intercept,
+           ROUND(regr_r2(y, x), 6) AS r2
+    FROM b GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["q_regression_trend"] = q_regression_trend
+
+
+def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: hourly event counts per type
+    over the complete global hour spine, absent hours as explicit zeros —
+    the densification step before any windowed time-series model.
+
+    Plan: the hour spine is generated from ONE min/max aggregate row
+    (sequence + explode — |hours| rows, no fact-table shuffle), cross-
+    joined with the |types|-row dimension, then left-joined to the counts.
+    The spine side is broadcast — the fact table is only touched by the
+    count aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    return (
+        grid.join(F.broadcast(hourly), ["hour", "event_type"], "left")
+        .select(
+            "hour", "event_type", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE["q_resample_hourly"] = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    grid AS (
+        SELECT hour, event_type
+        FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT g.hour, g.event_type, COALESCE(h.cnt, 0) AS cnt
+    FROM grid g LEFT JOIN hourly h USING (hour, event_type)
+    ORDER BY hour, event_type
+"""
+
+QUERIES["q_resample_hourly"] = q_resample_hourly
+
+
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new vs cumulative distinct users — the growth metric windows
+    can't express directly (COUNT DISTINCT isn't a window function in
+    either engine). The scalable identity: cumulative distinct at day d =
+    Σ users whose FIRST day ≤ d, so one per-user min-day agg + a |days|-row
+    running sum replaces any distinct-over-window state.
+
+    The running-sum window is unpartitioned but runs over |days| post-agg
+    rows only — bounded at any fact scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily_new = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily_new.withColumn("cum_users", F.sum("new_users").over(w))
+        .orderBy("day")
+    )
+
+
+ORACLE["q_cumulative_distinct"] = """
+    WITH fd AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS day
+        FROM events GROUP BY user_id
+    ),
+    dn AS (SELECT day, COUNT(*) AS new_users FROM fd GROUP BY day)
+    SELECT day, new_users,
+           SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS cum_users
+    FROM dn ORDER BY day
+"""
+
+QUERIES["q_cumulative_distinct"] = q_cumulative_distinct

@@ -84,6 +84,12 @@ ROUND4 = [
     "q_quality_calibration",
     "q_negative_sampling",
     "q_oov_rate",
+    "q_dup_clusters_star",
+    "q_session_window_batch",
+    "q_regression_trend",
+    "q_resample_hourly",
+    "q_cumulative_distinct",
+    "q_token_entropy",
 ]
 
 

@@ -275,3 +275,42 @@ def test_incremental_dedup_planted(spark):
     assert set(out) == {11, 13}
     assert out[11]["n_copies"] == 2
     assert out[13]["n_copies"] == 1
+
+
+# --- large-star/small-star connected components -----------------------------
+
+
+def _labels(df):
+    return {r["doc_id"]: r["component"] for r in df.collect()}
+
+
+def test_star_cc_matches_minlabel_on_testdata(spark, sf_dir):
+    """The O(log² n) star algorithm must produce the identical labeling as
+    min-label propagation on the real near-dup pair graph."""
+    from api_log_iceberg_test_spark.schema import load_table
+
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    ).localCheckpoint()
+    assert _labels(dedup.connected_components_star(pairs)) == _labels(
+        dedup.connected_components(pairs)
+    )
+
+
+def test_star_cc_long_chain(spark):
+    """A 60-node path — the diameter pathology min-label needs 60 rounds
+    for; the star contraction must label it with the chain head well
+    inside max_iter (O(log² n) rounds)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["doc_a", "doc_b"]
+    )
+    got = _labels(dedup.connected_components_star(pairs, max_iter=12))
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_star_cc_disjoint_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)], ["doc_a", "doc_b"]
+    )
+    got = _labels(dedup.connected_components_star(pairs))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
