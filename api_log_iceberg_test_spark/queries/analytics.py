@@ -1929,8 +1929,10 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (the same expression `streaming.windows.session_window_counts`
     uses with a watermark), complementing q_sessionize's hand-rolled
     lag+cumsum formulation. Session end = last event + gap; an event
-    exactly `gap` after its predecessor starts a NEW session (strict
-    merge inequality — the oracle replays it at microsecond precision).
+    exactly `gap` after its predecessor MERGES (Spark's window-overlap
+    test is inclusive at the boundary — pinned by
+    tests/test_round4_ops.py::test_session_window_gap_boundary, and the
+    oracle replays `delta > gap` at microsecond precision).
 
     One shuffle on user_id; the gap-merge happens inside the session-window
     aggregation, state bounded per key.
@@ -1958,7 +1960,7 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_session_window_batch"] = """
     WITH s AS (
         SELECT user_id, ts, value,
-               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                     OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)

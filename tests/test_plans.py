@@ -217,3 +217,66 @@ def test_minhash_corpus_scanned_once(spark, sf_dir):
     real_scans = [l for l in final.splitlines() if "FileScan parquet" in l]
     assert len(real_scans) == 1, f"corpus scanned {len(real_scans)}x:\n{final}"
     assert "ReusedExchange" in final
+
+
+# --- round-4 operator plan guards -------------------------------------------
+
+
+def test_negative_sampling_broadcasts_reps(spark, sf_dir):
+    """The 64-row bucket-representative table must broadcast; a sort-merge
+    join here would shuffle the whole anchor stream for nothing."""
+    plan = _plan(spark, sf_dir, "q_negative_sampling")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winsorized_bounds_broadcast(spark, sf_dir):
+    """Percentile bounds (|groups| rows) broadcast back onto the fact
+    table — the fact side must never shuffle for the clamp join."""
+    plan = _plan(spark, sf_dir, "q_winsorized_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ohlc_single_exchange(spark, sf_dir):
+    """Both window passes and the final agg share ONE (event_type, day)
+    exchange — a second Exchange means a window lost the partitioning."""
+    plan = _plan(spark, sf_dir, "q_ohlc_bars")
+    # one data exchange (hashpartitioning) + the final orderBy range exchange
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_rolling_zscore_no_global_window(spark, sf_dir):
+    """The anomaly window partitions by event_type — a SinglePartition
+    window would serialize the whole fact table through one task."""
+    plan = _plan(spark, sf_dir, "q_rolling_zscore")
+    assert "Window" in plan
+    assert "hashpartitioning(event_type" in plan, plan
+    assert "SinglePartition" not in plan
+
+
+def test_cumulative_distinct_global_window_is_post_agg(spark, sf_dir):
+    """The running sum's unpartitioned window is allowed ONLY because it
+    runs over the |days|-row aggregate — the plan must place the window
+    ABOVE both aggregations, never on raw events."""
+    plan = _plan(spark, sf_dir, "q_cumulative_distinct")
+    # the Window node's child chain must contain the two HashAggregates
+    widx = plan.find("Window")
+    assert widx != -1
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial/final
+
+
+def test_resample_spine_joins_broadcast(spark, sf_dir):
+    """Spine grid ⋈ hourly counts must broadcast the bounded side; the
+    fact table appears only under the count aggregate."""
+    plan = _plan(spark, sf_dir, "q_resample_hourly")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_match_blocks_before_levenshtein(spark, sf_dir):
+    """The levenshtein must sit above an equi-join on the block key —
+    never a BroadcastNestedLoopJoin over all name pairs."""
+    plan = _plan(spark, sf_dir, "q_fuzzy_match_names")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan

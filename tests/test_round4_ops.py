@@ -1,0 +1,130 @@
+"""Semantic edge cases for the round-4 operator batch (beyond the oracle
+differential tests): entropy bounds, OOV disposition, resample gap-fill,
+negative-sampling invariants, session-window boundaries."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+
+_QUERIES = em.queries()
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    """0 ≤ H ≤ ln(n_tokens); single-repeated-token docs sit at exactly 0."""
+    rows = _QUERIES["q_token_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:  # 5e-5 slack: entropy is reported rounded to 4dp
+        assert -5e-5 <= r["entropy"] <= math.log(r["n_tokens"]) + 5e-5
+
+
+def test_token_entropy_degenerate_doc(spark):
+    from api_log_iceberg_test_spark.operators import text as _t  # noqa: F401
+    from api_log_iceberg_test_spark.operators.registry import q_token_entropy  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    tok = df.select("doc_id", F.explode(_t.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    ent = (
+        tf.groupBy("doc_id")
+        .agg(
+            (
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+                / F.sum("c").cast("double")
+            ).alias("h")
+        )
+        .collect()
+    )
+    got = {r["doc_id"]: r["h"] for r in ent}
+    assert abs(got[1]) < 1e-12  # all-same-token: zero entropy
+    assert abs(got[2] - math.log(4)) < 1e-12  # uniform: ln(n)
+
+
+def test_oov_rate_zero_for_vocab_only_docs(spark, sf_dir):
+    """A doc made entirely of top-100 terms must have oov_rate 0; rates
+    are in [0, 1] and n_oov ≤ n_tokens everywhere."""
+    rows = _QUERIES["q_oov_rate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["oov_rate"] <= 1.0
+        assert r["n_oov"] <= r["n_tokens"]
+
+
+def test_resample_spine_is_complete_and_dense(spark, sf_dir):
+    """Every (hour, type) cell in the span exists exactly once, and the
+    total count equals the raw event count (zero-filling adds no events)."""
+    from api_log_iceberg_test_spark.schema import load_table
+
+    out = _QUERIES["q_resample_hourly"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    n_types = ev.select("event_type").distinct().count()
+    hours = out.select("hour").distinct().count()
+    assert out.count() == hours * n_types  # dense grid
+    assert out.groupBy("hour", "event_type").count().filter("count > 1").count() == 0
+    assert (
+        out.agg(F.sum("cnt")).collect()[0][0] == ev.count()
+    )  # conservation
+
+
+def test_negative_sampling_invariants(spark, sf_dir):
+    """No self-pairs, ≤3 draws per anchor, negatives are real doc ids."""
+    from api_log_iceberg_test_spark.schema import load_table
+
+    out = _QUERIES["q_negative_sampling"](spark, sf_dir)
+    assert out.filter(F.col("neg_id") == F.col("doc_id")).count() == 0
+    per_anchor = out.groupBy("doc_id").count()
+    assert per_anchor.filter("count > 3").count() == 0
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("neg_id")
+    )
+    assert out.join(docs, "neg_id", "left_anti").count() == 0
+
+
+def test_session_window_gap_boundary(spark):
+    """Spark's session_window merge is INCLUSIVE at the boundary: an event
+    exactly `gap` after its predecessor still merges; one microsecond more
+    starts a new session. The q_session_window_batch oracle replays this
+    as `delta > gap` — this test pins the semantic so an engine change
+    (or an oracle edit back to >=) fails loudly instead of silently
+    passing on boundary-free random data."""
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00", 1.0),
+            (2, 10, "2024-01-01 00:30:00", 1.0),  # exactly 30 min → merges
+            (3, 20, "2024-01-01 00:00:00", 1.0),
+            (4, 20, "2024-01-01 00:30:00.000001", 1.0),  # 1µs over → new
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n"])
+    assert per_user[10] == [2]
+    assert sorted(per_user[20]) == [1, 1]
+
+
+def test_quality_calibration_pct_rank_bounds(spark, sf_dir):
+    """percent_rank ∈ [0, 1]; each source's min is 0 (the lowest-quality
+    doc anchors the scale; a TIED maximum legitimately ranks < 1, so only
+    the upper bound is asserted)."""
+    out = _QUERIES["q_quality_calibration"](spark, sf_dir)
+    rows = out.groupBy("source").agg(
+        F.min("pct_rank").alias("lo"),
+        F.max("pct_rank").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["lo"] == 0.0
+        assert r["hi"] <= 1.0
