@@ -2224,6 +2224,43 @@ ORACLE["q_token_entropy"] = f"""
 """
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) driver-verified:
+    the salt spreads a hot key over 16 reducers in phase 1 and phase 2
+    merges the partials — associative aggregates make the rewrite exact,
+    so the oracle is the PLAIN GROUP BY, proving semantics preservation
+    differentially (not just in pytest)."""
+    from . import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    out = skew.salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "cnt": "count:*",
+            "total_value": "sum:value",
+            "min_value": "min:value",
+            "max_value": "max:value",
+        },
+    )
+    return out.select(
+        "event_type",
+        "cnt",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    ).orderBy("event_type")
+
+
+ORACLE["q_salted_agg"] = """
+    SELECT event_type, COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 #: Oracled entries registered after the driver's 50-query verification
 #: window filled: merged AFTER the round-1-red analytics trio (which must
 #: re-verify green) but before the SQL/analytic breadth; see
@@ -2248,6 +2285,7 @@ QUERIES_LATE: dict = {
     "q_oov_rate": q_oov_rate,
     "q_dup_clusters_star": q_dup_clusters_star,
     "q_token_entropy": q_token_entropy,
+    "q_salted_agg": q_salted_agg,
 }
 
 # identical labeling contract, so the star variant reuses the min-label

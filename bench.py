@@ -90,6 +90,7 @@ ROUND4 = [
     "q_resample_hourly",
     "q_cumulative_distinct",
     "q_token_entropy",
+    "q_salted_agg",
 ]
 
 
