@@ -538,3 +538,45 @@ def test_quality_gate_quarantines_null_text(spark, tmp_path):
     rej_ids = {r["doc_id"] for r in outs[1].select("doc_id").collect()}
     assert acc_ids | rej_ids == {1, 2}, (acc_ids, rej_ids)
     assert 2 in rej_ids
+
+
+def test_sliding_error_rate_stream_equals_batch(spark, tmp_path):
+    """Sliding (hopping) windows: every window the stream emits must carry
+    the exact batch-computed counts for the same 10min/1min window spec —
+    the stream/batch unification claim q_hopping_window_batch rests on."""
+    from pyspark.sql import functions as F
+
+    logs = generate_api_logs(spark, 2000, seed=29, span_days=1)
+    stream = _stream_from(spark, tmp_path, logs)
+
+    out = str(tmp_path / "out_slide")
+    q = (
+        sliding_error_rate(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: (r["n_requests"], r["n_errors"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "stream emitted no closed windows"
+
+    is_err = (F.col("httpStatusCode") >= 400).cast("int")
+    want = {
+        r["ws"]: (r["n"], r["e"])
+        for r in logs.groupBy(
+            F.window("time", "10 minutes", "1 minute").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(is_err).alias("e"))
+        .select(F.col("w.start").alias("ws"), "n", "e")
+        .collect()
+    }
+    # availableNow emits only watermark-closed windows; each emitted window
+    # must match the batch result exactly
+    for ws, (n, e) in got.items():
+        assert want[ws] == (n, e), f"window {ws}: stream {(n, e)} batch {want[ws]}"
