@@ -1809,39 +1809,78 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-window anomaly detection: flag events whose value deviates
     > 2.5 sample-sd from the trailing-100-event mean within its type.
 
-    The batch shape of a streaming anomaly monitor. One shuffle on
-    event_type, one sort per partition; the frame is ROWS-based (100
-    PRECEDING .. 1 PRECEDING — the current row is excluded so it cannot
-    mask its own anomaly). Warm-up rows (< 30 trailing events) and
+    The batch shape of a streaming anomaly monitor. The frame is ROWS-based
+    (100 PRECEDING .. 1 PRECEDING — the current row is excluded so it
+    cannot mask its own anomaly). Warm-up rows (< 30 trailing events) and
     zero-variance frames are excluded explicitly in both engines — division
     by zero is engine-defined, never relied on. Deterministic: the sort key
     (ts, event_id) is unique.
 
-    Scale: partition-by-type parallelism is |types|-bounded; at 100 TB
-    re-key to (type, day) with a per-day warm-up carry — noted, not needed
-    at bench scale.
+    NOT the naive sliding-frame aggregate: Spark's WindowExec recomputes
+    the whole 100-row buffer per row (no retraction), an O(n·frame)
+    constant factor that matters at 100 TB. The O(n) formulation keeps
+    cumulative Σv and Σv² and retracts with lag(·, frame+1):
+    frame_sum[i] = S[i-1] − S[i-101]. This is also MORE cross-engine
+    deterministic than per-frame stddev: cumulative window sums accumulate
+    in sort order — the identical sequential double additions in both
+    engines — so the oracle matches bitwise, not just within rounding.
+    Cancellation audit: |S| ≤ 2e4·500 = 1e7 (values), ≤ 5e9 (squares) ⇒
+    retraction error ≤ 1e-16·5e9 = 5e-7 absolute on frame sums ~1e6+ —
+    nine orders below the 4dp rounding.
+
+    Scale: one event_type shuffle, one in-partition sort shared by the
+    cumulative and lag window passes; partition parallelism is
+    |types|-bounded — at 100 TB re-key to (type, day) with a per-day
+    warm-up carry.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-100, -1)
-    )
-    scored = ev.select(
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_cum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    # ts stays in the projection: the lag pass re-uses the same
+    # (ts, event_id) window ordering, hence the same exchange + sort
+    cum = ev.select(
         "event_id",
         "event_type",
         "value",
-        F.count("value").over(w).alias("n_trail"),
-        F.avg("value").over(w).alias("mu"),
-        F.stddev_samp("value").over(w).alias("sd"),
+        "ts",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("value").over(w_cum).alias("s1"),
+        F.sum(F.col("value") * F.col("value")).over(w_cum).alias("s2"),
+    )
+    fs1 = F.coalesce(F.lag("s1", 1).over(wo), F.lit(0.0)) - F.coalesce(
+        F.lag("s1", 101).over(wo), F.lit(0.0)
+    )
+    fs2 = F.coalesce(F.lag("s2", 1).over(wo), F.lit(0.0)) - F.coalesce(
+        F.lag("s2", 101).over(wo), F.lit(0.0)
+    )
+    n = F.least(F.col("rn") - 1, F.lit(101 - 1))
+    scored = cum.select(
+        "event_id",
+        "event_type",
+        "value",
+        n.alias("n_trail"),
+        fs1.alias("fs1"),
+        fs2.alias("fs2"),
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        "n_trail",
+        (F.col("fs1") / F.col("n_trail")).alias("mu"),
+        (
+            (F.col("fs2") - F.col("fs1") * F.col("fs1") / F.col("n_trail"))
+            / (F.col("n_trail") - 1)
+        ).alias("var"),
     )
     return (
-        scored.filter((F.col("n_trail") >= 30) & (F.col("sd") > 0))
+        scored.filter((F.col("n_trail") >= 30) & (F.col("var") > 0))
         .select(
             "event_id",
             "event_type",
             F.round("value", 6).alias("value"),
-            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
+            F.round(
+                (F.col("value") - F.col("mu")) / F.sqrt(F.col("var")), 4
+            ).alias("zscore"),
         )
         .filter(F.abs(F.col("zscore")) > 2.5)
         .orderBy("event_id")
@@ -1849,21 +1888,38 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_rolling_zscore"] = """
-    WITH s AS (
+    WITH c AS (
         SELECT event_id, event_type, value,
-               COUNT(value) OVER w AS n_trail,
-               AVG(value) OVER w AS mu,
-               stddev_samp(value) OVER w AS sd
+               row_number() OVER wo AS rn,
+               SUM(value) OVER wc AS s1,
+               SUM(value * value) OVER wc AS s2
         FROM events
-        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-                     ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+        WINDOW wo AS (PARTITION BY event_type ORDER BY ts, event_id),
+               wc AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)
+    ),
+    f AS (
+        SELECT event_id, event_type, value,
+               LEAST(rn - 1, 100) AS n_trail,
+               COALESCE(lag(s1, 1) OVER wo, 0.0)
+                 - COALESCE(lag(s1, 101) OVER wo, 0.0) AS fs1,
+               COALESCE(lag(s2, 1) OVER wo, 0.0)
+                 - COALESCE(lag(s2, 101) OVER wo, 0.0) AS fs2
+        FROM c
+        WINDOW wo AS (PARTITION BY event_type ORDER BY rn)
+    ),
+    s AS (
+        SELECT event_id, event_type, value, n_trail,
+               fs1 / n_trail AS mu,
+               (fs2 - fs1 * fs1 / n_trail) / (n_trail - 1) AS var
+        FROM f
     )
     SELECT event_id, event_type,
            ROUND(value, 6) AS value,
-           ROUND((value - mu) / sd, 4) AS zscore
+           ROUND((value - mu) / sqrt(var), 4) AS zscore
     FROM s
-    WHERE n_trail >= 30 AND sd > 0
-      AND abs(ROUND((value - mu) / sd, 4)) > 2.5
+    WHERE n_trail >= 30 AND var > 0
+      AND abs(ROUND((value - mu) / sqrt(var), 4)) > 2.5
     ORDER BY event_id
 """
 
