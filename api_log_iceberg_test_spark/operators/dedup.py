@@ -1098,3 +1098,56 @@ def connected_components_star(
         .agg(F.min("v").alias("component"))
         .select(F.col("u").alias("doc_id"), "component")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_blocking: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Asymmetric near-duplication: shingle containment C(A→B) = |A∩B|/|A|.
+
+    Jaccard misses the quote/excerpt pattern — a short document wholly
+    contained in a long one scores |A|/|B| ≈ 0 — while its containment is
+    1.0. Standard in contamination scanning (a benchmark item quoted inside
+    a web page) and license-text detection. Same deterministic
+    smallest-shingle blocking and plan shape as
+    :func:`ngram_jaccard_pairs`: ids-only through the candidate join,
+    hashed-shingle arrays join back for the exact intersect; emits both
+    directions' containment, keeping pairs where either side ≥ threshold.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    ).repartition(F.col("id"))
+    keyed = docs.select(
+        "id", F.explode(F.slice(F.array_sort("sh"), 1, n_blocking)).alias("bkey")
+    )
+    cands = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "bkey")
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hashed = docs.select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hv"))
+    pairs = cands.join(
+        hashed.select(F.col("id").alias("id_a"), F.col("hv").alias("sh_a")), "id_a"
+    ).join(hashed.select(F.col("id").alias("id_b"), F.col("hv").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    c_a = F.round(inter / F.size("sh_a"), 6)
+    c_b = F.round(inter / F.size("sh_b"), 6)
+    return (
+        pairs.select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+    )

@@ -2261,6 +2261,88 @@ ORACLE["q_salted_agg"] = """
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment — the quote/excerpt near-dup pattern
+    Jaccard structurally misses (a short doc wholly inside a long one has
+    J ≈ |A|/|B| but containment 1.0). Contamination-scan standard."""
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.7
+    ).orderBy("doc_a", "doc_b")
+
+
+ORACLE["q_containment_pairs"] = f"""
+    WITH {_JACCARD_CTES.split(', scored AS')[0]}, scored AS (
+            SELECT id_a AS doc_a, id_b AS doc_b,
+                   ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                         / len(sa.sh)::DOUBLE, 6) AS containment_a,
+                   ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                         / len(sb.sh)::DOUBLE, 6) AS containment_b
+            FROM cand
+            JOIN sh sa ON sa.id = cand.id_a
+            JOIN sh sb ON sb.id = cand.id_b
+        )
+    SELECT doc_a, doc_b, containment_a, containment_b
+    FROM scored
+    WHERE containment_a >= 0.7 OR containment_b >= 0.7
+    ORDER BY doc_a, doc_b
+"""
+
+
+def q_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells for language × source — the corpus
+    balance check a curation pipeline runs before mixing sources (is the
+    language distribution independent of source, or does one source skew
+    it?). Per-cell observed count, expected count under independence, and
+    chi-square contribution (O−E)²/E; the sum over cells is the statistic.
+
+    Plan: one groupBy for the cells; row/column totals attach via two
+    broadcastable window-free joins on the tiny marginal frames.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("observed"))
+    row_tot = cells.groupBy("lang").agg(F.sum("observed").alias("lang_total"))
+    col_tot = cells.groupBy("source").agg(F.sum("observed").alias("source_total"))
+    grand = cells.agg(F.sum("observed").cast("double").alias("grand_total"))
+    expected = (
+        F.col("lang_total") * F.col("source_total") / F.col("grand_total")
+    )
+    return (
+        cells.join(F.broadcast(row_tot), "lang")
+        .join(F.broadcast(col_tot), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "lang",
+            "source",
+            "observed",
+            F.round(expected, 4).alias("expected"),
+            F.round(
+                (F.col("observed") - expected) * (F.col("observed") - expected)
+                / expected,
+                6,
+            ).alias("chisq_term"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+ORACLE["q_chisq_lang_source"] = """
+    WITH cells AS (
+        SELECT lang, source, COUNT(*) AS observed
+        FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, SUM(observed)::BIGINT AS lang_total FROM cells GROUP BY lang),
+    ct AS (SELECT source, SUM(observed)::BIGINT AS source_total FROM cells GROUP BY source),
+    g AS (SELECT SUM(observed)::DOUBLE AS grand_total FROM cells)
+    SELECT lang, source, observed,
+           ROUND(lang_total * source_total / grand_total, 4) AS expected,
+           ROUND((observed - lang_total * source_total / grand_total)
+                 * (observed - lang_total * source_total / grand_total)
+                 / (lang_total * source_total / grand_total), 6) AS chisq_term
+    FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN g
+    ORDER BY lang, source
+"""
+
+
 #: Oracled entries registered after the driver's 50-query verification
 #: window filled: merged AFTER the round-1-red analytics trio (which must
 #: re-verify green) but before the SQL/analytic breadth; see
@@ -2286,6 +2368,8 @@ QUERIES_LATE: dict = {
     "q_dup_clusters_star": q_dup_clusters_star,
     "q_token_entropy": q_token_entropy,
     "q_salted_agg": q_salted_agg,
+    "q_containment_pairs": q_containment_pairs,
+    "q_chisq_lang_source": q_chisq_lang_source,
 }
 
 # identical labeling contract, so the star variant reuses the min-label

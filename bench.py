@@ -91,6 +91,8 @@ ROUND4 = [
     "q_cumulative_distinct",
     "q_token_entropy",
     "q_salted_agg",
+    "q_containment_pairs",
+    "q_chisq_lang_source",
 ]
 
 
