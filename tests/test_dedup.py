@@ -314,3 +314,19 @@ def test_star_cc_disjoint_components(spark):
     )
     got = _labels(dedup.connected_components_star(pairs))
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_containment_planted_excerpt(spark):
+    """A short doc fully contained in a long one: containment_a = 1.0 even
+    though Jaccard is far below any dedup threshold."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    df = spark.createDataFrame([(1, short), (2, long_)], ["doc_id", "text"])
+    rows = dedup.containment_pairs(df, threshold=0.7).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["containment_a"] == 1.0
+    assert r["containment_b"] < 0.2
+    # and Jaccard indeed misses it
+    assert dedup.ngram_jaccard_pairs(df, threshold=0.5).count() == 0

@@ -132,3 +132,55 @@ def test_triangle_matches_naive_on_testdata(spark, sf_dir):
     )
     edges.unpersist()
     assert oriented_total == naive * 3  # corner-sum counts each triangle 3x
+
+
+def test_triangle_counts_random_graphs_match_naive(spark):
+    """Oriented counting == naive a<b<c counting on seeded random graphs —
+    broadens the K4/star/testdata cases to arbitrary topology."""
+    import random
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        n = 30
+        edges = sorted(
+            {
+                (a, b)
+                for _ in range(120)
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        e = _edges(spark, edges)
+        per_node = {
+            r["node"]: r["n_triangles"] for r in graph.triangle_counts(e).collect()
+        }
+        # naive reference computed in Python
+        adj = {i: set() for i in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {i: 0 for i in range(n)}
+        cnt = 0
+        for a, b in edges:
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    want[a] += 1
+                    want[b] += 1
+                    want[c] += 1
+                    cnt += 1
+        want = {k: v for k, v in want.items() if v}
+        assert per_node == want, f"seed {seed}"
+
+
+def test_pagerank_mass_conserved_random_graph(spark):
+    """On a random graph with no dangling nodes, total rank mass stays 1."""
+    import random
+
+    rng = random.Random(11)
+    n = 20
+    rows = []
+    for u in range(n):  # every node gets >= 1 out-edge: no dangling
+        for v in rng.sample([x for x in range(n) if x != u], 3):
+            rows.append((str(u), str(v), rng.randint(1, 5)))
+    e = _wedges(spark, rows)
+    total = graph.pagerank(e, k=12).agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-9)
