@@ -1801,11 +1801,39 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(k: int = 10, damping: float = 0.85) -> str:
+_TRANSITION_EDGES_CTE = """
+    seq AS (
+        SELECT event_type AS dst,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        FROM events WHERE event_type IS NOT NULL
+    ),
+    edges AS (
+        SELECT src, dst, COUNT(*) AS w FROM seq WHERE src IS NOT NULL GROUP BY 1, 2
+    )"""
+
+#: part co-occurrence graph, symmetrized (an undirected graph walked in
+#: both directions — no dangling nodes by construction)
+_COOCCUR_EDGES_CTE = """
+    und AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst, 1 AS w FROM und
+        UNION ALL
+        SELECT b AS src, a AS dst, 1 AS w FROM und
+    )"""
+
+
+def _pagerank_oracle(
+    k: int = 10, damping: float = 0.85, edges_cte: str | None = None
+) -> str:
     """Unrolled k-iteration PageRank as an ANSI CTE chain (DuckDB oracle).
 
     Same recurrence as :func:`graph.pagerank` — simplified variant without
-    dangling-mass redistribution (the transition graph has none)."""
+    dangling-mass redistribution (both registered graphs have none).
+    ``edges_cte`` must define an ``edges(src, dst, w)`` CTE."""
     steps = []
     for i in range(1, k + 1):
         steps.append(
@@ -1820,15 +1848,10 @@ def _pagerank_oracle(k: int = 10, damping: float = 0.85) -> str:
     )"""
         )
     chain = ",\n    ".join(steps)
+    if edges_cte is None:
+        edges_cte = _TRANSITION_EDGES_CTE
     return f"""
-    WITH seq AS (
-        SELECT event_type AS dst,
-               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
-        FROM events WHERE event_type IS NOT NULL
-    ),
-    edges AS (
-        SELECT src, dst, COUNT(*) AS w FROM seq WHERE src IS NOT NULL GROUP BY 1, 2
-    ),
+    WITH {edges_cte},
     nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
     nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
     ce AS (
@@ -1842,6 +1865,43 @@ def _pagerank_oracle(k: int = 10, damping: float = 0.85) -> str:
 
 
 ORACLE["q_pagerank"] = _pagerank_oracle(k=10, damping=0.85)
+
+
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank at graph scale: top-20 parts by rank over the symmetrized
+    order co-occurrence graph (2k nodes / 230k directed edges at sf0.01,
+    20k / 2.4M at sf0.1) — the market-basket centrality complement to
+    q_triangle_counts, and the demonstration that the checkpointed
+    DataFrame loop holds beyond the |types|-node transition graph.
+
+    k=5 iterations (the oracle unrolls per iteration, so the CTE chain
+    stays bounded); undirected walk → no dangling nodes by construction.
+    2.75s steady at sf0.1 under the repo session (8 shuffle partitions);
+    a stock 200-partition session pays ~5x in per-iteration empty-task
+    scheduling — iterative loops amplify shuffle-partition oversizing,
+    which is exactly why cluster_conf sizes partitions to cores."""
+    from . import graph
+
+    und = graph.cooccurrence_edges(load_table(spark, sf_dir, "lineitem"))
+    edges = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .withColumn("w", F.lit(1))
+    )
+    return (
+        graph.pagerank(edges, k=5, damping=0.85)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
+
+
+ORACLE["q_pagerank_parts"] = (
+    _pagerank_oracle(k=5, damping=0.85, edges_cte=_COOCCUR_EDGES_CTE).rstrip()[
+        : -len("ORDER BY node")
+    ]
+    + "ORDER BY rank DESC, node LIMIT 20"
+)
 
 ORACLE["q_triangle_counts"] = """
     WITH e AS (
@@ -2370,6 +2430,7 @@ QUERIES_LATE: dict = {
     "q_salted_agg": q_salted_agg,
     "q_containment_pairs": q_containment_pairs,
     "q_chisq_lang_source": q_chisq_lang_source,
+    "q_pagerank_parts": q_pagerank_parts,
 }
 
 # identical labeling contract, so the star variant reuses the min-label

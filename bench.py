@@ -93,6 +93,7 @@ ROUND4 = [
     "q_salted_agg",
     "q_containment_pairs",
     "q_chisq_lang_source",
+    "q_pagerank_parts",
 ]
 
 
