@@ -2176,3 +2176,114 @@ ORACLE["q_cumulative_distinct"] = """
 """
 
 QUERIES["q_cumulative_distinct"] = q_cumulative_distinct
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers (Iglewicz–Hoaglin modified z-score):
+    flag events with 0.6745·|x − median| / MAD > 3.5 within their type —
+    the robust-statistics complement to q_winsorized_stats (median/MAD
+    have a 50% breakdown point; mean/sd break at one extreme point).
+
+    Two exact-percentile aggregates (median of values, then median of
+    absolute deviations), both combinable and broadcast back — the fact
+    table never shuffles. The threshold applies to the ROUNDED score so
+    borderline membership can't diverge between engines. Zero-MAD groups
+    (>50% identical values) are excluded explicitly.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(
+                F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 4
+            ).alias("mod_zscore"),
+        )
+        .filter(F.abs(F.col("mod_zscore")) > 3.5)
+        .orderBy("event_id")
+    )
+
+
+ORACLE["q_anomaly_mad"] = """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+        WHERE e.value IS NOT NULL
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT event_id, d.event_type,
+           ROUND(value, 6) AS value,
+           ROUND(0.6745 * (value - med) / mad, 4) AS mod_zscore
+    FROM dev d JOIN mad USING (event_type)
+    WHERE mad > 0
+      AND abs(ROUND(0.6745 * (value - med) / mad, 4)) > 3.5
+    ORDER BY event_id
+"""
+
+QUERIES["q_anomaly_mad"] = q_anomaly_mad
+
+
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series feature engineering: per event type's daily totals,
+    emit lag-1, lag-7, day-over-day delta, and 7-day trailing mean — the
+    standard supervised-learning feature block a forecasting pipeline
+    materializes. Windowed over the |types|×|days| daily aggregate (tiny
+    at any fact scale), so the heavy table is touched only by one
+    combinable agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("total"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        "day",
+        "total",
+        F.lag("total", 1).over(w).alias("lag_1"),
+        F.lag("total", 7).over(w).alias("lag_7"),
+        F.round(F.col("total") - F.lag("total", 1).over(w), 4).alias("delta_1"),
+        F.round(F.avg("total").over(w7), 4).alias("ma_7"),
+    ).orderBy("event_type", "day")
+
+
+ORACLE["q_lag_features"] = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               ROUND(SUM(value), 4) AS total
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, total,
+           lag(total, 1) OVER w AS lag_1,
+           lag(total, 7) OVER w AS lag_7,
+           ROUND(total - lag(total, 1) OVER w, 4) AS delta_1,
+           ROUND(AVG(total) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+               AS ma_7
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ORDER BY event_type, day
+"""
+
+QUERIES["q_lag_features"] = q_lag_features

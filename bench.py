@@ -94,6 +94,8 @@ ROUND4 = [
     "q_containment_pairs",
     "q_chisq_lang_source",
     "q_pagerank_parts",
+    "q_anomaly_mad",
+    "q_lag_features",
 ]
 
 
