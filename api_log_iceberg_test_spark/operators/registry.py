@@ -2403,6 +2403,50 @@ ORACLE["q_chisq_lang_source"] = """
 """
 
 
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-overlap matrix: near-duplicate pair counts per
+    (source, source) cell — the question a corpus audit asks before
+    mixing crawls ("which sources duplicate each other, and how much of
+    the dedup burden is cross-source vs within-source?").
+
+    Reuses the exact-Jaccard pair list; sources attach via two
+    broadcastable id→source joins on the tiny pair set, cells canonicalize
+    as (min, max) so each unordered source pair counts once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    j = pairs.join(
+        F.broadcast(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))),
+        "doc_a",
+    ).join(
+        F.broadcast(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))),
+        "doc_b",
+    )
+    return (
+        j.select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy("source_x", "source_y")
+    )
+
+
+ORACLE["q_cross_source_dups"] = f"""
+    WITH {_JACCARD_CTES},
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT least(sa.source, sb.source) AS source_x,
+           greatest(sa.source, sb.source) AS source_y,
+           COUNT(*) AS n_dup_pairs
+    FROM jpairs
+    JOIN src sa ON sa.doc_id = jpairs.doc_a
+    JOIN src sb ON sb.doc_id = jpairs.doc_b
+    GROUP BY 1, 2 ORDER BY source_x, source_y
+"""
+
+
 #: Oracled entries registered after the driver's 50-query verification
 #: window filled: merged AFTER the round-1-red analytics trio (which must
 #: re-verify green) but before the SQL/analytic breadth; see
@@ -2431,6 +2475,7 @@ QUERIES_LATE: dict = {
     "q_containment_pairs": q_containment_pairs,
     "q_chisq_lang_source": q_chisq_lang_source,
     "q_pagerank_parts": q_pagerank_parts,
+    "q_cross_source_dups": q_cross_source_dups,
 }
 
 # identical labeling contract, so the star variant reuses the min-label

@@ -2287,3 +2287,79 @@ ORACLE["q_lag_features"] = """
 """
 
 QUERIES["q_lag_features"] = q_lag_features
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase latency distribution — the funnel companion
+    answering "how fast do converters convert": per signup cohort day,
+    count of converters and p25/p50/p90 of the conversion delay in hours.
+
+    Delay = first purchase AT-OR-AFTER the user's first signup (µs-exact;
+    the LTZ cast makes unix_micros accept the NTZ storage and offsets
+    cancel in the difference under the fixed-offset UTC session). One
+    user_id shuffle for the two min-aggs + join; percentile over the
+    per-user one-row frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", us.alias("s_us"), F.col("ts"))
+        .groupBy("user_id")
+        .agg(F.min("s_us").alias("s_us"), F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("p_us"))
+    )
+    delay = (
+        s.join(p, "user_id")
+        .filter(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_us").alias("first_p_us"), F.min("s_us").alias("su"))
+        .select(
+            F.date_trunc("day", "signup_ts").alias("cohort_day"),
+            ((F.col("first_p_us") - F.col("su")) / 3.6e9).alias("delay_h"),
+        )
+    )
+    return (
+        delay.groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_converters"),
+            F.round(F.expr("percentile(delay_h, 0.25)"), 4).alias("p25_h"),
+            F.round(F.expr("percentile(delay_h, 0.5)"), 4).alias("p50_h"),
+            F.round(F.expr("percentile(delay_h, 0.9)"), 4).alias("p90_h"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
+ORACLE["q_conversion_latency"] = """
+    WITH s AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS s_us, MIN(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, epoch_us(ts) AS p_us FROM events
+        WHERE event_type = 'purchase'
+    ),
+    d AS (
+        SELECT s.user_id, MIN(s.signup_ts) AS signup_ts,
+               MIN(p.p_us) AS first_p_us, MIN(s.s_us) AS su
+        FROM s JOIN p ON s.user_id = p.user_id AND p.p_us >= s.s_us
+        GROUP BY s.user_id
+    ),
+    delay AS (
+        SELECT date_trunc('day', signup_ts) AS cohort_day,
+               (first_p_us - su) / 3.6e9 AS delay_h
+        FROM d
+    )
+    SELECT cohort_day,
+           COUNT(*) AS n_converters,
+           ROUND(quantile_cont(delay_h, 0.25), 4) AS p25_h,
+           ROUND(quantile_cont(delay_h, 0.5), 4) AS p50_h,
+           ROUND(quantile_cont(delay_h, 0.9), 4) AS p90_h
+    FROM delay GROUP BY cohort_day ORDER BY cohort_day
+"""
+
+QUERIES["q_conversion_latency"] = q_conversion_latency

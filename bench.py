@@ -96,6 +96,8 @@ ROUND4 = [
     "q_pagerank_parts",
     "q_anomaly_mad",
     "q_lag_features",
+    "q_cross_source_dups",
+    "q_conversion_latency",
 ]
 
 
