@@ -98,6 +98,8 @@ ROUND4 = [
     "q_lag_features",
     "q_cross_source_dups",
     "q_conversion_latency",
+    "q_dedup_cluster_stats",
+    "q_hourofweek_profile",
 ]
 
 
