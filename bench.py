@@ -100,6 +100,7 @@ ROUND4 = [
     "q_conversion_latency",
     "q_dedup_cluster_stats",
     "q_hourofweek_profile",
+    "q_data_quality",
 ]
 
 

@@ -128,3 +128,29 @@ def test_quality_calibration_pct_rank_bounds(spark, sf_dir):
     for r in rows:
         assert r["lo"] == 0.0
         assert r["hi"] <= 1.0
+
+
+def test_data_quality_planted_violations(spark):
+    """Each check must count exactly its planted violations."""
+    from api_log_iceberg_test_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (None, 3.0), (4, -2.0), (4, 0.0)],
+        "id long, v double",
+    )
+    rows = {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in quality.check_rows(
+            df, {"id_not_null": F.col("id").isNotNull(), "v_non_neg": F.col("v") >= 0}
+        ).collect()
+    }
+    assert rows["id_not_null"] == (1, False)
+    assert rows["v_non_neg"] == (2, False)
+
+    uniq = quality.check_unique(df, "id").collect()[0]
+    assert (uniq["n_violations"], uniq["passed"]) == (1, False)  # id=4 twice
+
+    parent = spark.createDataFrame([(1,), (2,), (4,)], "k long")
+    fk = quality.check_referential(df, "id", parent, "k").collect()[0]
+    assert fk["n_violations"] == 1  # the NULL id row never matches
+    assert not fk["passed"]
