@@ -2597,6 +2597,309 @@ ORACLE["q_data_quality"] = """
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift detection: per event_type, PSI of
+    the `value` distribution between the reference period (first half of
+    the month) and the current period — the standard pre-deploy check that
+    a feature's distribution hasn't shifted under the model.
+
+    Fixed-width bins (10 × 50.0 over the generator's [0, 500) value range)
+    keep binning deterministic across engines; +0.5/bucket Laplace
+    smoothing makes ln well-defined on empty buckets. The full
+    type × bucket grid is generated (a 5×10 crossJoin of two tiny frames)
+    so absent buckets still contribute their smoothed mass.
+
+    Scale: one combinable agg over the events scan (conditional counts per
+    period), grid join broadcast; output |types| rows at any data size.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    split = F.lit("2024-01-16").cast("timestamp")
+    binned = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int").alias("bucket"),
+        (F.col("ts") < split).cast("int").alias("is_ref"),
+    )
+    cnt = binned.groupBy("event_type", "bucket").agg(
+        F.sum("is_ref").alias("ref_cnt"),
+        F.sum(1 - F.col("is_ref")).alias("cur_cnt"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bucket")))
+    )
+    full = grid.join(cnt, ["event_type", "bucket"], "left").fillna(
+        0, subset=["ref_cnt", "cur_cnt"]
+    )
+    tot = full.groupBy("event_type").agg(
+        F.sum("ref_cnt").alias("ref_tot"), F.sum("cur_cnt").alias("cur_tot")
+    )
+    p = full.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        ((F.col("ref_cnt") + 0.5) / (F.col("ref_tot") + 5.0)).alias("p_ref"),
+        ((F.col("cur_cnt") + 0.5) / (F.col("cur_tot") + 5.0)).alias("p_cur"),
+    )
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum((F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))),
+                6,
+            ).alias("psi")
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q_psi_drift"] = """
+    WITH binned AS (
+        SELECT event_type,
+               LEAST(FLOOR(value / 50.0), 9)::INT AS bucket,
+               (ts < TIMESTAMP '2024-01-16')::INT AS is_ref
+        FROM events WHERE event_type IS NOT NULL
+    ),
+    cnt AS (
+        SELECT event_type, bucket,
+               SUM(is_ref) AS ref_cnt, SUM(1 - is_ref) AS cur_cnt
+        FROM binned GROUP BY event_type, bucket
+    ),
+    grid AS (
+        SELECT t.event_type, r.range::INT AS bucket
+        FROM (SELECT DISTINCT event_type FROM binned) t CROSS JOIN range(10) r
+    ),
+    full_grid AS (
+        SELECT g.event_type, g.bucket,
+               COALESCE(c.ref_cnt, 0) AS ref_cnt,
+               COALESCE(c.cur_cnt, 0) AS cur_cnt
+        FROM grid g LEFT JOIN cnt c
+          ON g.event_type = c.event_type AND g.bucket = c.bucket
+    ),
+    tot AS (
+        SELECT event_type, SUM(ref_cnt) AS ref_tot, SUM(cur_cnt) AS cur_tot
+        FROM full_grid GROUP BY event_type
+    ),
+    p AS (
+        SELECT f.event_type,
+               (f.ref_cnt + 0.5) / (t.ref_tot + 5.0) AS p_ref,
+               (f.cur_cnt + 0.5) / (t.cur_tot + 5.0) AS p_cur
+        FROM full_grid f JOIN tot t ON f.event_type = t.event_type
+    )
+    SELECT event_type,
+           ROUND(SUM((p_cur - p_ref) * LN(p_cur / p_ref)), 6) AS psi
+    FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream:
+    P(next event type | previous event type) — the sequence model behind
+    journey analysis and next-event prediction baselines.
+
+    One shuffle on user_id feeds the lag window (ordered by ts, event_id
+    for tie determinism); the transition counts then aggregate on the
+    25-cell (prev, next) key. Probabilities divide by the per-prev row
+    count via a second tiny agg joined back broadcast.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    cnt = pairs.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = cnt.groupBy("prev_type").agg(F.sum("cnt").alias("tot"))
+    return (
+        cnt.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "cnt",
+            F.round(F.col("cnt") / F.col("tot"), 6).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+ORACLE["q_event_transitions"] = """
+    WITH pairs AS (
+        SELECT LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type,
+               event_type AS next_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT prev_type, next_type, COUNT(*) AS cnt
+        FROM pairs WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, cnt,
+           ROUND(cnt / SUM(cnt) OVER (PARTITION BY prev_type), 6) AS prob
+    FROM cnt ORDER BY prev_type, next_type
+"""
+
+
+def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of term co-occurrence within documents,
+    restricted to the corpus's top-50 document-frequency vocabulary — the
+    collocation statistic behind phrase mining and topic seeding.
+
+    PMI(a,b) = ln(n_ab · D / (n_a · n_b)) over document-level presence.
+    The vocabulary cap bounds the per-document pair fanout at C(50,2); the
+    vocab and its doc-frequencies broadcast, so the only big shuffle is
+    the (doc, term) distinct. Pairs with n_ab < 5 are noise-filtered.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    present = (
+        docs.select("doc_id", F.explode(text.tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        present.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(50)
+    )
+    hits = present.join(F.broadcast(vocab), "term").select("doc_id", "term", "df")
+    pairs = (
+        hits.alias("a")
+        .join(hits.alias("b"), "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("term_a"),
+            F.col("b.term").alias("term_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(
+                F.log(F.col("n_ab") * F.col("n_docs") / (F.col("df_a") * F.col("df_b"))), 6
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "term_a", "term_b")
+        .limit(50)
+    )
+
+
+ORACLE["q_term_pmi"] = f"""
+    WITH present AS (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+        ) WHERE term <> ''
+    ),
+    vocab AS (
+        SELECT term, COUNT(*) AS df FROM present GROUP BY term
+        ORDER BY df DESC, term LIMIT 50
+    ),
+    hits AS (
+        SELECT p.doc_id, p.term, v.df
+        FROM present p JOIN vocab v ON p.term = v.term
+    ),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b,
+               a.df AS df_a, b.df AS df_b, COUNT(*) AS n_ab
+        FROM hits a JOIN hits b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 5
+    )
+    SELECT term_a, term_b, n_ab,
+           ROUND(LN(n_ab * (SELECT COUNT(*) FROM documents)
+                    / (df_a * df_b)), 6) AS pmi
+    FROM pairs ORDER BY pmi DESC, term_a, term_b LIMIT 50
+"""
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every purchase,
+    credit the user's earliest and most recent preceding non-purchase
+    event type, then count conversions credited to each type under both
+    models — the marketing-analytics staple over the same event stream the
+    funnel operator consumes.
+
+    Both touches come from one window over one user_id shuffle
+    (first/last with ignorenulls over a CASE projection, frame = unbounded
+    preceding to 1 preceding); purchases with no prior touch fall into the
+    '(none)' bucket so the two models' totals both equal the purchase
+    count. Ordered by (ts, event_id) for tie determinism.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    conv = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("first_touch", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+    )
+    first = conv.groupBy(
+        F.coalesce("first_touch", F.lit("(none)")).alias("channel")
+    ).agg(F.count(F.lit(1)).alias("first_touch_conversions"))
+    last = conv.groupBy(
+        F.coalesce("last_touch", F.lit("(none)")).alias("channel")
+    ).agg(F.count(F.lit(1)).alias("last_touch_conversions"))
+    return (
+        first.join(last, "channel", "full")
+        .fillna(0, subset=["first_touch_conversions", "last_touch_conversions"])
+        .orderBy("channel")
+    )
+
+
+ORACLE["q_attribution"] = """
+    WITH conv AS (
+        SELECT event_type,
+               FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS first_touch,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_touch
+        FROM events
+    ),
+    p AS (SELECT * FROM conv WHERE event_type = 'purchase'),
+    f AS (
+        SELECT COALESCE(first_touch, '(none)') AS channel,
+               COUNT(*) AS first_touch_conversions
+        FROM p GROUP BY 1
+    ),
+    l AS (
+        SELECT COALESCE(last_touch, '(none)') AS channel,
+               COUNT(*) AS last_touch_conversions
+        FROM p GROUP BY 1
+    )
+    SELECT COALESCE(f.channel, l.channel) AS channel,
+           COALESCE(first_touch_conversions, 0) AS first_touch_conversions,
+           COALESCE(last_touch_conversions, 0) AS last_touch_conversions
+    FROM f FULL JOIN l ON f.channel = l.channel
+    ORDER BY channel
+"""
+
+
 #: Oracled entries registered after the driver's 50-query verification
 #: window filled: merged AFTER the round-1-red analytics trio (which must
 #: re-verify green) but before the SQL/analytic breadth; see
@@ -2629,6 +2932,10 @@ QUERIES_LATE: dict = {
     "q_dedup_cluster_stats": q_dedup_cluster_stats,
     "q_hourofweek_profile": q_hourofweek_profile,
     "q_data_quality": q_data_quality,
+    "q_psi_drift": q_psi_drift,
+    "q_event_transitions": q_event_transitions,
+    "q_term_pmi": q_term_pmi,
+    "q_attribution": q_attribution,
 }
 
 # identical labeling contract, so the star variant reuses the min-label
