@@ -2622,9 +2622,11 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = binned.groupBy("event_type", "bucket").agg(
         F.sum("is_ref").alias("ref_cnt"),
         F.sum(1 - F.col("is_ref")).alias("cur_cnt"),
-    )
+    ).localCheckpoint(eager=False)
+    # grid types derive from the ≤|types|×10-row agg, not a second events
+    # scan — every observed type has ≥1 bucket row, so the sets are equal
     grid = (
-        ev.select("event_type")
+        cnt.select("event_type")
         .distinct()
         .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bucket")))
     )
@@ -2832,11 +2834,14 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     models — the marketing-analytics staple over the same event stream the
     funnel operator consumes.
 
-    Both touches come from one window over one user_id shuffle
+    Both touches come from ONE window over one user_id shuffle
     (first/last with ignorenulls over a CASE projection, frame = unbounded
-    preceding to 1 preceding); purchases with no prior touch fall into the
-    '(none)' bucket so the two models' totals both equal the purchase
-    count. Ordered by (ts, event_id) for tie determinism.
+    preceding to 1 preceding); the two models then unpivot into
+    (model, channel) rows so a single conditional-count agg produces both
+    columns — no second scan, window, or agg-join branch (the naive
+    two-groupBy + full-join shape doubles the window pass). Purchases with
+    no prior touch fall into the '(none)' bucket so both models' totals
+    equal the purchase count. Ordered by (ts, event_id) for determinism.
     """
     from pyspark.sql import Window
 
@@ -2853,15 +2858,26 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
         .filter(F.col("event_type") == "purchase")
     )
-    first = conv.groupBy(
-        F.coalesce("first_touch", F.lit("(none)")).alias("channel")
-    ).agg(F.count(F.lit(1)).alias("first_touch_conversions"))
-    last = conv.groupBy(
-        F.coalesce("last_touch", F.lit("(none)")).alias("channel")
-    ).agg(F.count(F.lit(1)).alias("last_touch_conversions"))
+    unpivoted = conv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first").alias("model"),
+                    F.coalesce("first_touch", F.lit("(none)")).alias("channel"),
+                ),
+                F.struct(
+                    F.lit("last").alias("model"),
+                    F.coalesce("last_touch", F.lit("(none)")).alias("channel"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.model", "t.channel")
     return (
-        first.join(last, "channel", "full")
-        .fillna(0, subset=["first_touch_conversions", "last_touch_conversions"])
+        unpivoted.groupBy("channel")
+        .agg(
+            F.count(F.when(F.col("model") == "first", 1)).alias("first_touch_conversions"),
+            F.count(F.when(F.col("model") == "last", 1)).alias("last_touch_conversions"),
+        )
         .orderBy("channel")
     )
 

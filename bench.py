@@ -101,6 +101,10 @@ ROUND4 = [
     "q_dedup_cluster_stats",
     "q_hourofweek_profile",
     "q_data_quality",
+    "q_psi_drift",
+    "q_event_transitions",
+    "q_term_pmi",
+    "q_attribution",
 ]
 
 

@@ -280,3 +280,45 @@ def test_fuzzy_match_blocks_before_levenshtein(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_fuzzy_match_names")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
+
+
+def test_psi_drift_single_events_scan(spark, sf_dir):
+    """The full type×bucket grid derives from the tiny checkpointed agg,
+    not a second events scan; the joins above it broadcast."""
+    plan = _plan(spark, sf_dir, "q_psi_drift")
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_event_transitions_single_user_shuffle(spark, sf_dir):
+    """One hash-partitioning exchange on user_id feeds the lag window;
+    the per-prev totals join back broadcast, not via a second big
+    shuffle of the transition pairs."""
+    plan = _plan(spark, sf_dir, "q_event_transitions")
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) >= 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_term_pmi_vocab_broadcast_no_bnlj_pairs(spark, sf_dir):
+    """The vocab join broadcasts and the within-doc pair join is an
+    equi-join on doc_id — the only nested-loop node is the 1-row
+    corpus-count crossJoin."""
+    plan = _plan(spark, sf_dir, "q_term_pmi")
+    assert "BroadcastHashJoin" in plan
+    # pair generation must be an equi-join keyed on doc_id, not cartesian
+    assert re.search(r"keys(?: \[\d+\])?: \[doc_id", plan), plan
+    # the only tolerated nested-loop node is the 1-row corpus-count cross
+    # (formatted explain prints each node twice: tree sketch + details)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan
+
+
+def test_attribution_single_window_pass(spark, sf_dir):
+    """Both touch models come from ONE window pass over one user_id
+    shuffle — the unpivot means no second scan / window / agg-join
+    branch (the naive two-groupBy full-join shape doubles both)."""
+    plan = _plan(spark, sf_dir, "q_attribution")
+    # Spark may split first/last into two WindowExec nodes, but they must
+    # share one sort over ONE user_id exchange and one events scan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 0, plan
