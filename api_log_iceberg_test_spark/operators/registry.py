@@ -2916,6 +2916,121 @@ ORACLE["q_attribution"] = """
 """
 
 
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of a categorical feature: each
+    (event_type, hour-of-day) category maps to a shrunk mean of the
+    target value, (n·mean_c + m·μ)/(n + m) with m=10 — the leakage-aware
+    way to turn high-cardinality categoricals into model features
+    without one-hot blowup.
+
+    One combinable agg per category plus a 1-row global-mean broadcast;
+    output |categories| rows at any data size. The global μ uses the same
+    sum/count partials both engines accumulate in the same order.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cat = ev.select(
+        "event_type", F.hour("ts").alias("hour"), "value"
+    )
+    per_cat = cat.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+    )
+    glob = cat.agg(
+        (F.sum("value") / F.count(F.lit(1))).alias("mu")
+    )
+    return (
+        per_cat.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round(F.col("s") / F.col("n"), 6).alias("raw_mean"),
+            F.round((F.col("s") + 10.0 * F.col("mu")) / (F.col("n") + 10.0), 6).alias(
+                "encoded"
+            ),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+ORACLE["q_target_encoding"] = """
+    WITH cat AS (
+        SELECT event_type, hour(ts)::INT AS hour, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    per_cat AS (
+        SELECT event_type, hour, COUNT(*) AS n, SUM(value) AS s
+        FROM cat GROUP BY event_type, hour
+    ),
+    g AS (SELECT SUM(value) / COUNT(*) AS mu FROM cat)
+    SELECT event_type, hour, n,
+           ROUND(s / n, 6) AS raw_mean,
+           ROUND((s + 10.0 * mu) / (n + 10.0), 6) AS encoded
+    FROM per_cat CROSS JOIN g
+    ORDER BY event_type, hour
+"""
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature vectorization audit: categorical document
+    features ('lang=x', 'source=y') hash into a fixed 64-bucket space with
+    a ±1 sign hash (Weinberger et al.'s signed hashing trick); the output
+    is the per-bucket occupancy — how many distinct features collide there
+    and the signed total — i.e. the collision profile a pipeline checks
+    before freezing the feature dim.
+
+    The hash is the first 8 md5 hex chars as an integer (portable across
+    engines, unlike xxhash64); bucket = h % 64, sign from the 9th hex
+    char's low bit. Pure codegen projection + one 64-key agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("lang="), F.coalesce("lang", F.lit("?"))),
+                F.concat(F.lit("source="), F.coalesce("source", F.lit("?"))),
+            )
+        ).alias("feature")
+    )
+    h = F.conv(F.substring(F.md5("feature"), 1, 8), 16, 10).cast("bigint")
+    sign_bit = F.conv(F.substring(F.md5("feature"), 9, 1), 16, 10).cast("bigint") % 2
+    hashed = feats.select(
+        "feature",
+        (h % 64).cast("int").alias("bucket"),
+        F.when(sign_bit == 1, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.countDistinct("feature").alias("n_features"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("sign").alias("signed_total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE["q_feature_hashing"] = """
+    WITH feats AS (
+        SELECT unnest([
+            'lang=' || COALESCE(lang, '?'),
+            'source=' || COALESCE(source, '?')
+        ]) AS feature
+        FROM documents
+    ),
+    hashed AS (
+        SELECT feature,
+               (('0x' || substring(md5(feature), 1, 8))::BIGINT % 64)::INT AS bucket,
+               CASE WHEN ('0x' || substring(md5(feature), 9, 1))::BIGINT % 2 = 1
+                    THEN 1 ELSE -1 END AS sign
+        FROM feats
+    )
+    SELECT bucket, COUNT(DISTINCT feature) AS n_features,
+           COUNT(*) AS n_rows, SUM(sign)::BIGINT AS signed_total
+    FROM hashed GROUP BY bucket ORDER BY bucket
+"""
+
+
 #: Oracled entries registered after the driver's 50-query verification
 #: window filled: merged AFTER the round-1-red analytics trio (which must
 #: re-verify green) but before the SQL/analytic breadth; see
@@ -2952,6 +3067,8 @@ QUERIES_LATE: dict = {
     "q_event_transitions": q_event_transitions,
     "q_term_pmi": q_term_pmi,
     "q_attribution": q_attribution,
+    "q_target_encoding": q_target_encoding,
+    "q_feature_hashing": q_feature_hashing,
 }
 
 # identical labeling contract, so the star variant reuses the min-label

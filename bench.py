@@ -105,6 +105,8 @@ ROUND4 = [
     "q_event_transitions",
     "q_term_pmi",
     "q_attribution",
+    "q_target_encoding",
+    "q_feature_hashing",
 ]
 
 

@@ -234,3 +234,31 @@ def test_attribution_models_conserve_purchases(spark, sf_dir):
     assert sum(r["last_touch_conversions"] for r in rows) == purchases
     channels = {r["channel"] for r in rows}
     assert "purchase" not in channels  # a conversion never credits itself
+
+
+def test_target_encoding_shrinks_toward_global_mean(spark, sf_dir):
+    """Encoded value must lie between the category's raw mean and the
+    global mean (shrinkage), approaching raw_mean as n grows."""
+    rows = _QUERIES["q_target_encoding"](spark, sf_dir).collect()
+    assert rows
+    from api_log_iceberg_test_spark.schema import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mu = ev.agg((F.sum("value") / F.count(F.lit(1))).alias("mu")).collect()[0]["mu"]
+    for r in rows:
+        lo, hi = sorted((r["raw_mean"], mu))
+        assert lo - 1e-4 <= r["encoded"] <= hi + 1e-4, r
+
+
+def test_feature_hashing_conserves_rows(spark, sf_dir):
+    """Two features per document; buckets in [0, 64); |signed_total| can
+    never exceed the bucket's row count."""
+    rows = _QUERIES["q_feature_hashing"](spark, sf_dir).collect()
+    assert rows
+    from api_log_iceberg_test_spark.schema import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_rows"] for r in rows) == 2 * n_docs
+    for r in rows:
+        assert 0 <= r["bucket"] < 64
+        assert abs(r["signed_total"]) <= r["n_rows"]
