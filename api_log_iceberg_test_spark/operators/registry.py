@@ -3031,6 +3031,186 @@ ORACLE["q_feature_hashing"] = """
 """
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over user event baskets (A-priori level 2):
+    for each directional event-type pair a→b, support = P(a,b),
+    confidence = P(b|a), lift = confidence / P(b) — the market-basket
+    statistic over "which users did both".
+
+    Basket = distinct (user_id, event_type), so per-user fanout is
+    bounded by |types|² (≤25 here) regardless of event volume; the only
+    big shuffles are the basket distinct and the pair join on user_id.
+    Singleton counts broadcast into the pair aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    basket = ev.select("user_id", "event_type").distinct().localCheckpoint(eager=False)
+    singles = basket.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    n_users = basket.select(F.countDistinct("user_id").alias("n_users"))
+    pairs = (
+        basket.alias("a")
+        .join(basket.alias("b"), "user_id")
+        .filter(F.col("a.event_type") != F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.withColumnRenamed("event_type", "antecedent")), "antecedent"
+        )
+        .withColumnRenamed("n", "n_a")
+        .join(
+            F.broadcast(singles.withColumnRenamed("event_type", "consequent")), "consequent"
+        )
+        .withColumnRenamed("n", "n_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_users"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_ab") / F.col("n_a")) / (F.col("n_b") / F.col("n_users")), 6
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+ORACLE["q_assoc_rules"] = """
+    WITH basket AS (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE event_type IS NOT NULL
+    ),
+    singles AS (SELECT event_type, COUNT(*) AS n FROM basket GROUP BY event_type),
+    u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM basket),
+    pairs AS (
+        SELECT a.event_type AS antecedent, b.event_type AS consequent,
+               COUNT(*) AS n_ab
+        FROM basket a JOIN basket b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT antecedent, consequent, n_ab,
+           ROUND(n_ab / n_users, 6) AS support,
+           ROUND(n_ab / sa.n, 6) AS confidence,
+           ROUND((n_ab / sa.n) / (sb.n / n_users), 6) AS lift
+    FROM pairs
+    JOIN singles sa ON sa.event_type = antecedent
+    JOIN singles sb ON sb.event_type = consequent
+    CROSS JOIN u
+    ORDER BY antecedent, consequent
+"""
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top three-step user journeys: the most frequent consecutive
+    event-type trigrams across all users' time-ordered streams — the
+    path-analysis complement to the bigram transition matrix.
+
+    Two lags over ONE window on one user_id shuffle; the trigram strings
+    aggregate on a ≤|types|³ key space. Top 10, ties broken by path.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("p1", F.lag("event_type", 1).over(w))
+        .withColumn("p2", F.lag("event_type", 2).over(w))
+        .filter(F.col("p2").isNotNull())
+        .select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "path")
+        .limit(10)
+    )
+
+
+ORACLE["q_event_trigrams"] = """
+    WITH lagged AS (
+        SELECT LAG(event_type, 2) OVER w AS p2,
+               LAG(event_type, 1) OVER w AS p1,
+               event_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 || '>' || p1 || '>' || event_type AS path, COUNT(*) AS cnt
+    FROM lagged WHERE p2 IS NOT NULL
+    GROUP BY 1 ORDER BY cnt DESC, path LIMIT 10
+"""
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time statistics per event type: mean, stddev, and
+    coefficient of variation of the gap (seconds) between a user's
+    consecutive events of that type — CV ≈ 1 is Poisson-like traffic,
+    CV >> 1 is bursty; capacity planning and bot detection both key off
+    it.
+
+    One lag window per (user, type) shuffle; gaps aggregate with
+    combinable sum/sumsq partials. The epoch math uses unix_micros over a
+    cast-to-LTZ (the NTZ armor documented at analytics.py:724) —
+    sample stddev via the explicit n/(n-1) form both engines share.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "event_type", "ts", "event_id", us.alias("t_us"))
+        .withColumn("gap_s", (F.col("t_us") - F.lag("t_us").over(w)) / 1e6)
+        .filter(F.col("gap_s").isNotNull())
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_gaps")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_gaps")) / (
+        F.col("n_gaps") - 1
+    )
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round(mean, 4).alias("mean_gap_s"),
+        F.round(F.sqrt(var), 4).alias("std_gap_s"),
+        F.round(F.sqrt(var) / mean, 4).alias("cv"),
+    ).orderBy("event_type")
+
+
+ORACLE["q_interarrival_stats"] = """
+    WITH gaps AS (
+        SELECT event_type,
+               (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               )) / 1e6 AS gap_s
+        FROM events WHERE event_type IS NOT NULL
+    ),
+    agg AS (
+        SELECT event_type, COUNT(*) AS n_gaps,
+               SUM(gap_s) AS s1, SUM(gap_s * gap_s) AS s2
+        FROM gaps WHERE gap_s IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           ROUND(s1 / n_gaps, 4) AS mean_gap_s,
+           ROUND(SQRT((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)), 4) AS std_gap_s,
+           ROUND(SQRT((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)) / (s1 / n_gaps), 4)
+               AS cv
+    FROM agg ORDER BY event_type
+"""
+
+
 #: Oracled entries registered after the driver's 50-query verification
 #: window filled: merged AFTER the round-1-red analytics trio (which must
 #: re-verify green) but before the SQL/analytic breadth; see
@@ -3069,6 +3249,9 @@ QUERIES_LATE: dict = {
     "q_attribution": q_attribution,
     "q_target_encoding": q_target_encoding,
     "q_feature_hashing": q_feature_hashing,
+    "q_assoc_rules": q_assoc_rules,
+    "q_event_trigrams": q_event_trigrams,
+    "q_interarrival_stats": q_interarrival_stats,
 }
 
 # identical labeling contract, so the star variant reuses the min-label

@@ -107,6 +107,9 @@ ROUND4 = [
     "q_attribution",
     "q_target_encoding",
     "q_feature_hashing",
+    "q_assoc_rules",
+    "q_event_trigrams",
+    "q_interarrival_stats",
 ]
 
 

