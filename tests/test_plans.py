@@ -322,3 +322,20 @@ def test_attribution_single_window_pass(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 0, plan
+
+
+def test_assoc_rules_basket_scanned_once(spark, sf_dir):
+    """The distinct basket is checkpoint-shared by the pair join, the
+    singleton counts, and the user count — one events scan feeds all
+    branches, and the stat joins broadcast."""
+    plan = _plan(spark, sf_dir, "q_assoc_rules")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interarrival_single_window_shuffle(spark, sf_dir):
+    """Gaps come from one lag window over one (user, type) shuffle; the
+    final stats are a combinable sum/sumsq agg, no second window."""
+    plan = _plan(spark, sf_dir, "q_interarrival_stats")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
