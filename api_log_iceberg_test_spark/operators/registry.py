@@ -1924,6 +1924,77 @@ ORACLE["q_triangle_counts"] = """
 """
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the part co-occurrence graph: 3 rounds of
+    synchronous min-label LPA (Raghavan et al. 2007, de-randomized), then
+    the top-20 communities by size — the third graph primitive (after
+    connected components and PageRank) a curation pipeline runs over
+    duplicate/reference graphs, and the one that scales where modularity
+    maximization doesn't.
+
+    Oracle: the fixed round count unrolls to a 3-step CTE chain
+    (``_lpa_oracle``) — identical argmax recurrence, no recursive CTE.
+    Every tie is broken by (weight DESC, label ASC), so the full label
+    trajectory — not just the summary — is engine-independent."""
+    from . import graph
+
+    und = graph.cooccurrence_edges(load_table(spark, sf_dir, "lineitem"))
+    edges = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .withColumn("w", F.lit(1))
+    )
+    return (
+        graph.label_propagation(edges, k=3)
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )
+
+
+def _lpa_oracle(k: int = 3) -> str:
+    """Unrolled k-round synchronous LPA as an ANSI CTE chain (DuckDB).
+
+    Same recurrence as :func:`graph.label_propagation`: node v's next
+    label = argmax over incoming labels of Σw, ties to the smallest
+    label; nodes without in-edges keep their label (COALESCE arm —
+    vacuous on the symmetrized co-occurrence graph, kept for parity)."""
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(
+            f"""c{i} AS (
+        SELECT e.dst AS node, l.label, SUM(e.w) AS cw
+        FROM edges e JOIN l{i - 1} l ON e.src = l.node GROUP BY 1, 2
+    ),
+    a{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY cw DESC, label) AS rn
+            FROM c{i}
+        ) t WHERE rn = 1
+    ),
+    l{i} AS (
+        SELECT p.node, COALESCE(a.label, p.label) AS label
+        FROM l{i - 1} p LEFT JOIN a{i} a ON a.node = p.node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_COOCCUR_EDGES_CTE},
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    {chain}
+    SELECT label AS community, COUNT(*) AS n_members
+    FROM l{k} GROUP BY label
+    ORDER BY n_members DESC, community LIMIT 20
+"""
+
+
+ORACLE["q_label_propagation"] = _lpa_oracle(k=3)
+
+
 def q_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-duplicate part names (blocked levenshtein join):
     the character-level dedup tier — token-set methods (Jaccard/MinHash)
@@ -3227,6 +3298,7 @@ QUERIES_LATE: dict = {
     "q_weighted_sample": q_weighted_sample,
     "q_pagerank": q_pagerank,
     "q_triangle_counts": q_triangle_counts,
+    "q_label_propagation": q_label_propagation,
     "q_fuzzy_match_names": q_fuzzy_match_names,
     "q_inverted_index": q_inverted_index,
     "q_chunk_embed_pool": q_chunk_embed_pool,

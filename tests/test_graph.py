@@ -184,3 +184,101 @@ def test_pagerank_mass_conserved_random_graph(spark):
     e = _wedges(spark, rows)
     total = graph.pagerank(e, k=12).agg(F.sum("rank")).collect()[0][0]
     assert total == pytest.approx(1.0, abs=1e-9)
+
+
+# --- label propagation ------------------------------------------------------
+
+
+def _sym(rows):
+    """Symmetrize undirected (a, b) pairs into weighted directed edges."""
+    return [(str(a), str(b), 1) for a, b in rows] + [
+        (str(b), str(a), 1) for a, b in rows
+    ]
+
+
+def _lpa_ref(edges, k):
+    """Python reference: synchronous weighted LPA, min-label tie-break."""
+    nodes = {n for e in edges for n in e[:2]}
+    labels = {n: n for n in nodes}
+    for _ in range(k):
+        weights = {}  # node -> label -> incoming weight
+        for src, dst, w in edges:
+            weights.setdefault(dst, {}).setdefault(labels[src], 0)
+            weights[dst][labels[src]] += w
+        labels = {
+            n: (
+                min(
+                    lw, key=lambda lab: (-lw[lab], lab)
+                )  # max weight, then min label
+                if (lw := weights.get(n))
+                else labels[n]
+            )
+            for n in nodes
+        }
+    return labels
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two triangles joined by one bridge edge resolve to exactly the two
+    clique communities — the bridge must not merge them in 3 rounds."""
+    e = _wedges(spark, _sym([(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]))
+    labels = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(e, k=3).collect()
+    }
+    communities = {}
+    for node, lab in labels.items():
+        communities.setdefault(lab, set()).add(node)
+    assert sorted(sorted(c) for c in communities.values()) == [
+        ["1", "2", "3"],
+        ["4", "5", "6"],
+    ]
+
+
+def test_lpa_no_in_edges_keeps_own_label(spark):
+    """A directed source node never receives a label — it keeps its own."""
+    e = _wedges(spark, [("s", "x", 1), ("x", "y", 1), ("y", "x", 1)])
+    labels = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(e, k=4).collect()
+    }
+    assert labels["s"] == "s"
+
+
+def test_lpa_weight_beats_count(spark):
+    """Label choice follows edge WEIGHT sums, not neighbor counts: one
+    heavy edge outvotes two light ones after a single round."""
+    e = _wedges(
+        spark,
+        [("h", "v", 5), ("a", "v", 1), ("b", "v", 1)],
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(e, k=1).collect()
+    }
+    assert labels["v"] == "h"
+
+
+def test_lpa_matches_python_reference_random_graphs(spark):
+    """Full k-round label trajectory matches a Python reference on seeded
+    random undirected graphs — pins argmax + tie-break + keep-label
+    semantics, not just the community summary."""
+    import random
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        n = 25
+        und = sorted(
+            {
+                (a, b)
+                for _ in range(60)
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        edges = _sym(und)
+        got = {
+            r["node"]: r["label"]
+            for r in graph.label_propagation(_wedges(spark, edges), k=4).collect()
+        }
+        want = _lpa_ref(edges, k=4)
+        assert got == want, f"seed {seed}"

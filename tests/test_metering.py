@@ -34,14 +34,18 @@ def test_rate_stream_generator(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 30
+        # generous deadline: under heavy host load the first micro-batch
+        # alone can take >30s to schedule (observed when a concurrent
+        # local[32] session saturates the box) — the assertion is about
+        # row production, not latency
+        deadline = time.time() + 120
         n = 0
         while time.time() < deadline:
             n = spark.sql("SELECT COUNT(*) c FROM rate_smoke").collect()[0]["c"]
             if n >= 100:
                 break
             time.sleep(1)
-        assert n >= 100, f"only {n} rows after 30s"
+        assert n >= 100, f"only {n} rows after 120s"
         ops = {r["name"] for r in spark.sql("SELECT DISTINCT name FROM rate_smoke").collect()}
         assert "GetObject" in ops or "ListObjectsV2" in ops
     finally:
