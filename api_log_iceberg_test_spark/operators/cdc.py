@@ -67,3 +67,51 @@ def scd2_apply(
         "valid_to", F.lit(None).cast("timestamp")
     ).drop("_chg_ts")
     return history.unionByName(closing).unionByName(untouched_open).unionByName(new_versions)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff: classify every key as insert / delete / update.
+
+    The batch analog of an Iceberg changelog scan (``table_changes`` /
+    ``CALL ...create_changelog_view`` in Delta, incremental read between
+    two snapshot ids in Iceberg — README.md:191-212's commit cadence is
+    what creates those snapshots): given two keyed snapshots, emit one row
+    per changed key with ``change_type`` in {'insert','delete','update'}
+    plus the before/after values of each compared column. Unchanged keys
+    are dropped — the output is the minimal change set, which is what a
+    downstream incremental maintenance job consumes.
+
+    Scale: one full outer join — a single co-partitioned shuffle on the
+    key for both snapshots; the compare itself is a codegen conjunction
+    with null-safe equality (``<=>``) so NULL→value and value→NULL edits
+    count as updates. At 100 TB prefer the table format's native
+    changelog (metadata-only); this composition is the format-free
+    fallback and the semantics reference.
+    """
+    # presence sentinels ride the same join (not value nullability: a row
+    # whose compared columns are all NULL must still register as present)
+    o = old.select(key, *compare_cols).withColumn("_in_old", F.lit(1))
+    n = new.select(key, *compare_cols).withColumn("_in_new", F.lit(1))
+    for c in compare_cols:
+        o = o.withColumnRenamed(c, f"old_{c}")
+        n = n.withColumnRenamed(c, f"new_{c}")
+    j = o.join(n, key, "full_outer")
+    # key presence decides insert/delete; value inequality decides update
+    any_change = F.lit(False)
+    for c in compare_cols:
+        any_change = any_change | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change_type = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(any_change, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .drop("_in_old", "_in_new")
+    )

@@ -15,7 +15,7 @@ DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,3 +89,56 @@ def cluster_by_zorder(
     out = df.withColumn(zcol, zorder_value(list(cols), bits))
     parts = [F.col(zcol)] if num_partitions is None else [num_partitions, F.col(zcol)]
     return out.repartitionByRange(*parts).sortWithinPartitions(zcol).drop(zcol)
+
+
+def dense_ids(df: DataFrame, sort_col: str, id_col: str = "dense_id") -> DataFrame:
+    """Contiguous 0-based ids in ``sort_col`` order WITHOUT a global window.
+
+    ``row_number() OVER (ORDER BY k)`` moves the whole table through ONE
+    partition — the canonical scale-killer (Spark even logs "No Partition
+    Defined for Window" for it). The distributed classic instead:
+
+    1. range-repartition on the sort key (one sampled range exchange —
+       the same cost as any global sort) and sort within partitions;
+    2. count rows per partition (tiny: one row per partition);
+    3. prefix-sum those counts into per-partition offsets — the only
+       unpartitioned window in the plan, over |partitions| rows, not |df|;
+    4. broadcast-join offsets back and add the in-partition row_number
+       (windowed BY partition id — parallel).
+
+    The result is deterministic in the DATA whenever ``sort_col`` is
+    unique, regardless of where the sampled range boundaries fall: ids
+    are ranks, and ranks don't depend on the cut points. With duplicate
+    keys, ties are broken by physical position within a range and ids
+    remain dense but tie order is unspecified (same caveat as zipWithIndex).
+
+    This is the id-assignment step of corpus preparation (stable integer
+    doc ids for packing/sharding after a dedup pipeline shrinks the key
+    space) and the same partition-offset trick RDD ``zipWithIndex`` uses —
+    expressed entirely in DataFrame ops so Catalyst sees through it.
+    """
+    pid = "__dense_pid"
+    rn = "__dense_rn"
+    off = "__dense_offset"
+    # cache pins the SAMPLED range boundaries: the frame is referenced by
+    # both the count branch and the id branch, and re-evaluating the
+    # exchange could re-sample different cut points (ReusedExchange usually
+    # saves us, but correctness must not hinge on an optimizer rule)
+    arranged = (
+        df.repartitionByRange(F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .withColumn(pid, F.spark_partition_id())
+        .cache()
+    )
+    counts = arranged.groupBy(pid).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        pid, F.coalesce(F.sum("_n").over(w), F.lit(0)).alias(off)
+    )
+    per_part = Window.partitionBy(pid).orderBy(sort_col)
+    return (
+        arranged.withColumn(rn, F.row_number().over(per_part))
+        .join(F.broadcast(offsets), pid)
+        .withColumn(id_col, (F.col(off) + F.col(rn) - 1).cast("long"))
+        .drop(pid, rn, off)
+    )

@@ -418,6 +418,46 @@ def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "ts", "event_type").orderBy("user_id")
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (cdc.table_diff): classify keys as insert/delete/update
+    between the customer table and a deterministically mutated successor —
+    the batch analog of an Iceberg incremental read between the two
+    snapshots the reference's commit cadence produces (README.md:191-212).
+
+    Mutations: keys %13==0 dropped (deletes), keys %7==0 get acctbal+500
+    and segment MIGRATED (updates; %91 keys are deletes — drop wins), two
+    synthetic keys appended (inserts). Unchanged keys must NOT appear."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    survivors = cust.filter(F.pmod(F.col("c_custkey"), F.lit(13)) != 0)
+    upd = F.pmod(F.col("c_custkey"), F.lit(7)) == 0
+    mutated = survivors.withColumn(
+        "c_acctbal",
+        F.when(upd, F.round(F.col("c_acctbal") + 500.0, 2)).otherwise(
+            F.col("c_acctbal")
+        ),
+    ).withColumn(
+        "c_mktsegment", F.when(upd, F.lit("MIGRATED")).otherwise(F.col("c_mktsegment"))
+    )
+    inserts = spark.createDataFrame(
+        [(10_000_001, 111.11, "NEW"), (10_000_002, 222.22, "NEW")],
+        ["c_custkey", "c_acctbal", "c_mktsegment"],
+    )
+    new = mutated.unionByName(inserts)
+    out = cdc.table_diff(cust, new, "c_custkey", ["c_acctbal", "c_mktsegment"])
+    return out.select(
+        "c_custkey",
+        "change_type",
+        "old_c_acctbal",
+        "new_c_acctbal",
+        "old_c_mktsegment",
+        "new_c_mktsegment",
+    ).orderBy("c_custkey")
+
+
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding generation through the real mapInPandas encoder plumbing
     (stub encoder is md5-deterministic, so DuckDB replays it exactly)."""
@@ -1703,6 +1743,63 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based id assignment in doc_id order via the partition-offset
+    two-pass (layout.dense_ids) — NO global window anywhere near the
+    corpus: the only unpartitioned window runs over |partitions| count
+    rows. Oracle is the semantic spec (row_number over the full table);
+    the operator is the plan that survives 100 TB."""
+    from . import layout
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return layout.dense_ids(docs, "doc_id").orderBy("doc_id")
+
+
+ORACLE["q_dense_ids"] = """
+    SELECT doc_id,
+           row_number() OVER (ORDER BY doc_id) - 1 AS dense_id
+    FROM documents ORDER BY doc_id
+"""
+
+ORACLE["q_table_diff"] = """
+    WITH old AS (
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS bal, c_mktsegment AS seg
+        FROM customer
+    ),
+    new AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN ROUND(ROUND(c_acctbal, 2) + 500.0, 2)
+                    ELSE ROUND(c_acctbal, 2) END AS bal,
+               CASE WHEN c_custkey % 7 = 0 THEN 'MIGRATED'
+                    ELSE c_mktsegment END AS seg
+        FROM customer WHERE c_custkey % 13 <> 0
+        UNION ALL SELECT 10000001, 111.11, 'NEW'
+        UNION ALL SELECT 10000002, 222.22, 'NEW'
+    ),
+    j AS (
+        SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+               o.bal AS old_c_acctbal, n.bal AS new_c_acctbal,
+               o.seg AS old_c_mktsegment, n.seg AS new_c_mktsegment,
+               (o.c_custkey IS NOT NULL) AS in_old,
+               (n.c_custkey IS NOT NULL) AS in_new
+        FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    ),
+    classified AS (
+        SELECT c_custkey,
+               CASE WHEN NOT in_old THEN 'insert'
+                    WHEN NOT in_new THEN 'delete'
+                    WHEN old_c_acctbal IS DISTINCT FROM new_c_acctbal
+                      OR old_c_mktsegment IS DISTINCT FROM new_c_mktsegment
+                    THEN 'update' END AS change_type,
+               old_c_acctbal, new_c_acctbal,
+               old_c_mktsegment, new_c_mktsegment
+        FROM j
+    )
+    SELECT * FROM classified WHERE change_type IS NOT NULL
+    ORDER BY c_custkey
+"""
 
 
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3299,6 +3396,8 @@ QUERIES_LATE: dict = {
     "q_pagerank": q_pagerank,
     "q_triangle_counts": q_triangle_counts,
     "q_label_propagation": q_label_propagation,
+    "q_table_diff": q_table_diff,
+    "q_dense_ids": q_dense_ids,
     "q_fuzzy_match_names": q_fuzzy_match_names,
     "q_inverted_index": q_inverted_index,
     "q_chunk_embed_pool": q_chunk_embed_pool,

@@ -110,6 +110,9 @@ ROUND4 = [
     "q_assoc_rules",
     "q_event_trigrams",
     "q_interarrival_stats",
+    "q_label_propagation",
+    "q_table_diff",
+    "q_dense_ids",
 ]
 
 

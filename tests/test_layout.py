@@ -85,3 +85,50 @@ def test_zorder_bucket_bounds_both_dims(spark, sf_dir):
         # top-8-of-16 z-prefix leaves 4 low bits per dim: span <= 15
         assert r["pk_max"] - r["pk_min"] <= 15
         assert r["sk_max"] - r["sk_min"] <= 15
+
+
+# --- dense ids --------------------------------------------------------------
+
+
+def test_dense_ids_contiguous_in_sort_order(spark):
+    """Shuffled multi-partition input gets exactly rank-order ids 0..n-1."""
+    import random
+
+    vals = list(range(0, 400, 3))
+    rng = random.Random(7)
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], ["k"]).repartition(7)
+    got = {r["k"]: r["dense_id"] for r in layout.dense_ids(df, "k").collect()}
+    for rank, v in enumerate(sorted(vals)):
+        assert got[v] == rank, (v, got[v], rank)
+
+
+def test_dense_ids_duplicate_keys_stay_dense(spark):
+    """With ties the per-key order is unspecified but ids must still be a
+    permutation of 0..n-1 and respect key order between groups."""
+    rows = [(k,) for k in [5, 1, 5, 3, 1, 1, 9]]
+    df = spark.createDataFrame(rows, ["k"]).repartition(3)
+    out = layout.dense_ids(df, "k").collect()
+    ids = sorted(r["dense_id"] for r in out)
+    assert ids == list(range(len(rows)))
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r["dense_id"])
+    # ids of a smaller key all precede ids of a larger key
+    assert max(by_key[1]) < min(by_key[3])
+    assert max(by_key[3]) < min(by_key[5])
+    assert max(by_key[5]) < by_key[9][0]
+
+
+def test_dense_ids_plan_has_no_corpus_global_window(spark):
+    """The only SinglePartition window may sit over the per-partition count
+    aggregate (|partitions| rows) — the corpus-side window must be
+    partitioned by the physical partition id, and the offsets join must
+    broadcast."""
+    df = spark.range(1000).withColumnRenamed("id", "k").repartition(8)
+    plan = layout.dense_ids(df, "k")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "hashpartitioning(__dense_pid" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -297,3 +297,38 @@ def test_interarrival_gaps_positive(spark, sf_dir):
         assert r["mean_gap_s"] > 0
         assert r["std_gap_s"] >= 0
         assert abs(r["cv"] - r["std_gap_s"] / r["mean_gap_s"]) < 1e-2
+
+
+def test_table_diff_null_transitions_and_presence(spark):
+    """NULL→value and value→NULL edits are updates (null-safe compare);
+    a row whose compared columns are ALL NULL still counts as present, so
+    it is NOT misread as insert/delete; unchanged keys are dropped."""
+    from api_log_iceberg_test_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "keep"), (5, "gone")],
+        ["k", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, None), (4, "keep"), (6, "born")],
+        ["k", "v"],
+    )
+    got = {
+        r["k"]: (r["change_type"], r["old_v"], r["new_v"])
+        for r in cdc.table_diff(old, new, "k", ["v"]).collect()
+    }
+    assert got == {
+        1: ("update", "a", None),
+        2: ("update", None, "b"),
+        5: ("delete", "gone", None),
+        6: ("insert", None, "born"),
+    }  # 3 (all-NULL, unchanged) and 4 (unchanged) must be absent
+
+
+def test_table_diff_multi_column_any_change_triggers_update(spark):
+    from api_log_iceberg_test_spark.operators import cdc
+
+    old = spark.createDataFrame([(1, 10.0, "x"), (2, 20.0, "y")], ["k", "a", "b"])
+    new = spark.createDataFrame([(1, 10.0, "x2"), (2, 20.0, "y")], ["k", "a", "b"])
+    rows = cdc.table_diff(old, new, "k", ["a", "b"]).collect()
+    assert len(rows) == 1 and rows[0]["k"] == 1 and rows[0]["change_type"] == "update"
