@@ -1802,6 +1802,97 @@ ORACLE["q_table_diff"] = """
 """
 
 
+_BM25_TERMS = ["spark", "window", "merge"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-25 retrieval for a 3-term query (tfidf.bm25_topk) —
+    the lexical half of hybrid retrieval next to the ANN family. The
+    query-term filter collapses the token stream BEFORE any shuffle;
+    avgdl/N are one broadcast row; ranking is a top-k, not a global sort."""
+    return tfidf.bm25_topk(
+        load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=25
+    )
+
+
+ORACLE["q_bm25_topk"] = f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKENS} AS toks,
+               CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                    ELSE len({_TOKENS}) END AS dl
+        FROM documents
+    ),
+    stats AS (SELECT AVG(dl::DOUBLE) AS avgdl, COUNT(*)::DOUBLE AS n_docs FROM d),
+    t AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+    tf AS (
+        SELECT doc_id, term, COUNT(*)::DOUBLE AS tf, MAX(dl)::DOUBLE AS dl
+        FROM t WHERE term IN ('spark', 'window', 'merge')
+        GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+        FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+    )
+    SELECT doc_id, ROUND(SUM(sc), 6) AS score, COUNT(*) AS n_matched
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 25
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling (w_i ∝ p_i^α, α=0.3): the
+    standard multilingual/domain rebalancing rule (XLM-R / mT5 lineage) —
+    flattens the source distribution toward uniform without the full
+    inversion of q_source_mix_weights' equalizing weights.
+
+    Scale: one map-side-combinable agg over the corpus; both unpartitioned
+    windows run over the |sources|-row aggregate, never the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(text.token_count("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    p = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("double")
+    pa = F.pow(p, F.lit(0.3))
+    samp = pa / F.sum(pa).over(w)
+    return per.select(
+        "source",
+        "n_tokens",
+        F.round(p, 6).alias("token_share"),
+        F.round(samp, 6).alias("sample_weight"),
+        F.round(samp / p, 6).alias("upsample_factor"),
+    ).orderBy("source")
+
+
+ORACLE["q_temperature_mix"] = f"""
+    WITH per AS (
+        SELECT source,
+               SUM(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                        ELSE len({_TOKENS}) END)::BIGINT AS n_tokens
+        FROM documents GROUP BY source
+    ), shares AS (
+        SELECT source, n_tokens,
+               n_tokens::DOUBLE / (SUM(n_tokens) OVER ())::DOUBLE AS p
+        FROM per
+    ), scaled AS (
+        SELECT source, n_tokens, p,
+               pow(p, 0.3) / (SUM(pow(p, 0.3)) OVER ()) AS samp
+        FROM shares
+    )
+    SELECT source, n_tokens,
+           ROUND(p, 6) AS token_share,
+           ROUND(samp, 6) AS sample_weight,
+           ROUND(samp / p, 6) AS upsample_factor
+    FROM scaled ORDER BY source
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 adjacent-symbol pairs (first BPE merge iteration) over the
     frequency-weighted corpus vocabulary."""
@@ -3398,6 +3489,8 @@ QUERIES_LATE: dict = {
     "q_label_propagation": q_label_propagation,
     "q_table_diff": q_table_diff,
     "q_dense_ids": q_dense_ids,
+    "q_bm25_topk": q_bm25_topk,
+    "q_temperature_mix": q_temperature_mix,
     "q_fuzzy_match_names": q_fuzzy_match_names,
     "q_inverted_index": q_inverted_index,
     "q_chunk_embed_pool": q_chunk_embed_pool,

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import token_count, tokens
 
 
 def tfidf_top_terms(
@@ -86,4 +86,73 @@ def vocabulary(
         )
         .orderBy(F.desc("total_cnt"), F.asc("term"))
         .limit(top_k)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-k documents for a bag of query terms.
+
+    The scoring function behind Lucene/Elasticsearch defaults and the
+    lexical half of every hybrid (BM25 + dense) retrieval stack:
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+    Plan shape (the part that matters at 100 TB):
+
+    * the query-term filter lands BEFORE the (doc, term) aggregation, so
+      the explode stream collapses to rows matching |query| terms —
+      selectivity |query|/|vocab| — before anything shuffles;
+    * dl (doc length) is a codegen regex count (``token_count``), not a
+      second explode; avgdl and N reduce to ONE broadcast row
+      (the equi-height-histogram bounds pattern);
+    * per-term document frequencies are |query|-row tiny → broadcast;
+    * final ranking is a TakeOrderedAndProject top-k, no global sort.
+
+    Ties break on doc_id; score is rounded to 6dp for cross-engine hash
+    stability.
+    """
+    qlits = [t for t in query_terms if t]
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        token_count(text_col).cast("double").alias("dl"),
+    )
+    stats = docs.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    terms = docs.select(
+        "doc_id", "dl", F.explode(tokens("_text")).alias("term")
+    ).filter(F.col("term").isin(qlits))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1.0) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_s", idf * norm)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("_s"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
     )

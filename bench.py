@@ -113,6 +113,8 @@ ROUND4 = [
     "q_label_propagation",
     "q_table_diff",
     "q_dense_ids",
+    "q_bm25_topk",
+    "q_temperature_mix",
 ]
 
 

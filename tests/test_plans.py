@@ -339,3 +339,14 @@ def test_interarrival_single_window_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_interarrival_stats")
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_bm25_topk_plan(spark, sf_dir):
+    """BM25: per-term df and corpus stats broadcast (no SMJ), ranking is a
+    true top-k, and the query-term IN-filter sits on the exploded stream
+    below the (doc, term) aggregate."""
+    plan = _plan(spark, sf_dir, "q_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "IN (spark" in plan, plan  # query-term filter on the token stream

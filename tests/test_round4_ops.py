@@ -332,3 +332,75 @@ def test_table_diff_multi_column_any_change_triggers_update(spark):
     new = spark.createDataFrame([(1, 10.0, "x2"), (2, 20.0, "y")], ["k", "a", "b"])
     rows = cdc.table_diff(old, new, "k", ["a", "b"]).collect()
     assert len(rows) == 1 and rows[0]["k"] == 1 and rows[0]["change_type"] == "update"
+
+
+def test_bm25_matches_python_reference(spark):
+    """Exact Okapi BM25 formula pin against an in-Python scorer."""
+    import math
+
+    from api_log_iceberg_test_spark.operators import tfidf
+
+    corpus = [
+        (0, "spark window merge spark"),
+        (1, "window window table scan"),
+        (2, "merge merge merge merge merge"),
+        (3, "key value row"),
+        (4, "spark"),
+    ]
+    terms = ["spark", "window", "merge"]
+    k1, b = 1.2, 0.75
+    toks = {i: t.split() for i, t in corpus}
+    N = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    want = {}
+    for i, v in toks.items():
+        s = 0.0
+        m = 0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            m += 1
+            idf = math.log(1 + (N - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if m:
+            want[i] = (round(s, 6), m)
+    sdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["score"], r["n_matched"])
+        for r in tfidf.bm25_topk(sdf, terms, k=10).collect()
+    }
+    assert got == want
+
+
+def test_bm25_rarer_term_scores_higher(spark):
+    """With equal tf and dl, the rarer term's doc outranks the common
+    term's doc (idf monotonicity)."""
+    from api_log_iceberg_test_spark.operators import tfidf
+
+    corpus = [(i, "common filler") for i in range(8)] + [
+        (100, "common target"),
+        (101, "rare target"),
+    ]
+    out = tfidf.bm25_topk(
+        spark.createDataFrame(corpus, ["doc_id", "text"]), ["common", "rare"], k=3
+    ).collect()
+    assert out[0]["doc_id"] == 101  # 'rare' appears once in the corpus
+
+
+def test_temperature_mix_flattens_toward_uniform(spark, sf_dir):
+    """α=0.3 scaling must (a) produce weights summing to 1, (b) shrink the
+    spread: every over-represented source is downsampled (factor < 1 where
+    share > uniform) and vice versa."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["q_temperature_mix"](spark, sf_dir).collect()
+    tot_w = sum(r["sample_weight"] for r in rows)
+    assert abs(tot_w - 1.0) < 1e-4
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        if r["token_share"] > uniform * 1.01:
+            assert r["upsample_factor"] < 1.0, r
+        if r["token_share"] < uniform * 0.99:
+            assert r["upsample_factor"] > 1.0, r
