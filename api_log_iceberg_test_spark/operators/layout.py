@@ -142,3 +142,52 @@ def dense_ids(df: DataFrame, sort_col: str, id_col: str = "dense_id") -> DataFra
         .withColumn(id_col, (F.col(off) + F.col(rn) - 1).cast("long"))
         .drop(pid, rn, off)
     )
+
+
+def skyline2d(pts: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
+    """2-D Pareto frontier (maximize both columns) without a global window
+    or an all-pairs join.
+
+    The naive plans are both scale-killers: NOT EXISTS dominance is an
+    O(n²) theta-join, and the classic sort-sweep (keep a row iff its y
+    exceeds the running max over all strictly-greater-x rows) is a
+    SinglePartition window. This uses the sweep SEMANTICS with the
+    partition-offset plan of :func:`dense_ids`:
+
+    1. collapse to one point per distinct x (``max(y)`` — anything less is
+       dominated at equal x), making x unique;
+    2. range-repartition on x DESC + sort within partitions (one sampled
+       range exchange, the global-sort cost shape);
+    3. per-partition exclusive running max of y (window BY partition id —
+       parallel) and per-partition max (one row per partition);
+    4. exclusive prefix-max of the per-partition maxima over the
+       |partitions|-row frame (the only unpartitioned window), broadcast
+       back;
+    5. keep a point iff y exceeds greatest(prior partitions' max, local
+       exclusive running max) — i.e. no strictly-greater-x point has ≥ y.
+
+    Output: the frontier points (x, y). Join back on (x, y) if member ids
+    are needed; the frontier is typically tiny."""
+    pid, loc, pri = "__sky_pid", "__sky_loc", "__sky_prior"
+    deduped = pts.groupBy(x).agg(F.max(y).alias(y))
+    arranged = (
+        deduped.repartitionByRange(F.col(x).desc())
+        .sortWithinPartitions(F.col(x).desc())
+        .withColumn(pid, F.spark_partition_id())
+        .cache()  # pin sampled boundaries across the two references
+    )
+    per_part = arranged.groupBy(pid).agg(F.max(y).alias("_pm"))
+    w_parts = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    prefix = per_part.select(pid, F.max("_pm").over(w_parts).alias("_prior_pm"))
+    w_local = (
+        Window.partitionBy(pid)
+        .orderBy(F.col(x).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        arranged.withColumn(loc, F.max(y).over(w_local))
+        .join(F.broadcast(prefix), pid)
+        .withColumn(pri, F.greatest(F.col(loc), F.col("_prior_pm")))
+        .filter(F.col(pri).isNull() | (F.col(y) > F.col(pri)))
+    )
+    return out.select(x, y)

@@ -115,6 +115,8 @@ ROUND4 = [
     "q_dense_ids",
     "q_bm25_topk",
     "q_temperature_mix",
+    "q_skyline_frontier",
+    "q_stratified_kfold",
 ]
 
 

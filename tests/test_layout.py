@@ -132,3 +132,48 @@ def test_dense_ids_plan_has_no_corpus_global_window(spark):
     assert "hashpartitioning(__dense_pid" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# --- 2-D skyline ------------------------------------------------------------
+
+
+def _sky_ref(points):
+    """Brute-force Pareto frontier (maximize both), after per-x max-y dedupe."""
+    best = {}
+    for x, y in points:
+        if x not in best or y > best[x]:
+            best[x] = y
+    pts = list(best.items())
+    return sorted(
+        (x, y)
+        for x, y in pts
+        if not any(qx > x and qy >= y for qx, qy in pts)
+    )
+
+
+def test_skyline_matches_bruteforce_random(spark):
+    import random
+
+    for seed in (3, 11, 42):
+        rng = random.Random(seed)
+        pts = [(rng.randint(0, 50), rng.randint(0, 50)) for _ in range(300)]
+        df = spark.createDataFrame(pts, ["x", "y"]).repartition(6)
+        got = sorted((r["x"], r["y"]) for r in layout.skyline2d(df).collect())
+        assert got == _sky_ref(pts), f"seed {seed}"
+
+
+def test_skyline_edge_shapes(spark):
+    # all points on a rising diagonal: only the top corner survives
+    df = spark.createDataFrame([(i, i) for i in range(10)], ["x", "y"])
+    assert [(r["x"], r["y"]) for r in layout.skyline2d(df).collect()] == [(9, 9)]
+    # falling diagonal: every point is on the frontier
+    df = spark.createDataFrame([(i, 9 - i) for i in range(10)], ["x", "y"])
+    assert sorted((r["x"], r["y"]) for r in layout.skyline2d(df).collect()) == [
+        (i, 9 - i) for i in range(10)
+    ]
+    # duplicate x keeps only the max y
+    df = spark.createDataFrame([(1, 5), (1, 9), (0, 100)], ["x", "y"])
+    assert sorted((r["x"], r["y"]) for r in layout.skyline2d(df).collect()) == [
+        (0, 100),
+        (1, 9),
+    ]

@@ -404,3 +404,19 @@ def test_temperature_mix_flattens_toward_uniform(spark, sf_dir):
             assert r["upsample_factor"] < 1.0, r
         if r["token_share"] < uniform * 0.99:
             assert r["upsample_factor"] > 1.0, r
+
+
+def test_stratified_kfold_balance(spark, sf_dir):
+    """Every (lang, fold) cell within a stratum is balanced to ±1 and the
+    union of folds partitions the corpus."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["q_stratified_kfold"](spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["lang"], {}).setdefault(r["fold"], 0)
+        per[r["lang"]][r["fold"]] += 1
+    for lang, folds in per.items():
+        sizes = [folds.get(i, 0) for i in range(5)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+    assert len(rows) == len({r["doc_id"] for r in rows})
