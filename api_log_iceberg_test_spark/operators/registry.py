@@ -1815,31 +1815,92 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["q_bm25_topk"] = f"""
-    WITH d AS (
+#: shared BM25 CTE chain (documents → per-doc rounded score) — used by the
+#: standalone retrieval oracle and the RRF hybrid-fusion oracle
+_BM25_CTES = f"""bm_d AS (
         SELECT doc_id, {_TOKENS} AS toks,
                CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
                     ELSE len({_TOKENS}) END AS dl
         FROM documents
     ),
-    stats AS (SELECT AVG(dl::DOUBLE) AS avgdl, COUNT(*)::DOUBLE AS n_docs FROM d),
-    t AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
-    tf AS (
+    bm_stats AS (SELECT AVG(dl::DOUBLE) AS avgdl, COUNT(*)::DOUBLE AS n_docs FROM bm_d),
+    bm_t AS (SELECT doc_id, dl, unnest(toks) AS term FROM bm_d),
+    bm_tf AS (
         SELECT doc_id, term, COUNT(*)::DOUBLE AS tf, MAX(dl)::DOUBLE AS dl
-        FROM t WHERE term IN ('spark', 'window', 'merge')
+        FROM bm_t WHERE term IN ('spark', 'window', 'merge')
         GROUP BY doc_id, term
     ),
-    dfq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term),
-    scored AS (
-        SELECT tf.doc_id,
-               ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
-               * (tf.tf * 2.2)
-               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
-        FROM tf JOIN dfq USING (term) CROSS JOIN stats s
-    )
-    SELECT doc_id, ROUND(SUM(sc), 6) AS score, COUNT(*) AS n_matched
-    FROM scored GROUP BY doc_id
+    bm_dfq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM bm_tf GROUP BY term),
+    bm_scored AS (
+        SELECT bm_tf.doc_id,
+               ln(1.0 + (s.n_docs - bm_dfq.df + 0.5) / (bm_dfq.df + 0.5))
+               * (bm_tf.tf * 2.2)
+               / (bm_tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * bm_tf.dl / s.avgdl)) AS sc
+        FROM bm_tf JOIN bm_dfq USING (term) CROSS JOIN bm_stats s
+    ),
+    bm25 AS (
+        SELECT doc_id, ROUND(SUM(sc), 6) AS score, COUNT(*) AS n_matched
+        FROM bm_scored GROUP BY doc_id
+    )"""
+
+ORACLE["q_bm25_topk"] = f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, score, n_matched FROM bm25
     ORDER BY score DESC, doc_id LIMIT 25
+"""
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-50
+    and the dense cosine top-50 for one query (vec_id 7's embedding ≙ the
+    query's dense form; the 3-term bag ≙ its lexical form) — the
+    production-standard two-tower merge (similarity.rrf_fuse).
+
+    The only unpartitioned window ranks the 50-row lexical result; fusion
+    joins are top-k-list-sized regardless of corpus scale."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = _load_embeddings(spark, sf_dir)
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))  # 50-row frame
+    lex = (
+        tfidf.bm25_topk(docs, _BM25_TERMS, k=50)
+        .withColumn("rank", F.row_number().over(wl))
+        .select("doc_id", "rank")
+    )
+    dense = similarity.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 7), k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return similarity.rrf_fuse({"lex": lex, "dense": dense}, topk=20)
+
+
+ORACLE["q_hybrid_rrf"] = f"""
+    WITH {_BM25_CTES},
+    lex AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+        FROM (SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 50)
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dense0 AS (
+        SELECT c.vec_id AS doc_id, list_cosine_similarity(q.v, c.v) AS cos
+        FROM e q JOIN e c ON q.vec_id = 7 AND c.vec_id <> 7
+    ),
+    dense AS (
+        SELECT doc_id, rank_dense FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank_dense
+            FROM dense0
+        ) r WHERE rank_dense <= 50
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id,
+               l.rank_lex, de.rank_dense
+        FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_dense,
+           ROUND(COALESCE(1.0 / (60.0 + rank_lex), 0)
+                 + COALESCE(1.0 / (60.0 + rank_dense), 0), 6) AS rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
 """
 
 
@@ -3491,6 +3552,7 @@ QUERIES_LATE: dict = {
     "q_dense_ids": q_dense_ids,
     "q_bm25_topk": q_bm25_topk,
     "q_temperature_mix": q_temperature_mix,
+    "q_hybrid_rrf": q_hybrid_rrf,
     "q_fuzzy_match_names": q_fuzzy_match_names,
     "q_inverted_index": q_inverted_index,
     "q_chunk_embed_pool": q_chunk_embed_pool,

@@ -750,3 +750,41 @@ def cosine_topk_pq(
             "rank",
         )
     )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): combine
+    ranked lists with score Σ 1/(k0 + rank), the standard way to merge a
+    lexical (BM25) and a dense (ANN) retriever without score calibration —
+    ranks, not raw scores, are the only thing the two systems share.
+
+    ``rankings`` maps a label to a ranked frame (id_col, rank_col); each
+    contributes a ``rank_<label>`` column (NULL when that retriever did
+    not surface the id — contributing 0 to the fused score). k0=60 is the
+    paper's constant.
+
+    Scale: inputs are top-k lists (|queries|·k rows), so every join here is
+    broadcast-sized regardless of corpus size — fusion cost is independent
+    of the data volume; the heavy lifting stays in the retrievers.
+    """
+    fused = None
+    for label, df in rankings.items():
+        part = df.select(F.col(id_col), F.col(rank_col).alias(f"rank_{label}"))
+        fused = part if fused is None else fused.join(part, id_col, "full_outer")
+    score = None
+    for label in rankings:
+        c = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"rank_{label}")), F.lit(0.0)
+        )
+        score = c if score is None else score + c
+    return (
+        fused.withColumn("rrf_score", F.round(score, 6))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(topk)
+    )

@@ -117,6 +117,7 @@ ROUND4 = [
     "q_temperature_mix",
     "q_skyline_frontier",
     "q_stratified_kfold",
+    "q_hybrid_rrf",
 ]
 
 

@@ -338,3 +338,22 @@ def test_neardup_zero_vector_safe(spark):
     )
     # zero vectors define cos := 0 -> no pairs at positive thresholds
     assert similarity.embedding_neardup_pairs(df, threshold=0.5).count() == 0
+
+
+def test_rrf_fuse_formula_and_missing_ids(spark):
+    """RRF score is Σ 1/(60+rank) with 0 for a missing list, and the fused
+    order follows the formula, not either input order."""
+    from api_log_iceberg_test_spark.operators import similarity
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    dense = spark.createDataFrame([(3, 1), (4, 2)], ["doc_id", "rank"])
+    out = {
+        r["doc_id"]: (r["rrf_score"], r["rank_lex"], r["rank_dense"])
+        for r in similarity.rrf_fuse({"lex": lex, "dense": dense}, topk=10).collect()
+    }
+    assert out[3] == (round(1 / 63 + 1 / 61, 6), 3, 1)  # both lists
+    assert out[1] == (round(1 / 61, 6), 1, None)
+    assert out[4] == (round(1 / 62, 6), None, 2)
+    # doc 3 (in both) must outrank every single-list doc here
+    best = max(out, key=lambda k: out[k][0])
+    assert best == 3
