@@ -84,3 +84,41 @@ def compact_parquet_table(
     os.rename(tmp, root)
     shutil.rmtree(old)
     return n_files
+
+
+def plan_compaction_bins(
+    files,
+    partition_cols: list[str],
+    order_col: str,
+    size_col: str = "size_bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+):
+    """Distributed compaction PLANNING: assign each small file to an output
+    bin of ~``target_bytes`` within its partition (next-fit by running
+    total: a file joins bin ``floor(preceding_cumsum / target)``).
+
+    This is the planning half of ``rewrite_data_files`` — what Iceberg's
+    BinPackStrategy computes before rewriting — expressed as a DataFrame
+    op over the file inventory (in Iceberg, the ``.files`` metadata
+    table), so the plan for a million-file table is itself distributed:
+    one window per table partition, never a driver-side listing. Next-fit
+    keeps time-adjacent files together (preserving clustering on the
+    order column), unlike best-fit-decreasing which shuffles time order
+    for marginally tighter bins; a bin may overflow target by less than
+    one file, matching the "aim, don't split" behavior of file rewrites.
+
+    Returns the inventory with a ``bin`` column; downstream each (partition,
+    bin) group is one coalesced rewrite task.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_cum = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return files.withColumn(
+        "bin", F.floor(prev_cum / F.lit(float(target_bytes))).cast("int")
+    )

@@ -1954,6 +1954,92 @@ ORACLE["q_temperature_mix"] = f"""
 """
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning over a simulated small-file inventory — the
+    reference's own pathology (flush every 10 records, README.md:104 /
+    docker-compose.yaml:34, makes a small-file factory; SURVEY.md §4 routes
+    cleanup to rewrite_data_files). One "file" per (day, hour) of events at
+    200 B/row; maintenance.plan_compaction_bins packs each day's files
+    into ~20 KB output bins next-fit in hour order, so each (day, bin) is
+    one coalesced rewrite task and time clustering survives the rewrite.
+
+    Scale: the inventory is the Iceberg ``.files`` metadata table in real
+    deployments; one window per day partition — the plan itself
+    distributes, no driver-side file listing."""
+    from .. import maintenance
+
+    ev = load_table(spark, sf_dir, "events")
+    inv = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("size_bytes", (F.col("n_rows") * 200).cast("long"))
+    )
+    planned = maintenance.plan_compaction_bins(
+        inv, ["day"], "hour", target_bytes=20_000
+    )
+    return planned.select("day", "hour", "n_rows", "size_bytes", "bin").orderBy(
+        "day", "hour"
+    )
+
+
+ORACLE["q_compaction_plan"] = """
+    WITH inv AS (
+        SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_rows, (COUNT(*) * 200)::BIGINT AS size_bytes
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day, hour, n_rows, size_bytes,
+           CAST(floor(COALESCE(SUM(size_bytes) OVER (
+                    PARTITION BY day ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) / 20000.0) AS INT) AS bin
+    FROM inv ORDER BY day, hour
+"""
+
+
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=50, Efraimidis–Spirakis
+    A-ES: each doc draws key u^(1/w) (w = n_chars) and the top-k keys win —
+    the one-pass distributed answer to "sample k docs proportional to
+    length, no duplicates", where q_weighted_sample's Bernoulli filter
+    gives only an expected rate and can pick the same heavy doc class
+    repeatedly across batches.
+
+    u derives from md5(doc_id) (portable across engines), so the whole
+    sample is deterministic and hash-oracled; maximizing u^(1/w) is
+    equivalent to maximizing ln(u)/w, which avoids underflow for large w.
+    Scale: pure scan projection + one TakeOrderedAndProject — no shuffle
+    beyond the k-row collect; weights never need normalizing."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h.cast("double") + 0.5) / F.lit(float(1 << 32))
+    key = F.round(F.log(u) / F.col("n_chars").cast("double"), 9)
+    return (
+        docs.select(
+            "doc_id", F.col("n_chars").alias("weight"), key.alias("es_key")
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+ORACLE["q_weighted_reservoir"] = """
+    WITH keyed AS (
+        SELECT doc_id, n_chars AS weight,
+               ROUND(ln(((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE + 0.5)
+                        / 4294967296.0) / n_chars::DOUBLE, 9) AS es_key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight, es_key FROM keyed
+    ORDER BY es_key DESC, doc_id LIMIT 50
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 adjacent-symbol pairs (first BPE merge iteration) over the
     frequency-weighted corpus vocabulary."""
@@ -3553,6 +3639,8 @@ QUERIES_LATE: dict = {
     "q_bm25_topk": q_bm25_topk,
     "q_temperature_mix": q_temperature_mix,
     "q_hybrid_rrf": q_hybrid_rrf,
+    "q_compaction_plan": q_compaction_plan,
+    "q_weighted_reservoir": q_weighted_reservoir,
     "q_fuzzy_match_names": q_fuzzy_match_names,
     "q_inverted_index": q_inverted_index,
     "q_chunk_embed_pool": q_chunk_embed_pool,

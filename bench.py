@@ -118,6 +118,8 @@ ROUND4 = [
     "q_skyline_frontier",
     "q_stratified_kfold",
     "q_hybrid_rrf",
+    "q_compaction_plan",
+    "q_weighted_reservoir",
 ]
 
 

@@ -420,3 +420,54 @@ def test_stratified_kfold_balance(spark, sf_dir):
         sizes = [folds.get(i, 0) for i in range(5)]
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
     assert len(rows) == len({r["doc_id"] for r in rows})
+
+
+def test_compaction_plan_next_fit_semantics(spark):
+    """Next-fit by running total: bins fill to >= target before advancing,
+    an oversized file owns its own bin, partitions pack independently."""
+    from api_log_iceberg_test_spark import maintenance
+
+    rows = [
+        ("p1", 1, 10), ("p1", 2, 10), ("p1", 3, 10), ("p1", 4, 10),
+        ("p2", 1, 30), ("p2", 2, 10),
+    ]
+    df = spark.createDataFrame(rows, ["part", "seq", "size_bytes"])
+    got = {
+        (r["part"], r["seq"]): r["bin"]
+        for r in maintenance.plan_compaction_bins(
+            df, ["part"], "seq", target_bytes=25
+        ).collect()
+    }
+    assert got == {
+        ("p1", 1): 0, ("p1", 2): 0, ("p1", 3): 0,  # cum 0,10,20 < 25
+        ("p1", 4): 1,                               # prev cum 30 -> bin 1
+        ("p2", 1): 0,                               # oversized file, own bin
+        ("p2", 2): 1,
+    }
+
+
+def test_weighted_reservoir_matches_python_reference(spark, sf_dir):
+    """The A-ES selection (md5-derived u, key = ln(u)/w, top-50) matches an
+    exact hashlib re-computation — pins hash plumbing AND key math."""
+    import hashlib
+    import math
+
+    import __spark_entry__ as em
+    from api_log_iceberg_test_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keyed = []
+    for r in docs:
+        if r["n_chars"] <= 0:
+            continue
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 2**32
+        keyed.append((round(math.log(u) / r["n_chars"], 9), r["doc_id"], r["n_chars"]))
+    want = sorted(keyed, key=lambda t: (-t[0], t[1]))[:50]
+    got = [
+        (r["es_key"], r["doc_id"], r["weight"])
+        for r in em.queries()["q_weighted_reservoir"](spark, "/root/testdata/sf0.01").collect()
+    ]
+    assert got == want
