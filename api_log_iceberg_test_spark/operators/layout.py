@@ -191,3 +191,37 @@ def skyline2d(pts: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
         .filter(F.col(pri).isNull() | (F.col(y) > F.col(pri)))
     )
     return out.select(x, y)
+
+
+def exclusive_prefix_sum(
+    df: DataFrame, order_col: str, val_col: str, out_col: str = "prefix_sum"
+) -> DataFrame:
+    """Exclusive running Σ``val_col`` in ``order_col`` order WITHOUT a
+    global window — third member of the partition-offset family
+    (:func:`dense_ids` = prefix-count, :func:`skyline2d` = prefix-max).
+
+    ``order_col`` must be unique (dedupe/aggregate by it first — the
+    callers here feed post-groupBy frames). One range exchange + a window
+    BY partition id; the only unpartitioned window runs over the
+    |partitions|-row per-partition totals."""
+    pid, loc, off = "__pfx_pid", "__pfx_loc", "__pfx_off"
+    arranged = (
+        df.repartitionByRange(F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn(pid, F.spark_partition_id())
+        .cache()  # pin sampled boundaries across the two references
+    )
+    per = arranged.groupBy(pid).agg(F.sum(val_col).alias("_ps"))
+    w = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    offs = per.select(pid, F.coalesce(F.sum("_ps").over(w), F.lit(0)).alias(off))
+    w_loc = (
+        Window.partitionBy(pid)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        arranged.withColumn(loc, F.coalesce(F.sum(val_col).over(w_loc), F.lit(0)))
+        .join(F.broadcast(offs), pid)
+        .withColumn(out_col, F.col(off) + F.col(loc))
+        .drop(pid, loc, off)
+    )

@@ -2000,6 +2000,86 @@ ORACLE["q_compaction_plan"] = """
 """
 
 
+def q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed AUC (Mann–Whitney with midrank tie handling) of a
+    retrieval score against binary relevance: P(score_pos > score_neg) for
+    score = cosine-to-query (vec 7), positive = label 1 — the eval metric
+    a curation pipeline computes over millions of scored examples, where
+    single-node sklearn.roc_auc_score stops fitting.
+
+    Rank-free formulation: group by (rounded) score, then
+    AUC = Σ_s n_pos(s)·(neg_below(s) + ½·n_neg(s)) / (P·N), with
+    neg_below an EXCLUSIVE prefix sum over the grouped frame via the
+    partition-offset plan (layout.exclusive_prefix_sum) — no global
+    window touches row-level data. Every summand is a multiple of 0.5
+    below 2^53, so the final sum is exact and order-independent: the AUC
+    hash-matches DuckDB despite being one floating division."""
+    from . import layout
+
+    emb = _load_embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("q_vec"),
+        similarity.norm(F.col("embedding")).alias("q_norm"),
+    )
+    s = (
+        emb.filter(F.col("vec_id") != 7)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.round(
+                F.coalesce(
+                    F.try_divide(
+                        similarity.dot(F.col("embedding"), F.col("q_vec")),
+                        similarity.norm(F.col("embedding")) * F.col("q_norm"),
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("score"),
+            (F.col("label") == 1).cast("int").alias("pos"),
+        )
+    )
+    g = s.groupBy("score").agg(
+        F.sum("pos").alias("np_g"),
+        F.sum(F.lit(1) - F.col("pos")).alias("nn_g"),
+    )
+    p = layout.exclusive_prefix_sum(g, "score", "nn_g", "neg_below")
+    return p.agg(
+        F.sum("np_g").cast("long").alias("n_pos"),
+        F.sum("nn_g").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(F.col("np_g") * (F.col("neg_below") + 0.5 * F.col("nn_g")))
+            / (F.sum("np_g") * F.sum("nn_g")),
+            6,
+        ).alias("auc"),
+    )
+
+
+ORACLE["q_auc_eval"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+    s AS (
+        SELECT ROUND(list_cosine_similarity(e.v, q.qv), 6) AS score,
+               CASE WHEN e.label = 1 THEN 1 ELSE 0 END AS pos
+        FROM e CROSS JOIN q WHERE e.vec_id <> 7
+    ),
+    g AS (
+        SELECT score, SUM(pos) AS np_g, SUM(1 - pos) AS nn_g
+        FROM s GROUP BY score
+    ),
+    p AS (
+        SELECT score, np_g, nn_g,
+               COALESCE(SUM(nn_g) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS neg_below
+        FROM g
+    )
+    SELECT SUM(np_g)::BIGINT AS n_pos, SUM(nn_g)::BIGINT AS n_neg,
+           ROUND(SUM(np_g * (neg_below + 0.5 * nn_g))
+                 / (SUM(np_g) * SUM(nn_g)), 6) AS auc
+    FROM p
+"""
+
+
 def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement, k=50, Efraimidis–Spirakis
     A-ES: each doc draws key u^(1/w) (w = n_chars) and the top-k keys win —
@@ -3641,6 +3721,7 @@ QUERIES_LATE: dict = {
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_compaction_plan": q_compaction_plan,
     "q_weighted_reservoir": q_weighted_reservoir,
+    "q_auc_eval": q_auc_eval,
     "q_fuzzy_match_names": q_fuzzy_match_names,
     "q_inverted_index": q_inverted_index,
     "q_chunk_embed_pool": q_chunk_embed_pool,

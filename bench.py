@@ -120,6 +120,7 @@ ROUND4 = [
     "q_hybrid_rrf",
     "q_compaction_plan",
     "q_weighted_reservoir",
+    "q_auc_eval",
 ]
 
 

@@ -471,3 +471,49 @@ def test_weighted_reservoir_matches_python_reference(spark, sf_dir):
         for r in em.queries()["q_weighted_reservoir"](spark, "/root/testdata/sf0.01").collect()
     ]
     assert got == want
+
+
+def test_auc_prefix_formula_matches_reference(spark):
+    """The grouped-prefix AUC equals the pair-counting definition
+    (midranks for ties), on data WITH score ties across partitions."""
+    from api_log_iceberg_test_spark.operators import layout
+    from pyspark.sql import functions as F
+
+    # scores with heavy ties; pos/neg interleaved
+    rows = [(0.1, 0), (0.1, 1), (0.2, 0), (0.2, 0), (0.3, 1), (0.3, 1),
+            (0.3, 0), (0.5, 1), (0.05, 0), (0.5, 0)]
+    def ref_auc(data):
+        num = 0.0
+        P = sum(1 for _, l in data if l)
+        N = len(data) - P
+        for sp, lp in data:
+            if not lp:
+                continue
+            for sn, ln_ in data:
+                if ln_:
+                    continue
+                num += 1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+        return num / (P * N)
+
+    df = spark.createDataFrame(rows, ["score", "pos"]).repartition(4)
+    g = df.groupBy("score").agg(
+        F.sum("pos").alias("np_g"), F.sum(F.lit(1) - F.col("pos")).alias("nn_g")
+    )
+    p = layout.exclusive_prefix_sum(g, "score", "nn_g", "neg_below")
+    got = p.agg(
+        (F.sum(F.col("np_g") * (F.col("neg_below") + 0.5 * F.col("nn_g")))
+         / (F.sum("np_g") * F.sum("nn_g"))).alias("auc")
+    ).collect()[0]["auc"]
+    assert abs(got - ref_auc(rows)) < 1e-12
+    # perfect separation -> AUC exactly 1
+    rows2 = [(float(i), 1 if i >= 5 else 0) for i in range(10)]
+    df2 = spark.createDataFrame(rows2, ["score", "pos"]).repartition(3)
+    g2 = df2.groupBy("score").agg(
+        F.sum("pos").alias("np_g"), F.sum(F.lit(1) - F.col("pos")).alias("nn_g")
+    )
+    p2 = layout.exclusive_prefix_sum(g2, "score", "nn_g", "neg_below")
+    got2 = p2.agg(
+        (F.sum(F.col("np_g") * (F.col("neg_below") + 0.5 * F.col("nn_g")))
+         / (F.sum("np_g") * F.sum("nn_g"))).alias("auc")
+    ).collect()[0]["auc"]
+    assert got2 == 1.0
