@@ -2441,3 +2441,124 @@ ORACLE["q_stratified_kfold"] = """
 """
 
 QUERIES["q_stratified_kfold"] = q_stratified_kfold
+
+
+def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly mean value per event type with LINEAR INTERPOLATION
+    across missing hours (nearest-value extrapolation at the edges) — the
+    step after densification (q_resample_hourly) that windowed models and
+    downsampled dashboards actually consume; ~6% of grid cells are empty at
+    this event rate, so the interpolation path is genuinely exercised.
+
+    Plan: grid = broadcast spine×types (no fact shuffle); the neighbor
+    search is two ignore-nulls windows per type over the GRID (|hours|·
+    |types| rows, not the fact table), using the spine's positional index
+    so no timestamp arithmetic (and no NTZ pitfalls) enters the math."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.posexplode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "idx", "hour"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    j = grid.join(F.broadcast(hourly), ["hour", "event_type"], "left")
+    w_prec = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_foll = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    present_idx = F.when(F.col("v").isNotNull(), F.col("idx"))
+    prev_v = F.last("v", ignorenulls=True).over(w_prec)
+    prev_i = F.last(present_idx, ignorenulls=True).over(w_prec)
+    next_v = F.first("v", ignorenulls=True).over(w_foll)
+    next_i = F.first(present_idx, ignorenulls=True).over(w_foll)
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            F.round(
+                prev_v
+                + (next_v - prev_v)
+                * (F.col("idx") - prev_i)
+                / (next_i - prev_i),
+                6,
+            ),
+        )
+        .otherwise(F.coalesce(prev_v, next_v))
+    )
+    return (
+        j.select(
+            "hour",
+            "event_type",
+            filled.alias("value"),
+            F.col("v").isNull().alias("was_gap"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE["q_interpolate_gaps"] = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               ROUND(AVG(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    grid AS (
+        SELECT s.hour,
+               date_diff('hour', b.h0, s.hour) AS idx,
+               t.event_type
+        FROM spine s
+        CROSS JOIN bounds b
+        CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ),
+    j AS (
+        SELECT g.hour, g.idx, g.event_type, h.v FROM grid g
+        LEFT JOIN hourly h USING (hour, event_type)
+    ),
+    nb AS (
+        SELECT hour, idx, event_type, v,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+               last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_i,
+               first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY idx
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+               first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY idx
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_i
+        FROM j
+    )
+    SELECT hour, event_type,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                    ROUND(prev_v + (next_v - prev_v) * (idx - prev_i)
+                          / (next_i - prev_i), 6)
+                ELSE COALESCE(prev_v, next_v) END AS value,
+           (v IS NULL) AS was_gap
+    FROM nb ORDER BY hour, event_type
+"""
+
+QUERIES["q_interpolate_gaps"] = q_interpolate_gaps

@@ -121,6 +121,7 @@ ROUND4 = [
     "q_compaction_plan",
     "q_weighted_reservoir",
     "q_auc_eval",
+    "q_interpolate_gaps",
 ]
 
 

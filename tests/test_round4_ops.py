@@ -517,3 +517,36 @@ def test_auc_prefix_formula_matches_reference(spark):
          / (F.sum("np_g") * F.sum("nn_g"))).alias("auc")
     ).collect()[0]["auc"]
     assert got2 == 1.0
+
+
+def test_interpolate_gaps_linear_and_edges(spark, monkeypatch, tmp_path):
+    """Interior gap gets the exact linear value (including multi-hour gaps
+    with correct fractional position); leading/trailing gaps extrapolate
+    the nearest value."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from api_log_iceberg_test_spark.queries import analytics
+
+    # craft an events parquet: type 'a' has values at hours 0,3 (gap 1,2)
+    # and nothing after; type 'b' only at hour 2 (leading+trailing gaps)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(hours=0), 1, "a", 10.0, "{}"),
+        (2, base + dt.timedelta(hours=3), 1, "a", 40.0, "{}"),
+        (3, base + dt.timedelta(hours=2), 2, "b", 7.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    out = {
+        (r["hour"].hour, r["event_type"]): (r["value"], r["was_gap"])
+        for r in analytics.q_interpolate_gaps(spark, str(tmp_path)).collect()
+    }
+    assert out[(0, "a")] == (10.0, False)
+    assert out[(1, "a")] == (20.0, True)   # 10 + (40-10)*1/3
+    assert out[(2, "a")] == (30.0, True)   # 10 + (40-10)*2/3
+    assert out[(3, "a")] == (40.0, False)
+    assert out[(0, "b")] == (7.0, True)    # leading extrapolation
+    assert out[(3, "b")] == (7.0, True)    # trailing extrapolation
