@@ -2080,6 +2080,60 @@ ORACLE["q_auc_eval"] = """
 """
 
 
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum — the migration-validation primitive:
+    after copying/rewriting a 100 TB table (engine swap, compaction,
+    format change), both sides compute Σ md5(canonical row string) mod p
+    per partition-ish slice WITHOUT any global sort, and equal checksums
+    certify the copy row-for-row.
+
+    Canonicalization pins every cross-engine rendering trap: integers via
+    CAST to string, money as integer cents (no float formatting), dates via
+    an explicit format string, '|' separators. The modular sum keeps the
+    aggregate inside BIGINT under ANSI overflow checking at any row count.
+    Output: one row per o_orderstatus slice + row count + checksum, so a
+    mismatch also LOCATES the divergent slice (the grouped form of the
+    full-table check)."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    p = F.lit(1_000_000_007)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.pmod(F.sum(F.pmod(h, p)), p).cast("long").alias("checksum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE["q_table_checksum"] = """
+    WITH canon AS (
+        SELECT o_orderstatus,
+               o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+               o_orderstatus || '|' ||
+               (ROUND(o_totalprice * 100)::BIGINT)::VARCHAR || '|' ||
+               strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+               o_orderpriority AS row_str
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           (SUM(('0x' || substring(md5(row_str), 1, 15))::BIGINT % 1000000007)
+            % 1000000007)::BIGINT AS checksum
+    FROM canon GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement, k=50, Efraimidis–Spirakis
     A-ES: each doc draws key u^(1/w) (w = n_chars) and the top-k keys win —
@@ -3722,6 +3776,7 @@ QUERIES_LATE: dict = {
     "q_compaction_plan": q_compaction_plan,
     "q_weighted_reservoir": q_weighted_reservoir,
     "q_auc_eval": q_auc_eval,
+    "q_table_checksum": q_table_checksum,
     "q_fuzzy_match_names": q_fuzzy_match_names,
     "q_inverted_index": q_inverted_index,
     "q_chunk_embed_pool": q_chunk_embed_pool,

@@ -60,3 +60,41 @@ def enrich_with_dim(
     state.
     """
     return stream.join(F.broadcast(dim), key, how)
+
+
+def interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Left-OUTER stream-stream interval join: same match condition as
+    :func:`interval_join`, but unmatched left rows are also emitted (right
+    columns NULL) — the attribution query that must report purchases
+    WITHOUT a preceding signup, not just drop them.
+
+    The NULL row for a left event can only be emitted once the right-side
+    watermark has passed ``left_time`` (no qualifying match can still
+    arrive), so outer results trail the inner ones by up to the watermark
+    delay — inherent to correct streaming outer joins, not a config knob.
+    State stays bounded exactly as in the inner case: the time-range
+    condition plus both watermarks let the store evict expired rows.
+
+    Batch-mode note for tests/backfills: the same plan on static inputs is
+    a plain left outer join with identical results, no trailing-emission
+    caveat.
+    """
+    l = ensure_event_time(left, left_time).withWatermark(left_time, watermark).alias("l")
+    r = ensure_event_time(right, right_time).withWatermark(right_time, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_time}") <= F.col(f"l.{left_time}"))
+        & (
+            F.col(f"r.{right_time}")
+            >= F.col(f"l.{left_time}") - F.expr(f"INTERVAL {max_lag}")
+        )
+    )
+    return l.join(r, cond, "leftOuter")

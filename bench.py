@@ -122,6 +122,7 @@ ROUND4 = [
     "q_weighted_reservoir",
     "q_auc_eval",
     "q_interpolate_gaps",
+    "q_table_checksum",
 ]
 
 

@@ -550,3 +550,60 @@ def test_interpolate_gaps_linear_and_edges(spark, monkeypatch, tmp_path):
     assert out[(3, "a")] == (40.0, False)
     assert out[(0, "b")] == (7.0, True)    # leading extrapolation
     assert out[(3, "b")] == (7.0, True)    # trailing extrapolation
+
+
+def test_table_checksum_detects_single_value_change(spark, sf_dir):
+    """The checksum must move when any one value changes and be invariant
+    to row order (modular sum property)."""
+    from pyspark.sql import functions as F
+
+    from api_log_iceberg_test_spark.operators.registry import q_table_checksum
+    from api_log_iceberg_test_spark.schema import load_table
+
+    base = {r["o_orderstatus"]: r["checksum"]
+            for r in q_table_checksum(spark, "/root/testdata/sf0.01").collect()}
+    # same computation over a shuffled scan must give identical sums
+    o = load_table(spark, "/root/testdata/sf0.01", "orders").repartition(13)
+    o.createOrReplaceTempView("_chk_shuffled")
+    # recompute through the registry path but from the shuffled frame
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    p = F.lit(1_000_000_007)
+    again = {
+        r["o_orderstatus"]: r["checksum"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.pmod(F.sum(F.pmod(h, p)), p).cast("long").alias("checksum"))
+        .collect()
+    }
+    assert again == base
+    # flip one row's priority -> exactly that status slice's checksum moves
+    mutated = o.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") == o.select(F.min("o_orderkey")).collect()[0][0],
+               F.lit("_TAMPERED_")).otherwise(F.col("o_orderpriority")),
+    )
+    canon2 = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    h2 = F.conv(F.substring(F.md5(canon2), 1, 15), 16, 10).cast("bigint")
+    tampered = {
+        r["o_orderstatus"]: r["checksum"]
+        for r in mutated.groupBy("o_orderstatus")
+        .agg(F.pmod(F.sum(F.pmod(h2, p)), p).cast("long").alias("checksum"))
+        .collect()
+    }
+    assert sum(1 for k in base if tampered[k] != base[k]) == 1

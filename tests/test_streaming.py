@@ -580,3 +580,67 @@ def test_sliding_error_rate_stream_equals_batch(spark, tmp_path):
     # must match the batch result exactly
     for ws, (n, e) in got.items():
         assert want[ws] == (n, e), f"window {ws}: stream {(n, e)} batch {want[ws]}"
+
+
+def test_stream_stream_interval_join_outer_emits_nulls(spark, tmp_path):
+    """Left-outer variant: matched pairs emit like the inner join; an
+    UNMATCHED purchase emits with NULL right columns once the right-side
+    watermark passes it. A far-future sentinel row pushes the watermark so
+    the trailing outer results flush within the availableNow run."""
+    import datetime as dt
+
+    from api_log_iceberg_test_spark.streaming.stream_join import interval_join_outer
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    far = t0 + dt.timedelta(days=2)  # watermark pusher
+    purchases = spark.createDataFrame(
+        [
+            (1, t0, 100),                             # has a signup -> match
+            (2, t0, 101),                             # no signup -> NULL row
+            (9, far, 999),                            # sentinel
+        ],
+        ["user_id", "p_ts", "p_id"],
+    )
+    signups = spark.createDataFrame(
+        [
+            (1, t0 - dt.timedelta(minutes=30), 200),
+            (9, far, 900),
+        ],
+        ["user_id", "s_ts", "s_id"],
+    )
+    pdir, sdir = str(tmp_path / "p"), str(tmp_path / "s")
+    purchases.write.parquet(pdir)
+    signups.write.parquet(sdir)
+    p_stream = spark.readStream.schema(purchases.schema).parquet(pdir)
+    s_stream = spark.readStream.schema(signups.schema).parquet(sdir)
+
+    joined = interval_join_outer(
+        p_stream, s_stream, key="user_id", left_time="p_ts", right_time="s_ts",
+        max_lag="1 hour",
+    ).select("p_id", "s_id")
+
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["p_id"], r["s_id"])
+        for r in spark.read.parquet(out).collect()
+        if r["p_id"] != 999  # ignore the sentinel's own row(s)
+    }
+    assert got == {(100, 200), (101, None)}
+    # batch-mode parity: same function on static frames = plain left outer
+    batch = {
+        (r["p_id"], r["s_id"])
+        for r in interval_join_outer(
+            purchases, signups, key="user_id", left_time="p_ts",
+            right_time="s_ts", max_lag="1 hour",
+        ).select("p_id", "s_id").collect()
+    }
+    assert batch == {(100, 200), (101, None), (999, 900)}
