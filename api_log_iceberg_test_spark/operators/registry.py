@@ -2080,6 +2080,39 @@ ORACLE["q_auc_eval"] = """
 """
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (joins.bloom_semi_join): orders of
+    high-balance customers, where the customer key set is represented as a
+    fixed 1024-word bitmap instead of a broadcast hash relation — the
+    map-side membership test that keeps a semi join against a
+    too-big-to-broadcast key set from shuffling the whole fact table.
+    The exact residual join removes false positives, so the oracle is the
+    plain semi-join SPEC — the bloom stage must not change the answer."""
+    orders = load_table(spark, sf_dir, "orders")
+    rich = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 7000
+    ).select("c_custkey")
+    hits = joins.bloom_semi_join(orders, rich, "o_custkey", "c_custkey")
+    return (
+        hits.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE["q_bloom_semi_join"] = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_value
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7000)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent table checksum — the migration-validation primitive:
     after copying/rewriting a 100 TB table (engine swap, compaction,
@@ -3777,6 +3810,7 @@ QUERIES_LATE: dict = {
     "q_weighted_reservoir": q_weighted_reservoir,
     "q_auc_eval": q_auc_eval,
     "q_table_checksum": q_table_checksum,
+    "q_bloom_semi_join": q_bloom_semi_join,
     "q_fuzzy_match_names": q_fuzzy_match_names,
     "q_inverted_index": q_inverted_index,
     "q_chunk_embed_pool": q_chunk_embed_pool,

@@ -123,6 +123,7 @@ ROUND4 = [
     "q_auc_eval",
     "q_interpolate_gaps",
     "q_table_checksum",
+    "q_bloom_semi_join",
 ]
 
 

