@@ -2080,6 +2080,34 @@ ORACLE["q_auc_eval"] = """
 """
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-50 rolling MEDIAN of event value per type
+    (udfs.rolling_median): order statistics don't admit the cumsum-lag
+    retraction that made the rolling z-score O(n), so the scale path is a
+    per-key Arrow batch maintaining pandas' sliding multiset — while the
+    oracle states the frame spec (quantile_cont over ROWS 49
+    PRECEDING..CURRENT), which a WindowExec would execute quadratically.
+    Differential value: pins Spark's applyInPandas group semantics +
+    pandas' rolling-median algorithm against DuckDB's windowed exact
+    percentile, row for row."""
+    ev = load_table(spark, sf_dir, "events")
+    out = udfs.rolling_median(
+        ev, "event_type", ["ts", "event_id"], "value", window=50
+    )
+    return out.select(
+        "event_id", "event_type", "rolling_med"
+    ).orderBy("event_id")
+
+
+ORACLE["q_rolling_median"] = """
+    SELECT event_id, event_type,
+           ROUND(quantile_cont(value, 0.5) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 6) AS rolling_med
+    FROM events ORDER BY event_id
+"""
+
+
 def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered semi join (joins.bloom_semi_join): orders of
     high-balance customers, where the customer key set is represented as a
@@ -3811,6 +3839,7 @@ QUERIES_LATE: dict = {
     "q_auc_eval": q_auc_eval,
     "q_table_checksum": q_table_checksum,
     "q_bloom_semi_join": q_bloom_semi_join,
+    "q_rolling_median": q_rolling_median,
     "q_fuzzy_match_names": q_fuzzy_match_names,
     "q_inverted_index": q_inverted_index,
     "q_chunk_embed_pool": q_chunk_embed_pool,

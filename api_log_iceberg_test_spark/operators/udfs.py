@@ -69,3 +69,50 @@ def token_stats_udtf():
                 yield tok, i, len(tok)
 
     return TokenStats
+
+
+def rolling_median(
+    df,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int = 50,
+):
+    """Per-key trailing-``window`` rolling MEDIAN via ``applyInPandas``.
+
+    The built-in route — an exact percentile aggregate over a ROWS frame —
+    makes WindowExec recompute the full frame sort per row: O(rows ×
+    window log window) per key, the quadratic-ish trap the rolling z-score
+    rewrite already documented for mean/std. Those had an algebraic
+    retraction fix (cumsum minus lag); ORDER STATISTICS don't retract
+    algebraically, so the scale path is a per-key Arrow batch where
+    pandas' rolling median maintains a sliding multiset in
+    O(rows log window). Groups must fit an executor's memory — the
+    per-key time series in a log pipeline does; sub-split heavy keys by
+    time range if one doesn't.
+
+    min_periods=1: warm-up rows get the median of what exists so far,
+    matching the SQL frame spec exactly (``quantile_cont`` over ROWS
+    window-1 PRECEDING..CURRENT). Output: key, order cols, value, and
+    ``rolling_med`` rounded to 6dp.
+    """
+    import pandas as pd  # noqa: F401 — worker-side import
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(key_col, *order_cols, value_col).schema.fields
+    )
+    schema = f"{out_fields}, rolling_med double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        med = pdf[value_col].rolling(window, min_periods=1).median()
+        pdf = pdf[[key_col, *order_cols, value_col]].copy()
+        pdf["rolling_med"] = med.round(6).values
+        return pdf
+
+    return (
+        df.select(key_col, *order_cols, value_col)
+        .groupBy(key_col)
+        .applyInPandas(fn, schema)
+    )

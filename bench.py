@@ -124,6 +124,7 @@ ROUND4 = [
     "q_interpolate_gaps",
     "q_table_checksum",
     "q_bloom_semi_join",
+    "q_rolling_median",
 ]
 
 

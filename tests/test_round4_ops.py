@@ -636,3 +636,29 @@ def test_bloom_semi_join_exact_and_prefilter_effective(spark):
         )
     )
     assert plan.count("BroadcastHashJoin") >= 3  # 3 word joins broadcast
+
+
+def test_rolling_median_matches_pandas_reference(spark):
+    """Exact rolling-median values on a crafted series: warm-up medians,
+    even-window midpoint interpolation, and window eviction."""
+    import datetime as dt
+
+    from api_log_iceberg_test_spark.operators import udfs
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0]
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "a", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {
+        r["event_id"]: r["rolling_med"]
+        for r in udfs.rolling_median(
+            df, "event_type", ["ts", "event_id"], "value", window=3
+        ).collect()
+    }
+    # trailing-3 medians: [5], [5,1]->3, [5,1,9]->5, [1,9,3]->3, [9,3,7]->7
+    assert got == {0: 5.0, 1: 3.0, 2: 5.0, 3: 3.0, 4: 7.0}
