@@ -2141,6 +2141,187 @@ ORACLE["q_bloom_semi_join"] = """
 """
 
 
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: distribute a budget of
+    k=100 eval docs across language strata ∝ N_h·σ_h (stratum size ×
+    within-stratum std of n_chars) — the survey-sampling rule that
+    minimizes estimator variance for a fixed budget, and the principled
+    upgrade over proportional allocation when strata differ in spread.
+
+    One map-side-combinable pass computes N_h and σ_h (sum/sumsq form);
+    the |strata|-row result is windowed only post-agg. Sample-variance
+    (n−1) with the explicit guard for single-row strata."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("double")).alias("_s"),
+        F.sum(F.pow(F.col("n_chars").cast("double"), 2)).alias("_s2"),
+    )
+    n = F.col("n_docs").cast("double")
+    var = F.when(
+        F.col("n_docs") > 1,
+        (F.col("_s2") - F.pow(F.col("_s"), 2) / n) / (n - 1),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy()
+    weighted = per.withColumn("_nh_sh", n * F.sqrt(var))
+    alloc = F.col("_nh_sh") / F.sum("_nh_sh").over(w)
+    return weighted.select(
+        "lang",
+        "n_docs",
+        F.round(F.sqrt(var), 4).alias("stddev_chars"),
+        F.round(alloc, 6).alias("alloc_share"),
+        F.round(alloc * 100, 2).alias("alloc_k100"),
+    ).orderBy("lang")
+
+
+ORACLE["q_neyman_allocation"] = """
+    WITH per AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(n_chars::DOUBLE) AS s, SUM(POW(n_chars::DOUBLE, 2)) AS s2
+        FROM documents GROUP BY lang
+    ),
+    v AS (
+        SELECT lang, n_docs,
+               CASE WHEN n_docs > 1
+                    THEN (s2 - POW(s, 2) / n_docs) / (n_docs - 1)
+                    ELSE 0.0 END AS var
+        FROM per
+    ),
+    wtd AS (
+        SELECT lang, n_docs, SQRT(var) AS sd,
+               n_docs * SQRT(var) AS nh_sh
+        FROM v
+    )
+    SELECT lang, n_docs,
+           ROUND(sd, 4) AS stddev_chars,
+           ROUND(nh_sh / SUM(nh_sh) OVER (), 6) AS alloc_share,
+           ROUND(nh_sh / SUM(nh_sh) OVER () * 100, 2) AS alloc_k100
+    FROM wtd ORDER BY lang
+"""
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed share per
+    leading digit vs the log10(1+1/d) expectation, with the χ² statistic —
+    the classic anomaly screen for fabricated or truncated numeric columns
+    (a synthetic uniform price distribution fails it loudly, which is
+    itself the point of the audit row). One scan, 9-group agg."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    # numeric first digit: floor(x / 10^floor(log10 x)) — string rendering
+    # of doubles goes scientific above 1e7 and would differ between engines
+    x = F.col("o_totalprice")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+    per = o.groupBy(digit.cast("int").alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy()
+    total = F.sum("n").over(w).cast("double")
+    expected = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    chi_term = F.pow(F.col("n") - total * expected, 2) / (total * expected)
+    return per.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / total, 6).alias("observed_share"),
+        F.round(expected, 6).alias("benford_share"),
+        F.round(F.sum(chi_term).over(w), 6).alias("chi2_stat"),
+    ).orderBy("digit")
+
+
+ORACLE["q_benford_audit"] = """
+    WITH per AS (
+        SELECT CAST(FLOOR(o_totalprice / POW(10.0, FLOOR(LOG10(o_totalprice)))) AS INT)
+                   AS digit,
+               COUNT(*) AS n
+        FROM orders WHERE o_totalprice > 0 GROUP BY 1
+    ),
+    t AS (
+        SELECT digit, n,
+               n / (SUM(n) OVER ())::DOUBLE AS obs,
+               LOG10(1.0 + 1.0 / digit) AS exp,
+               (SUM(n) OVER ())::DOUBLE AS tot
+        FROM per
+    ),
+    c AS (
+        SELECT digit, n, obs, exp,
+               POW(n - tot * exp, 2) / (tot * exp) AS term
+        FROM t
+    )
+    SELECT digit, n,
+           ROUND(obs, 6) AS observed_share,
+           ROUND(exp, 6) AS benford_share,
+           ROUND(SUM(term) OVER (), 6) AS chi2_stat
+    FROM c ORDER BY digit
+"""
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (the Deequ/Glue-crawler shape): one wide
+    aggregate computes per-column null count, distinct count, and
+    min/max rendered as strings, then unpivots to one row per column —
+    the automated data-profile a catalog attaches to every table. One
+    scan, one 1-row agg, |columns|-row output; no per-column jobs."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return (
+        wide.selectExpr(
+            f"stack({len(cols)}, {stack_args}) as "
+            "(column_name, null_count, n_distinct, min_str, max_str)"
+        )
+        .orderBy("column_name")
+    )
+
+
+ORACLE["q_table_profile"] = """
+    SELECT 'o_custkey' AS column_name,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_count,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           MIN(o_custkey::VARCHAR) AS min_str, MAX(o_custkey::VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey',
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           COUNT(DISTINCT o_orderkey),
+           MIN(o_orderkey::VARCHAR), MAX(o_orderkey::VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           COUNT(DISTINCT o_totalprice),
+           MIN(o_totalprice::VARCHAR), MAX(o_totalprice::VARCHAR)
+    FROM orders
+    ORDER BY column_name
+"""
+
+
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent table checksum — the migration-validation primitive:
     after copying/rewriting a 100 TB table (engine swap, compaction,
@@ -3840,6 +4021,9 @@ QUERIES_LATE: dict = {
     "q_table_checksum": q_table_checksum,
     "q_bloom_semi_join": q_bloom_semi_join,
     "q_rolling_median": q_rolling_median,
+    "q_neyman_allocation": q_neyman_allocation,
+    "q_benford_audit": q_benford_audit,
+    "q_table_profile": q_table_profile,
     "q_fuzzy_match_names": q_fuzzy_match_names,
     "q_inverted_index": q_inverted_index,
     "q_chunk_embed_pool": q_chunk_embed_pool,

@@ -125,6 +125,9 @@ ROUND4 = [
     "q_table_checksum",
     "q_bloom_semi_join",
     "q_rolling_median",
+    "q_neyman_allocation",
+    "q_benford_audit",
+    "q_table_profile",
 ]
 
 

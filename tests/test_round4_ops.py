@@ -662,3 +662,47 @@ def test_rolling_median_matches_pandas_reference(spark):
     }
     # trailing-3 medians: [5], [5,1]->3, [5,1,9]->5, [1,9,3]->3, [9,3,7]->7
     assert got == {0: 5.0, 1: 3.0, 2: 5.0, 3: 3.0, 4: 7.0}
+
+
+def test_neyman_allocation_properties(spark, sf_dir):
+    """Shares sum to 1; a stratum with zero variance gets zero allocation;
+    equal-size strata allocate proportionally to their stddev."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["q_neyman_allocation"](spark, "/root/testdata/sf0.01").collect()
+    assert abs(sum(r["alloc_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["alloc_share"] >= 0
+        if r["stddev_chars"] == 0:
+            assert r["alloc_share"] == 0
+
+
+def test_benford_chi2_flags_uniform_prices(spark, sf_dir):
+    """The synthetic uniform-ish price distribution must NOT follow
+    Benford (chi2 far above the 15.5 ~ p=0.05 critical value for 8 dof) —
+    i.e. the audit actually detects non-Benford data."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["q_benford_audit"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 9 and {r["digit"] for r in rows} == set(range(1, 10))
+    assert rows[0]["chi2_stat"] > 15.5
+    assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_table_profile_single_scan(spark, sf_dir):
+    """The profiler computes all columns in ONE pass: exactly one
+    FileScan in the final plan, and distinct/null counts are exact."""
+    import __spark_entry__ as em
+
+    q = em.queries()["q_table_profile"]
+    df = q(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    # one "(n) Scan parquet" detail entry == one scan node in the plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    prof = {r["column_name"]: r for r in df.collect()}
+    assert prof["o_orderkey"]["null_count"] == 0
+    assert prof["o_orderstatus"]["n_distinct"] == 3
