@@ -2141,6 +2141,71 @@ ORACLE["q_bloom_semi_join"] = """
 """
 
 
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a join view: with insert deltas ΔA
+    (orders, keys %101==0) and ΔB (customers, keys %97==0) arriving on
+    base tables A and B, the view delta is computed WITHOUT re-joining the
+    bases:  Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB  — the classic delta-rule, the
+    reason a 100 TB materialized join refreshes in O(|Δ|·fanout) instead
+    of O(|A|+|B|). Both Δ sides broadcast; the bases are only probed.
+
+    The oracle is the SPEC, not the formula: (A∪ΔA)⋈(B∪ΔB) EXCEPT ALL
+    A⋈B, aggregated — so the differential test proves the delta rule
+    equals recompute-minus-base on real data."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    a = orders.filter(F.pmod("o_orderkey", F.lit(101)) != 0)
+    da = orders.filter(F.pmod("o_orderkey", F.lit(101)) == 0)
+    b = cust.filter(F.pmod("c_custkey", F.lit(97)) != 0)
+    db = cust.filter(F.pmod("c_custkey", F.lit(97)) == 0)
+    def j(x, y):
+        return x.join(y, x["o_custkey"] == y["c_custkey"]).select(
+            "o_orderkey", "o_orderpriority", "o_totalprice", "c_mktsegment"
+        )
+
+    # the DELTAS broadcast (small by definition); bases are only probed
+    delta = (
+        j(F.broadcast(da), b)
+        .unionByName(j(a, F.broadcast(db)))
+        .unionByName(j(F.broadcast(da), db))
+    )
+    return (
+        delta.groupBy("o_orderpriority", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("delta_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("delta_value"),
+        )
+        .orderBy("o_orderpriority", "c_mktsegment")
+    )
+
+
+ORACLE["q_ivm_join_delta"] = """
+    WITH a AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+               FROM orders WHERE o_orderkey % 101 <> 0),
+    da AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 101 = 0),
+    b AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 97 <> 0),
+    db AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 97 = 0),
+    full_v AS (
+        SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice, c.c_mktsegment
+        FROM (SELECT * FROM a UNION ALL SELECT * FROM da) o
+        JOIN (SELECT * FROM b UNION ALL SELECT * FROM db) c
+          ON o.o_custkey = c.c_custkey
+    ),
+    base_v AS (
+        SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice, c.c_mktsegment
+        FROM a o JOIN b c ON o.o_custkey = c.c_custkey
+    ),
+    delta AS (SELECT * FROM full_v EXCEPT ALL SELECT * FROM base_v)
+    SELECT o_orderpriority, c_mktsegment,
+           COUNT(*) AS delta_rows,
+           ROUND(SUM(o_totalprice), 2) AS delta_value
+    FROM delta GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman-optimal stratified sample allocation: distribute a budget of
     k=100 eval docs across language strata ∝ N_h·σ_h (stratum size ×
@@ -4022,6 +4087,7 @@ QUERIES_LATE: dict = {
     "q_bloom_semi_join": q_bloom_semi_join,
     "q_rolling_median": q_rolling_median,
     "q_neyman_allocation": q_neyman_allocation,
+    "q_ivm_join_delta": q_ivm_join_delta,
     "q_benford_audit": q_benford_audit,
     "q_table_profile": q_table_profile,
     "q_fuzzy_match_names": q_fuzzy_match_names,

@@ -128,6 +128,7 @@ ROUND4 = [
     "q_neyman_allocation",
     "q_benford_audit",
     "q_table_profile",
+    "q_ivm_join_delta",
 ]
 
 

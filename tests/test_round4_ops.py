@@ -706,3 +706,31 @@ def test_table_profile_single_scan(spark, sf_dir):
     prof = {r["column_name"]: r for r in df.collect()}
     assert prof["o_orderkey"]["null_count"] == 0
     assert prof["o_orderstatus"]["n_distinct"] == 3
+
+
+def test_ivm_delta_rule_equals_recompute_minus_base(spark):
+    """The three-term delta rule on crafted inserts equals full recompute
+    minus base, including the ΔA⋈ΔB corner (a new order matching a NEW
+    customer must appear exactly once)."""
+    from pyspark.sql import functions as F
+
+    A = spark.createDataFrame([(1, 10), (2, 20)], ["ok", "ck"])
+    dA = spark.createDataFrame([(3, 20), (4, 30)], ["ok", "ck"])
+    B = spark.createDataFrame([(10, "x"), (20, "y")], ["ck2", "seg"])
+    dB = spark.createDataFrame([(30, "z")], ["ck2", "seg"])
+
+    def j(x, y):
+        return x.join(y, x["ck"] == y["ck2"]).select("ok", "seg")
+
+    delta = (
+        j(F.broadcast(dA), B)
+        .unionByName(j(A, F.broadcast(dB)))
+        .unionByName(j(F.broadcast(dA), dB))
+    )
+    got = sorted((r["ok"], r["seg"]) for r in delta.collect())
+    full = j(A.unionByName(dA), B.unionByName(dB))
+    base = j(A, B)
+    want = sorted(
+        (r["ok"], r["seg"]) for r in full.exceptAll(base).collect()
+    )
+    assert got == want == [(3, "y"), (4, "z")]
