@@ -350,3 +350,45 @@ def test_bm25_topk_plan(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "IN (spark" in plan, plan  # query-term filter on the token stream
+
+
+def test_skyline_no_cartesian_no_smj(spark, sf_dir):
+    """Skyline must be the sweep plan: no O(n²) join anywhere — no
+    BroadcastNestedLoopJoin, no SortMergeJoin; offsets join broadcasts."""
+    plan = _plan(spark, sf_dir, "q_skyline_frontier")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_interpolate_windows_stay_off_fact_table(spark, sf_dir):
+    """Both neighbor windows partition by event_type over the GRID; the
+    events table feeds only aggregates (no Window directly over the scan)."""
+    plan = _plan(spark, sf_dir, "q_interpolate_gaps")
+    assert "hashpartitioning(event_type" in plan, plan
+    assert "SinglePartition" not in plan.split("Window")[0], plan
+
+
+def test_compaction_plan_windows_partition_by_day(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_compaction_plan")
+    assert "hashpartitioning(day" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_table_profile_no_expand_explosion(spark, sf_dir):
+    """countDistinct over 5 columns uses EXPAND (5× row multiplier) — that
+    is the expected single-pass plan; what must NOT appear is one scan per
+    column (already guarded) or a shuffle per column: at most the expand's
+    single pair of exchanges."""
+    plan = _plan(spark, sf_dir, "q_table_profile")
+    assert plan.count("Exchange") <= 4, plan
+
+
+def test_ivm_deltas_broadcast_bases_probe(spark, sf_dir):
+    """All three delta-rule joins must broadcast the delta side — a
+    SortMergeJoin would mean a base table is being shuffled to refresh a
+    view, defeating the point of IVM."""
+    plan = _plan(spark, sf_dir, "q_ivm_join_delta")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
