@@ -1,0 +1,80 @@
+"""Physical-plan audit utilities.
+
+The 100-TB discipline this repo follows (pushdown reaches the scan, small
+sides broadcast, windows stay partitioned, Python stays off hot paths) is
+enforced by tests/test_plans.py; this module is the same inspection logic
+as a reusable API, so a pipeline can assert its own plan properties at
+deploy time — the programmatic form of eyeballing ``.explain("formatted")``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The formatted explain string (same text as .explain('formatted'))."""
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def audit_plan(df: DataFrame) -> dict[str, Any]:
+    """Extract the scale-relevant facts from a physical plan.
+
+    Returns a dict with:
+
+    * ``scans``: list of {``read_schema``, ``pushed_filters``} per scan —
+      is column pruning and predicate pushdown actually happening;
+    * ``joins``: counts per physical strategy (broadcast-hash, sort-merge,
+      nested-loop/cartesian — the last two are usually red flags);
+    * ``exchanges``: number of Exchange nodes (each is a shuffle);
+    * ``windows``: Window node count, and
+      ``has_single_partition_exchange``: whether ANY operator serializes
+      through one task (unpartitioned window / global limit staging);
+    * ``python_eval``: True if any row-at-a-time Python evaluation node is
+      present (Arrow/pandas nodes are NOT counted — they're the sanctioned
+      path);
+    * ``whole_stage_codegen_ids``: distinct codegen stage ids — wider
+      spans mean more of the plan runs as generated JVM code.
+
+    Counting is done on the numbered detail entries ("(n) NodeName"), so
+    tree echoes and the adaptive Initial Plan section don't double-count.
+    """
+    plan = formatted_plan(df)
+    node = lambda name: len(re.findall(rf"\(\d+\) {name}\b", plan))  # noqa: E731
+    scans = []
+    for m in re.finditer(r"\(\d+\) Scan [^\n]*\n(?:[^\n]*\n)*?(?=\n\(|\Z)", plan):
+        block = m.group(0)
+        rs = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        pf = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        scans.append(
+            {
+                "read_schema": [c.split(":")[0] for c in rs.group(1).split(",") if c]
+                if rs
+                else [],
+                "pushed_filters": [f.strip() for f in pf.group(1).split(",") if f.strip()]
+                if pf
+                else [],
+            }
+        )
+    return {
+        "scans": scans,
+        "joins": {
+            "broadcast_hash": node("BroadcastHashJoin"),
+            "sort_merge": node("SortMergeJoin"),
+            "shuffled_hash": node("ShuffledHashJoin"),
+            "nested_loop": node("BroadcastNestedLoopJoin") + node("CartesianProduct"),
+        },
+        "exchanges": node("Exchange"),
+        "windows": node("Window"),
+        "has_single_partition_exchange": "SinglePartition" in plan,
+        "python_eval": "BatchEvalPython" in plan,
+        "whole_stage_codegen_ids": sorted(
+            {int(x) for x in re.findall(r"\[codegen id : (\d+)\]", plan)}
+        ),
+    }

@@ -734,3 +734,27 @@ def test_ivm_delta_rule_equals_recompute_minus_base(spark):
         (r["ok"], r["seg"]) for r in full.exceptAll(base).collect()
     )
     assert got == want == [(3, "y"), (4, "z")]
+
+
+def test_audit_plan_reports_scan_join_window_facts(spark, sf_dir):
+    """plans.audit_plan extracts pushdown, join strategy, exchange and
+    window facts that match what the raw explain text shows."""
+    from api_log_iceberg_test_spark import plans
+    from api_log_iceberg_test_spark.schema import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 100).select(
+        "event_type", "value"
+    )
+    dim = spark.createDataFrame([("click", 1)], ["event_type", "w"])
+    df = ev.join(F.broadcast(dim), "event_type").groupBy("event_type").count()
+    audit = plans.audit_plan(df)
+    assert audit["joins"]["broadcast_hash"] == 1
+    assert audit["joins"]["sort_merge"] == 0
+    assert audit["python_eval"] is False
+    assert audit["scans"], audit
+    scan = audit["scans"][0]
+    assert set(scan["read_schema"]) == {"event_type", "value"}
+    assert any("GreaterThan" in f for f in scan["pushed_filters"])
+    assert audit["exchanges"] >= 1  # the groupBy shuffle
+    assert audit["whole_stage_codegen_ids"]
