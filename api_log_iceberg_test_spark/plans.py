@@ -23,6 +23,15 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def _codegen_subtrees(df: DataFrame) -> int:
+    spark = df.sparkSession
+    text = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
+    return int(m.group(1)) if m else 0
+
+
 def audit_plan(df: DataFrame) -> dict[str, Any]:
     """Extract the scale-relevant facts from a physical plan.
 
@@ -39,8 +48,9 @@ def audit_plan(df: DataFrame) -> dict[str, Any]:
     * ``python_eval``: True if any row-at-a-time Python evaluation node is
       present (Arrow/pandas nodes are NOT counted — they're the sanctioned
       path);
-    * ``whole_stage_codegen_ids``: distinct codegen stage ids — wider
-      spans mean more of the plan runs as generated JVM code.
+    * ``codegen_subtrees``: number of WholeStageCodegen spans (from the
+      codegen explain mode — the formatted mode omits ids under AQE);
+      fewer, wider spans mean more of the plan runs as generated JVM code.
 
     Counting is done on the numbered detail entries ("(n) NodeName"), so
     tree echoes and the adaptive Initial Plan section don't double-count.
@@ -74,7 +84,5 @@ def audit_plan(df: DataFrame) -> dict[str, Any]:
         "windows": node("Window"),
         "has_single_partition_exchange": "SinglePartition" in plan,
         "python_eval": "BatchEvalPython" in plan,
-        "whole_stage_codegen_ids": sorted(
-            {int(x) for x in re.findall(r"\[codegen id : (\d+)\]", plan)}
-        ),
+        "codegen_subtrees": _codegen_subtrees(df),
     }
