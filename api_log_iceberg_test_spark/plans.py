@@ -24,6 +24,10 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def _codegen_subtrees(df: DataFrame) -> int:
+    """WholeStageCodegen span count. Under AQE the spans exist only in the
+    FINAL adaptive plan, which materializes on first execution — before
+    that this reports 0 (pass ``execute=True`` to audit_plan to force it
+    with a noop write)."""
     spark = df.sparkSession
     text = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
@@ -32,7 +36,7 @@ def _codegen_subtrees(df: DataFrame) -> int:
     return int(m.group(1)) if m else 0
 
 
-def audit_plan(df: DataFrame) -> dict[str, Any]:
+def audit_plan(df: DataFrame, execute: bool = False) -> dict[str, Any]:
     """Extract the scale-relevant facts from a physical plan.
 
     Returns a dict with:
@@ -54,11 +58,29 @@ def audit_plan(df: DataFrame) -> dict[str, Any]:
 
     Counting is done on the numbered detail entries ("(n) NodeName"), so
     tree echoes and the adaptive Initial Plan section don't double-count.
+    ``execute=True`` collects the frame once first, so the audit reads the
+    FINAL adaptive plan (codegen spans, AQE join demotions) instead of the
+    initial one — use on test-scale data only. (A noop sink wouldn't do:
+    writes plan a SEPARATE command execution, leaving this frame's own
+    adaptive plan unfinalized.)
     """
+    if execute:
+        df.collect()
     plan = formatted_plan(df)
-    node = lambda name: len(re.findall(rf"\(\d+\) {name}\b", plan))  # noqa: E731
+    # a finalized AQE plan prints BOTH trees ("Final Plan" + "Initial
+    # Plan") with separately-numbered detail entries — count only the ids
+    # that appear in the final tree, or everything when no AQE sections
+    fin = re.search(r"== Final Plan ==(.*?)== Initial Plan ==", plan, re.S)
+    live_ids = set(re.findall(r"\((\d+)\)", fin.group(1))) if fin else None
+
+    def node(name: str) -> int:
+        entries = re.findall(rf"\((\d+)\) {name}\b", plan)
+        return len([i for i in entries if live_ids is None or i in live_ids])
+
     scans = []
-    for m in re.finditer(r"\(\d+\) Scan [^\n]*\n(?:[^\n]*\n)*?(?=\n\(|\Z)", plan):
+    for m in re.finditer(r"\((\d+)\) Scan [^\n]*\n(?:[^\n]*\n)*?(?=\n\(|\Z)", plan):
+        if live_ids is not None and m.group(1) not in live_ids:
+            continue
         block = m.group(0)
         rs = re.search(r"ReadSchema: struct<([^>]*)>", block)
         pf = re.search(r"PushedFilters: \[([^\]]*)\]", block)

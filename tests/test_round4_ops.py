@@ -748,7 +748,7 @@ def test_audit_plan_reports_scan_join_window_facts(spark, sf_dir):
     )
     dim = spark.createDataFrame([("click", 1)], ["event_type", "w"])
     df = ev.join(F.broadcast(dim), "event_type").groupBy("event_type").count()
-    audit = plans.audit_plan(df)
+    audit = plans.audit_plan(df, execute=True)
     assert audit["joins"]["broadcast_hash"] == 1
     assert audit["joins"]["sort_merge"] == 0
     assert audit["python_eval"] is False
