@@ -2141,6 +2141,86 @@ ORACLE["q_bloom_semi_join"] = """
 """
 
 
+def q_pruning_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout advisor: quantifies file-skipping for a 2-D predicate under
+    two physical layouts of the same rows — single-dimension clustering
+    (files bounded in pk only) vs Morton/z-order clustering (files bounded
+    in BOTH dims) — by materializing each layout's per-file min/max stats
+    and counting files whose stats-box intersects the predicate
+    (sk∈[64,79] — deliberately NOT the clustered dimension), exactly the
+    pruning decision an Iceberg/Parquet reader makes from footer stats.
+    The pk-clustered layout can prune nothing for an sk predicate (every
+    file spans all of sk); z-order bounds BOTH dims per file, so it
+    skips most files — the measured justification for
+    layout.cluster_by_zorder, not a claim. Query pk∈[64,79] instead and
+    the 1-D layout wins (its dimension, perfect prefix): clustering is a
+    workload decision, and this query is the advisor that quantifies it.
+
+    Both layouts assign files by VALUE ranges (prefix of pk / prefix of
+    the Morton code), so file assignment is deterministic with no global
+    row ordering; one scan per layout, 16-file stats frames."""
+    from . import layout
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("pk"),
+        (F.col("l_suppkey") % 256).alias("sk"),
+    )
+    z = layout.zorder_value(["pk", "sk"], bits=8)
+    lo, hi = 64, 79
+
+    def stats(df, file_col, label):
+        per = df.groupBy(file_col.alias("file_id")).agg(
+            F.min("pk").alias("pk_min"), F.max("pk").alias("pk_max"),
+            F.min("sk").alias("sk_min"), F.max("sk").alias("sk_max"),
+        )
+        scanned = (F.col("sk_max") >= lo) & (F.col("sk_min") <= hi)
+        return per.agg(
+            F.lit(label).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(scanned.cast("int")).alias("files_scanned"),
+            F.round(
+                F.lit(1.0) - F.sum(scanned.cast("int")) / F.count(F.lit(1)), 4
+            ).alias("prune_rate"),
+        )
+
+    one_dim = stats(li, F.shiftright(F.col("pk"), 3), "pk_clustered")
+    zord = stats(li.withColumn("_z", z), F.shiftright(F.col("_z"), 10), "zorder")
+    return one_dim.unionByName(zord).orderBy("layout")
+
+
+from . import layout as _layout_mod  # noqa: E402 — oracle needs the SQL twin
+
+ORACLE["q_pruning_efficiency"] = f"""
+    WITH base AS (
+        SELECT l_partkey % 256 AS pk, l_suppkey % 256 AS sk FROM lineitem
+    ),
+    one_files AS (
+        SELECT pk >> 3 AS file_id,
+               MIN(pk) AS pk_min, MAX(pk) AS pk_max,
+               MIN(sk) AS sk_min, MAX(sk) AS sk_max
+        FROM base GROUP BY 1
+    ),
+    z_files AS (
+        SELECT ({_layout_mod.zorder_sql(["pk", "sk"], bits=8)}) >> 10 AS file_id,
+               MIN(pk) AS pk_min, MAX(pk) AS pk_max,
+               MIN(sk) AS sk_min, MAX(sk) AS sk_max
+        FROM base GROUP BY 1
+    ),
+    agg AS (
+        SELECT 'pk_clustered' AS layout, COUNT(*) AS n_files,
+               SUM((sk_max >= 64 AND sk_min <= 79)::INT)::BIGINT AS files_scanned
+        FROM one_files
+        UNION ALL
+        SELECT 'zorder', COUNT(*),
+               SUM((sk_max >= 64 AND sk_min <= 79)::INT)::BIGINT
+        FROM z_files
+    )
+    SELECT layout, n_files, files_scanned,
+           ROUND(1.0 - files_scanned / n_files::DOUBLE, 4) AS prune_rate
+    FROM agg ORDER BY layout
+"""
+
+
 def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance for a join view: with insert deltas ΔA
     (orders, keys %101==0) and ΔB (customers, keys %97==0) arriving on
@@ -4088,6 +4168,7 @@ QUERIES_LATE: dict = {
     "q_rolling_median": q_rolling_median,
     "q_neyman_allocation": q_neyman_allocation,
     "q_ivm_join_delta": q_ivm_join_delta,
+    "q_pruning_efficiency": q_pruning_efficiency,
     "q_benford_audit": q_benford_audit,
     "q_table_profile": q_table_profile,
     "q_fuzzy_match_names": q_fuzzy_match_names,

@@ -129,6 +129,7 @@ ROUND4 = [
     "q_benford_audit",
     "q_table_profile",
     "q_ivm_join_delta",
+    "q_pruning_efficiency",
 ]
 
 

@@ -758,3 +758,13 @@ def test_audit_plan_reports_scan_join_window_facts(spark, sf_dir):
     assert any("GreaterThan" in f for f in scan["pushed_filters"])
     assert audit["exchanges"] >= 1  # the groupBy shuffle
     assert audit["codegen_subtrees"] >= 1
+
+
+def test_pruning_efficiency_zorder_beats_offdim_clustering(spark, sf_dir):
+    """For a predicate on the NON-clustered dim, the 1-D layout prunes
+    nothing while z-order skips most files."""
+    rows = {r["layout"]: r for r in
+            _QUERIES["q_pruning_efficiency"](spark, "/root/testdata/sf0.01").collect()}
+    assert rows["pk_clustered"]["prune_rate"] == 0.0
+    assert rows["zorder"]["prune_rate"] >= 0.5
+    assert rows["zorder"]["files_scanned"] < rows["pk_clustered"]["files_scanned"]
