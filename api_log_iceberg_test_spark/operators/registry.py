@@ -2141,6 +2141,107 @@ ORACLE["q_bloom_semi_join"] = """
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate-broadcast join (skew.salted_broadcast_left) driven
+    through the oracle gate: events join a 5-row event-type dimension —
+    the extreme-skew shape (every fact row hits one of 5 keys, so a plain
+    shuffle join lands 1/5 of the table on single reducers). The fact side
+    gains a salt, the dim side is exploded over the salt domain, and the
+    (key, salt) join spreads each hot key over 8 tasks. The salt provably
+    cancels: the oracle is the PLAIN join + aggregate."""
+    from . import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+         ("signup", 3.0), ("error", 0.0)],
+        ["event_type", "weight"],
+    )
+    joined = skew.salted_broadcast_left(ev, dim, "event_type", salt_buckets=8)
+    return (
+        joined.groupBy("event_type", "weight")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 4).alias(
+                "weighted_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q_salted_join"] = """
+    WITH dim(event_type, weight) AS (VALUES
+        ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
+        ('signup', 3.0), ('error', 0.0))
+    SELECT e.event_type, d.weight,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value * d.weight), 4) AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.weight ORDER BY e.event_type
+"""
+
+
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level semantic similarity: element-wise mean embedding per
+    source (docs joined to their vectors), components rounded to 6dp,
+    then pairwise cosine between source centroids — the corpus-curation
+    map of which sources cover the same semantic space (dedup/mixing
+    candidates at the SOURCE granularity rather than per-document).
+
+    Scale: the centroid agg is (source, dim)-keyed and map-side
+    combinable; the pairwise stage runs over |sources|² rows — hundreds —
+    regardless of corpus size. Rounding the centroid components BEFORE
+    the cosine pins cross-engine FP at the only place sum order differs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = _load_embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    comp = (
+        docs.join(emb, "doc_id")
+        .select("source", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("source", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("m"))
+    )
+    cent = comp.groupBy("source").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm")
+    ).select("source", F.col("_pm.m").alias("centroid"))
+    a = cent.select(F.col("source").alias("src_a"), F.col("centroid").alias("va"))
+    b = cent.select(F.col("source").alias("src_b"), F.col("centroid").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    cos = F.try_divide(
+        similarity.dot(F.col("va"), F.col("vb")),
+        similarity.norm(F.col("va")) * similarity.norm(F.col("vb")),
+    )
+    return (
+        pairs.select("src_a", "src_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+ORACLE["q_source_similarity"] = """
+    WITH emb AS (
+        SELECT d.source, e.embedding::DOUBLE[] AS v
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    comp AS (
+        SELECT source, r.pos, ROUND(AVG(v[r.pos]), 6) AS m
+        FROM emb, LATERAL (
+            SELECT unnest(range(1, len(v) + 1))::INT AS pos
+        ) r
+        GROUP BY source, r.pos
+    ),
+    cent AS (
+        SELECT source, list(m ORDER BY pos) AS centroid
+        FROM comp GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           ROUND(list_cosine_similarity(a.centroid, b.centroid), 6) AS cosine
+    FROM cent a JOIN cent b ON a.source < b.source
+    ORDER BY src_a, src_b
+"""
+
+
 def q_pruning_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout advisor: quantifies file-skipping for a 2-D predicate under
     two physical layouts of the same rows — single-dimension clustering
@@ -4169,6 +4270,8 @@ QUERIES_LATE: dict = {
     "q_neyman_allocation": q_neyman_allocation,
     "q_ivm_join_delta": q_ivm_join_delta,
     "q_pruning_efficiency": q_pruning_efficiency,
+    "q_salted_join": q_salted_join,
+    "q_source_similarity": q_source_similarity,
     "q_benford_audit": q_benford_audit,
     "q_table_profile": q_table_profile,
     "q_fuzzy_match_names": q_fuzzy_match_names,

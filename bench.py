@@ -130,6 +130,8 @@ ROUND4 = [
     "q_table_profile",
     "q_ivm_join_delta",
     "q_pruning_efficiency",
+    "q_salted_join",
+    "q_source_similarity",
 ]
 
 

@@ -768,3 +768,27 @@ def test_pruning_efficiency_zorder_beats_offdim_clustering(spark, sf_dir):
     assert rows["pk_clustered"]["prune_rate"] == 0.0
     assert rows["zorder"]["prune_rate"] >= 0.5
     assert rows["zorder"]["files_scanned"] < rows["pk_clustered"]["files_scanned"]
+
+
+def test_salted_join_equals_plain_join(spark):
+    """The salt must cancel exactly: same rows as the unsalted inner join,
+    including duplicate fact keys, and the dim side replicates cleanly."""
+    from api_log_iceberg_test_spark.operators import skew
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(1000)], ["id", "k"]
+    ).repartition(6)
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2)], ["k", "w"])
+    salted = skew.salted_broadcast_left(fact, dim, "k", salt_buckets=8)
+    plain = fact.join(dim, "k")
+    assert sorted((r["id"], r["w"]) for r in salted.collect()) == sorted(
+        (r["id"], r["w"]) for r in plain.collect()
+    )
+
+
+def test_source_similarity_bounds_and_self_exclusion(spark, sf_dir):
+    rows = _QUERIES["q_source_similarity"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert -1.000001 <= r["cosine"] <= 1.000001
+        assert r["src_a"] < r["src_b"]  # upper triangle only, no self-pairs
