@@ -2141,6 +2141,56 @@ ORACLE["q_bloom_semi_join"] = """
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift per event type: values before vs after the
+    series midpoint (udfs.ks_two_sample_cogrouped) — the nonparametric
+    sibling of q_psi_drift: no binning choice, sensitive to ANY
+    distributional change, and the statistic the two-sample tests in
+    monitoring stacks actually run.
+
+    Spark side: cogroup + Arrow batches (both samples of a key side by
+    side). Oracle: the textbook definition — pooled values, windowed
+    cumulative counts per side, max |ECDF gap|. A max over ratios of
+    integers, so it hash-matches exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    ref = ev.filter(F.col("ts") < split).select("event_type", "value")
+    cur = ev.filter(F.col("ts") >= split).select("event_type", "value")
+    return udfs.ks_two_sample_cogrouped(ref, cur, "event_type", "value").orderBy(
+        "event_type"
+    )
+
+
+ORACLE["q_ks_drift"] = """
+    WITH lab AS (
+        SELECT event_type, value,
+               (ts < TIMESTAMP '2024-01-16 00:00:00') AS is_ref
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, value,
+               SUM(is_ref::INT) AS r, SUM((NOT is_ref)::INT) AS c
+        FROM lab GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, value,
+               SUM(r) OVER (PARTITION BY event_type ORDER BY value) AS cr,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY value) AS cc
+        FROM g
+    ),
+    tot AS (
+        SELECT event_type, SUM(r)::BIGINT AS n_ref, SUM(c)::BIGINT AS n_cur
+        FROM g GROUP BY 1
+    )
+    SELECT t.event_type, t.n_ref, t.n_cur,
+           ROUND(MAX(ABS(cm.cr / t.n_ref::DOUBLE - cm.cc / t.n_cur::DOUBLE)), 6)
+               AS ks
+    FROM cum cm JOIN tot t USING (event_type)
+    GROUP BY t.event_type, t.n_ref, t.n_cur
+    ORDER BY t.event_type
+"""
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted replicate-broadcast join (skew.salted_broadcast_left) driven
     through the oracle gate: events join a 5-row event-type dimension —
@@ -4272,6 +4322,7 @@ QUERIES_LATE: dict = {
     "q_pruning_efficiency": q_pruning_efficiency,
     "q_salted_join": q_salted_join,
     "q_source_similarity": q_source_similarity,
+    "q_ks_drift": q_ks_drift,
     "q_benford_audit": q_benford_audit,
     "q_table_profile": q_table_profile,
     "q_fuzzy_match_names": q_fuzzy_match_names,

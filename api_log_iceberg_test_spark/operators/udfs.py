@@ -116,3 +116,50 @@ def rolling_median(
         .groupBy(key_col)
         .applyInPandas(fn, schema)
     )
+
+
+def ks_two_sample_cogrouped(
+    ref,
+    cur,
+    key_col: str,
+    value_col: str,
+):
+    """Two-sample Kolmogorov–Smirnov statistic per key via
+    ``groupBy().cogroup().applyInPandas`` — the Spark API for aligning TWO
+    tables' groups in one Arrow-batched function, which fits KS exactly:
+    the statistic needs both samples of a key side by side (max gap
+    between their empirical CDFs), and neither a join nor a union
+    expresses "give me both groups at once" as directly.
+
+    KS = max_v |ECDF_ref(v) − ECDF_cur(v)| over the pooled values,
+    evaluated with numpy searchsorted; keys missing one side yield NULL
+    (no drift statement possible). Groups must fit executor memory —
+    per-key samples of a drift check do; the SQL oracle states the same
+    definition via windowed cumulative counts.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        key = (left[key_col].iloc[0] if len(left) else right[key_col].iloc[0])
+        a = np.sort(left[value_col].to_numpy(dtype="float64")) if len(left) else None
+        b = np.sort(right[value_col].to_numpy(dtype="float64")) if len(right) else None
+        if a is None or b is None or len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(
+                {key_col: [key], "n_ref": [0 if a is None else len(a)],
+                 "n_cur": [0 if b is None else len(b)], "ks": [None]}
+            )
+        pooled = np.concatenate([a, b])
+        cdf_a = np.searchsorted(a, pooled, side="right") / len(a)
+        cdf_b = np.searchsorted(b, pooled, side="right") / len(b)
+        ks = round(float(np.max(np.abs(cdf_a - cdf_b))), 6)
+        return pd.DataFrame(
+            {key_col: [key], "n_ref": [len(a)], "n_cur": [len(b)], "ks": [ks]}
+        )
+
+    schema = f"{key_col} string, n_ref long, n_cur long, ks double"
+    return (
+        ref.groupBy(key_col)
+        .cogroup(cur.groupBy(key_col))
+        .applyInPandas(fn, schema)
+    )

@@ -132,6 +132,7 @@ ROUND4 = [
     "q_pruning_efficiency",
     "q_salted_join",
     "q_source_similarity",
+    "q_ks_drift",
 ]
 
 

@@ -792,3 +792,28 @@ def test_source_similarity_bounds_and_self_exclusion(spark, sf_dir):
     for r in rows:
         assert -1.000001 <= r["cosine"] <= 1.000001
         assert r["src_a"] < r["src_b"]  # upper triangle only, no self-pairs
+
+
+def test_ks_cogroup_reference_and_edges(spark):
+    """KS on known samples: identical -> 0; disjoint -> 1; a one-sided key
+    yields NULL with correct counts; matches scipy-free exact values."""
+    from api_log_iceberg_test_spark.operators import udfs
+
+    ref = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 2, 3, 4]]
+        + [("b", float(v)) for v in [1, 2]]
+        + [("only_ref", 5.0)],
+        ["k", "value"],
+    )
+    cur = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 2, 3, 4]]      # identical -> ks 0
+        + [("b", float(v)) for v in [10, 11]],       # disjoint -> ks 1
+        ["k", "value"],
+    )
+    got = {
+        r["k"]: (r["n_ref"], r["n_cur"], r["ks"])
+        for r in udfs.ks_two_sample_cogrouped(ref, cur, "k", "value").collect()
+    }
+    assert got["a"] == (4, 4, 0.0)
+    assert got["b"] == (2, 2, 1.0)
+    assert got["only_ref"] == (1, 0, None)
