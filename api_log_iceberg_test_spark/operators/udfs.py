@@ -88,8 +88,11 @@ def rolling_median(
     algebraically, so the scale path is a per-key Arrow batch where
     pandas' rolling median maintains a sliding multiset in
     O(rows log window). Groups must fit an executor's memory — the
-    per-key time series in a log pipeline does; sub-split heavy keys by
-    time range if one doesn't.
+    per-key time series in a log pipeline does. If one doesn't, sub-split
+    the key by time range WITH a ``window-1``-row overlap carried into
+    each chunk (compute, then drop each chunk's first ``window-1``
+    outputs): a plain time split would silently restart every frame at
+    the chunk boundary.
 
     min_periods=1: warm-up rows get the median of what exists so far,
     matching the SQL frame spec exactly (``quantile_cont`` over ROWS
