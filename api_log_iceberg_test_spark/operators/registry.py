@@ -2559,7 +2559,11 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate computes per-column null count, distinct count, and
     min/max rendered as strings, then unpivots to one row per column —
     the automated data-profile a catalog attaches to every table. One
-    scan, one 1-row agg, |columns|-row output; no per-column jobs."""
+    scan, one 1-row agg, |columns|-row output; no per-column jobs. The
+    exact multi-column countDistinct plans an EXPAND (|columns|× row
+    multiplier before the partial agg) — the right exactness/cost trade
+    at audit scale; at 100 TB swap approx_count_distinct, which drops the
+    expand entirely (the oracle pins the exact variant)."""
     o = load_table(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderpriority"]
