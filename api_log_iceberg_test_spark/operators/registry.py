@@ -2141,6 +2141,90 @@ ORACLE["q_bloom_semi_join"] = """
 """
 
 
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity between the user SETS
+    of every event-type pair — the segment-overlap question (do
+    purchasers also click? are error-affected users the signup cohort?)
+    answered without materializing any user×user structure.
+
+    Plan: one distinct (user, type) projection; intersections come from a
+    per-user type-set explode (fanout ≤ C(|types|,2) per user — bounded by
+    the type count, not the event count), set sizes broadcast back.
+    At 100 TB the same shape holds: the only fact-scale shuffle is the
+    distinct, everything after it is |types|²-sized. For cross-DATASET
+    overlap where even distinct is too big, swap in the HLL sketches
+    (operators/sketches.py) — the approximate version of this exact op."""
+    # a 3-day slice: over the full month every user touches every type
+    # and the matrix degenerates to all-1.0 — the window keeps the sets
+    # genuinely different so the driver compares non-trivial overlaps
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.to_timestamp(F.lit("2024-01-04 00:00:00"))
+    )
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    per_user = ut.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = (
+        per_user.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "types",
+                            lambda a: F.transform(
+                                "types", lambda b: F.struct(a.alias("ta"), b.alias("tb"))
+                            ),
+                        )
+                    ),
+                    lambda s: s["ta"] < s["tb"],
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.ta").alias("type_a"), F.col("p.tb").alias("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("na") + F.col("nb") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE["q_audience_overlap"] = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+                WHERE ts < TIMESTAMP '2024-01-04 00:00:00'),
+    sizes AS (SELECT event_type, COUNT(*) AS n_users FROM ut GROUP BY 1),
+    both_c AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ROUND(p.n_both / (sa.n_users + sb.n_users - p.n_both)::DOUBLE, 6)
+               AS jaccard
+    FROM both_c p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    ORDER BY p.type_a, p.type_b
+"""
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS drift per event type: values before vs after the
     series midpoint (udfs.ks_two_sample_cogrouped) — the nonparametric
@@ -4327,6 +4411,7 @@ QUERIES_LATE: dict = {
     "q_salted_join": q_salted_join,
     "q_source_similarity": q_source_similarity,
     "q_ks_drift": q_ks_drift,
+    "q_audience_overlap": q_audience_overlap,
     "q_benford_audit": q_benford_audit,
     "q_table_profile": q_table_profile,
     "q_fuzzy_match_names": q_fuzzy_match_names,

@@ -133,6 +133,7 @@ ROUND4 = [
     "q_salted_join",
     "q_source_similarity",
     "q_ks_drift",
+    "q_audience_overlap",
 ]
 
 

@@ -817,3 +817,27 @@ def test_ks_cogroup_reference_and_edges(spark):
     assert got["a"] == (4, 4, 0.0)
     assert got["b"] == (2, 2, 1.0)
     assert got["only_ref"] == (1, 0, None)
+
+
+def test_audience_overlap_jaccard_reference(spark, sf_dir):
+    """Jaccard values match a driver-side set computation exactly and the
+    pair fanout stays upper-triangular."""
+    from api_log_iceberg_test_spark.schema import load_table
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.01"
+    ev = load_table(spark, SF, "events").filter(
+        F.col("ts") < F.to_timestamp(F.lit("2024-01-04 00:00:00"))
+    )
+    sets = {}
+    for r in ev.select("user_id", "event_type").distinct().collect():
+        sets.setdefault(r["event_type"], set()).add(r["user_id"])
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_both"], r["jaccard"])
+        for r in _QUERIES["q_audience_overlap"](spark, SF).collect()
+    }
+    for (a, b), (n_both, jac) in got.items():
+        assert a < b
+        inter = len(sets[a] & sets[b])
+        assert n_both == inter
+        assert jac == round(inter / len(sets[a] | sets[b]), 6)
