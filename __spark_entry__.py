@@ -49,16 +49,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver verifies only the FIRST 50 queries() entries per round (merge =
 # dict insertion order), so the order below is a ROTATING verification window.
-# Round-4 policy (VERDICT r03 #1): keep the 9 pinned sentinels (reference §2
-# surface + the round-1-red analytics trio), then spend every remaining slot
-# on entries that have never earned a driver CORRECTNESS row — all round-3
-# operators, the q_sql_* front door, the analytics additions, and this
-# round's new operators — plus the three re-certifications the verdict asked
-# for (non-vacuous q_embedding_neardup, displaced-since-r02 q_show_tables /
-# q_limit_scan). Entries green in r03 rotate OUT; their evidence stands.
-# tests/test_oracle_parity.py::test_driver_window_priority enforces that no
-# never-verified entry stays outside the window while capacity allows.
-_WINDOW_R04 = [
+# Round-5 policy (VERDICT r04 #1/#2): keep the 9 pinned sentinels (reference
+# §2 surface + the round-1-red analytics trio); every one of the remaining 41
+# slots holds an entry that has never earned a driver CORRECTNESS row — the
+# two canonicalizer-fixed q_sql_* entries (r04 red → stringified array/map
+# outputs) plus 39 of the 58 never-verified round-4 operators, highest
+# algorithmic complexity first. Registry growth is frozen this round so the
+# remaining 19 (the simplest analytics tail) drain in round 6. Entries green
+# in r04 rotate OUT; their evidence stands.
+# tests/test_oracle_parity.py::test_driver_window_priority and
+# ::test_no_query_stays_driver_dark enforce the rotation.
+_WINDOW_R05 = [
     # pinned sentinels: full reference §2 surface ...
     "q_count",
     "q_frequency_by_name",
@@ -70,53 +71,50 @@ _WINDOW_R04 = [
     "q_priority_line_buckets",
     "q_sessionize",
     "q_tumbling_window_batch",
-    # round-3 operators: oracled, never driver-verified
-    "q_corr_stats",
-    "q_dedup_spans",
-    "q_lm_quality",
-    "q_bpe_pair_counts",
-    "q_zorder_stats",
-    "q_dedup_incremental",
-    "q_curation_pipeline",
-    "q_weighted_sample",
-    "q_funnel_conversion",
-    "q_retention_cohorts",
-    "q_forecast_revenue",
-    "q_asof_join_forward",
-    "q_asof_join_nearest",
-    "q_equiheight_histogram",
-    # raw-SQL front door: oracled, never driver-verified
-    "q_sql_correlated_exists",
-    "q_sql_cte_join",
-    "q_sql_case_having",
-    "q_sql_grouping_sets",
-    "q_sql_intersect",
-    "q_sql_regexp_extract",
+    # r04 driver-red, now canonicalizer-safe (VERDICT r04 "What's wrong")
     "q_sql_array_agg",
-    "q_sql_unpivot",
-    "q_sql_null_scalars",
-    "q_sql_intersect_all",
-    "q_sql_lateral_explode",
-    "q_sql_filter_clause",
-    "q_sql_range_frame",
-    "q_sql_ignore_nulls",
     "q_sql_map_functions",
-    # re-certifications requested by VERDICT r03
-    "q_embedding_neardup",  # threshold fix: was green-but-vacuous (0 rows)
-    "q_show_tables",  # §2 S8, displaced since r02
-    "q_limit_scan",  # §2 O3, displaced since r02
-    # round-4 operators (added below as they land)
-    "q_pagerank",
-    "q_triangle_counts",
-    "q_hopping_window_batch",
-    "q_winsorized_stats",
-    # rows-only approximate family: never driver-verified (weaker rows-only
-    # driver check by design; bounds/merge parity asserted in pytest)
-    "q_hll_daily_users",
-    "q_kmeans_clusters",
-    "q_kll_value_quantiles",
-    "q_ann_pq_topk",
-    "q_cms_event_counts",
+    # VERDICT r04 #1 priority list: highest-complexity round-4 operators
+    "q_dup_clusters_star",
+    "q_label_propagation",
+    "q_pagerank_parts",
+    "q_ivm_join_delta",
+    "q_table_checksum",
+    "q_table_diff",
+    "q_bloom_semi_join",
+    "q_rolling_median",
+    "q_ks_drift",
+    "q_dense_ids",
+    "q_auc_eval",
+    "q_salted_join",
+    # remaining never-verified round-4 operators, complexity-ordered
+    "q_containment_pairs",
+    "q_table_profile",
+    "q_bm25_topk",
+    "q_hybrid_rrf",
+    "q_inverted_index",
+    "q_compaction_plan",
+    "q_pruning_efficiency",
+    "q_salted_agg",
+    "q_skyline_frontier",
+    "q_stratified_kfold",
+    "q_weighted_reservoir",
+    "q_neyman_allocation",
+    "q_benford_audit",
+    "q_audience_overlap",
+    "q_fuzzy_match_names",
+    "q_chunk_embed_pool",
+    "q_quality_calibration",
+    "q_negative_sampling",
+    "q_oov_rate",
+    "q_token_entropy",
+    "q_chisq_lang_source",
+    "q_cross_source_dups",
+    "q_dedup_cluster_stats",
+    "q_psi_drift",
+    "q_term_pmi",
+    "q_source_similarity",
+    "q_temperature_mix",
 ]
 
 
@@ -137,7 +135,7 @@ def _merged(attr: str) -> dict:
     if attr != "QUERIES":
         return full  # oracle dict order is irrelevant to the driver
     out: dict = {}
-    for k in _WINDOW_R04:  # window entries first, in window order
+    for k in _WINDOW_R05:  # window entries first, in window order
         if k in full:
             out[k] = full[k]
     for k, v in full.items():  # then everything already proven, stable order

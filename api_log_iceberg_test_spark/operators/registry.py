@@ -3120,7 +3120,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle carries (term, doc_id). collect_list is bounded per term
     by document frequency — at open-web scale, segment postings by doc_id
     range (posting-list sharding) instead of one array per term; the
-    aggregation shape is unchanged."""
+    aggregation shape is unchanged.
+
+    Postings are serialized to a CSV string in both engines: the driver's
+    canonicalizer crashes on unhashable list cells (VERDICT r04)."""
     docs = load_table(spark, sf_dir, "documents")
     t = (
         docs.select("doc_id", F.explode(text.tokens("text")).alias("term"))
@@ -3131,7 +3134,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("postings"),
         )
         .orderBy(F.desc("df"), "term")
         .limit(30)
@@ -3144,7 +3152,8 @@ ORACLE["q_inverted_index"] = f"""
             SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
         ) WHERE term <> ''
     )
-    SELECT term, COUNT(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+    SELECT term, COUNT(*) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
     FROM t GROUP BY term ORDER BY df DESC, term LIMIT 30
 """
 

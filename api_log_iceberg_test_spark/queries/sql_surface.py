@@ -106,17 +106,22 @@ _PAIRS: dict[str, tuple[str, str]] = {
         """,
         s,
     ),
+    # Array results are serialized to a CSV string in BOTH engines: the
+    # driver's canonicalizer sorts raw values and crashes on unhashable
+    # list cells (VERDICT r04 "What's wrong" #1). The aggregate under test
+    # (distinct array collect + sort) is unchanged; only the wire format is.
     "q_sql_array_agg": (
         """
         SELECT event_type,
-               array_sort(collect_set(user_id)) AS users,
+               array_join(transform(array_sort(collect_set(user_id)),
+                                    x -> CAST(x AS STRING)), ',') AS users,
                size(collect_set(user_id)) AS n_users
         FROM events WHERE user_id < 8
         GROUP BY event_type ORDER BY event_type
         """,
         """
         SELECT event_type,
-               list_sort(list(DISTINCT user_id)) AS users,
+               array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
                len(list(DISTINCT user_id)) AS n_users
         FROM events WHERE user_id < 8
         GROUP BY event_type ORDER BY event_type
@@ -230,10 +235,12 @@ _PAIRS: dict[str, tuple[str, str]] = {
         ORDER BY event_id
         """,
     ),
+    # map_keys() serialized to a CSV string in both engines — same driver
+    # canonicalizer constraint as q_sql_array_agg (VERDICT r04 #2).
     "q_sql_map_functions": (
         """
         SELECT event_type,
-               map_keys(m) AS ks,
+               array_join(map_keys(m), ',') AS ks,
                CAST(element_at(m, 'n') AS BIGINT) AS n_val
         FROM (
             SELECT event_type, map('n', COUNT(*), 'users', COUNT(DISTINCT user_id)) AS m
@@ -242,7 +249,7 @@ _PAIRS: dict[str, tuple[str, str]] = {
         """,
         """
         SELECT event_type,
-               map_keys(m) AS ks,
+               array_to_string(map_keys(m), ',') AS ks,
                (m['n'])[1]::BIGINT AS n_val
         FROM (
             SELECT event_type, MAP(['n', 'users'],

@@ -95,21 +95,35 @@ def test_driver_window_priority():
     }, f"unexpected rows-only entries in window: {rows_only}"
 
 
+# Re-certifications the current round's VERDICT explicitly requested (entries
+# with prior driver evidence that must re-prove under changed code). Round 5
+# has none — all 41 free slots go to never-verified entries (VERDICT r04 #1).
+_RECERTS = set()
+
+_PINNED = {
+    "q_count",
+    "q_frequency_by_name",
+    "q_recent_top20",
+    "q_time_range_full_scan",
+    "q_error_analysis",
+    "q_projection",
+    "q_priority_line_buckets",
+    "q_sessionize",
+    "q_tumbling_window_batch",
+}
+
+
 def test_no_query_stays_driver_dark():
-    """VERDICT r03 #1: no registered entry may sit outside the driver's
-    50-entry window while it has never earned a CORRECTNESS row — rotate the
-    window each round until every entry has driver evidence. Only binding
-    while the dark set fits in the window's free capacity."""
+    """VERDICT r03 #1 / r04 #1: no registered entry may sit outside the
+    driver's 50-entry window while it has never earned a CORRECTNESS row —
+    rotate the window each round until every entry has driver evidence.
+    When the dark set overflows the window's free capacity, every non-pinned
+    non-recert slot must hold a dark entry (no wasted slots)."""
     window = set(list(_QUERIES)[:50])
     checked = _ever_driver_checked()
     dark = [n for n in _QUERIES if n not in checked]
     dark_out = [n for n in dark if n not in window]
-    # capacity = 50 slots minus the 9 pinned sentinels (driver-checked every
-    # round by policy, so never dark) minus the explicit re-certifications
-    # VERDICT r03 requested (previously green, must re-prove under changed
-    # code: the non-vacuous neardup threshold and the displaced S8/O3 rows)
-    recerts = {"q_embedding_neardup", "q_show_tables", "q_limit_scan"}
-    capacity = 41 - len(recerts & window)
+    capacity = 50 - len(_PINNED) - len(_RECERTS & window)
     if len(dark) <= capacity:
         assert not dark_out, (
             f"never-driver-verified entries left outside the window: {dark_out}"
