@@ -114,6 +114,7 @@ def cms_daily_sketches(
     eps: float = 0.001,
     confidence: float = 0.99,
     seed: int = 42,
+    collect_keys: bool = False,
 ) -> DataFrame:
     """One count-min sketch per day over ``value_col`` — the *frequency*
     member of the sketch trio (HLL = distinct, KLL = quantiles, CMS =
@@ -121,12 +122,22 @@ def cms_daily_sketches(
     aggregate; the binary is ``d=⌈ln(1/(1−conf))⌉ × w=⌈2/eps⌉`` counters,
     additive under merge, so any date-range frequency query folds daily
     sketches instead of rescanning raw events.
+
+    ``collect_keys=True`` adds a per-day ``keys`` column (the distinct
+    non-NULL values seen that day, via ``collect_set``) so callers that
+    need the probe-key domain get it from the SAME scan that builds the
+    sketches — a CMS stores counters, not keys, and a separate
+    distinct-scan of the raw table would double the read (VERDICT r04 #6).
+    Only sensible for small key domains (the heavy-hitter use case).
     """
-    return df.groupBy(F.to_date(F.col(time_col)).alias("day")).agg(
+    aggs = [
         F.expr(
             f"count_min_sketch({value_col}, {eps}d, {confidence}d, {seed})"
         ).alias("sketch")
-    )
+    ]
+    if collect_keys:
+        aggs.append(F.collect_set(value_col).alias("keys"))
+    return df.groupBy(F.to_date(F.col(time_col)).alias("day")).agg(*aggs)
 
 
 def cms_merge(spark, daily: DataFrame):
@@ -146,13 +157,21 @@ def cms_merge(spark, daily: DataFrame):
     writeTo — version, depth, width, counters) or run this step on a
     classic session.
     """
-    rows = daily.select("sketch").collect()
-    if not rows:
+    return cms_merge_blobs(spark, [r["sketch"] for r in daily.select("sketch").collect()])
+
+
+def cms_merge_blobs(spark, blobs: list):
+    """Merge already-collected serialized CMS blobs (see ``cms_merge``).
+
+    Split out so callers that collect the daily frame ONCE (e.g. to read a
+    ``keys`` column from the same rows) can merge without re-executing the
+    aggregation — one scan of the raw table total."""
+    if not blobs:
         return None
     jvm = spark._jvm
     out = None
-    for r in rows:
-        stream = jvm.java.io.ByteArrayInputStream(bytes(r["sketch"]))
+    for blob in blobs:
+        stream = jvm.java.io.ByteArrayInputStream(bytes(blob))
         sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(stream)
         out = sk if out is None else out.mergeInPlace(sk)
     return out
