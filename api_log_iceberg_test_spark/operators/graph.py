@@ -163,7 +163,11 @@ def cooccurrence_edges(
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    broadcast_adjacency: bool | None = None,
+    broadcast_budget_rows: int = 4_000_000,
+) -> DataFrame:
     """Per-node triangle participation counts over undirected edges (a<b).
 
     Plan (degree-ordered orientation, the distributed-standard algorithm):
@@ -178,6 +182,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     vertex), then exploded to its three corners for per-node counts.
     Shuffles: degree agg, orientation join (broadcast — degree table is
     |V| rows, tiny vs |E|), wedge join on src, closure join on (a,b).
+
+    ``broadcast_adjacency`` gates the closure-join strategy (VERDICT r04
+    #4): the adjacency frame holds exactly |E| total elements across |V|
+    rows, so ``None`` (auto) counts the checkpointed edge list — an action
+    the plan pays anyway to materialize the checkpoint — and broadcasts
+    only when |E| ≤ ``broadcast_budget_rows`` (default 4M elements ≈
+    64 MB serialized, inside a 1-2 GB driver/executor broadcast budget
+    with room for the 2x both-sides copy). Past the budget the SAME plan
+    runs without hints and the closure joins shuffle on src/dst.
     """
     # The edge list feeds four plan branches (degrees, orientation, closure);
     # without lineage truncation Catalyst inlines the derivation subtree
@@ -217,11 +230,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # Neighbor sets are deduped arrays — orientation bounds them at
     # O(sqrt m) elements even under power-law skew.
     adj = oriented.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
-    # adjacency is |V| rows of O(sqrt m)-long arrays — broadcastable well
-    # past bench scale; for graphs where |V|·sqrt(m) outgrows the broadcast
-    # budget, drop the hints and the same plan shuffles on src / dst.
-    au = F.broadcast(adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u")))
-    av = F.broadcast(adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v")))
+    # adjacency is |V| rows summing to exactly |E| elements — broadcastable
+    # well past bench scale, but NOT unconditionally: size-gate on the edge
+    # count (the count materializes the lazy checkpoint, which every branch
+    # below reuses, so it is not an extra scan).
+    if broadcast_adjacency is None:
+        broadcast_adjacency = edges.count() <= broadcast_budget_rows
+    adj_u = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
+    adj_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    au = F.broadcast(adj_u) if broadcast_adjacency else adj_u
+    av = F.broadcast(adj_v) if broadcast_adjacency else adj_v
     closed = (
         oriented.join(au, oriented.src == F.col("u"))
         .join(av, oriented.dst == F.col("v"))

@@ -102,6 +102,35 @@ def test_triangle_counts_skewed_star_plus_one(spark):
     assert {r["node"]: r["n_triangles"] for r in rows} == {0: 1, 1: 1, 2: 1}
 
 
+def test_triangle_adjacency_broadcast_is_size_gated(spark):
+    """VERDICT r04 #4: the closure-join adjacency broadcast must be a
+    size-gated branch, not an unconditional hint — both shapes produce the
+    identical triangle counts, and the shuffle shape really drops the
+    adjacency BroadcastExchanges."""
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    expect = {1: 3, 2: 3, 3: 3, 4: 3}
+    plans = {}
+    for flag in (True, False):
+        df = graph.triangle_counts(_edges(spark, k4), broadcast_adjacency=flag)
+        assert {r["node"]: r["n_triangles"] for r in df.collect()} == expect
+        plans[flag] = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    # hinted shape: the two adjacency sides are broadcast
+    assert plans[True].count("BroadcastHashJoin") >= 2
+    # gated-off shape: strictly fewer broadcasts (AQE may still pick BHJ for
+    # the tiny degree tables, but the explicit adjacency hints must be gone)
+    assert plans[False].count("BroadcastExchange") < plans[True].count(
+        "BroadcastExchange"
+    )
+    # auto mode: |E| = 6 is far under any budget → broadcasts; a 1-row
+    # budget forces the shuffle branch
+    auto = graph.triangle_counts(_edges(spark, k4))
+    assert {r["node"]: r["n_triangles"] for r in auto.collect()} == expect
+    forced = graph.triangle_counts(_edges(spark, k4), broadcast_budget_rows=1)
+    assert {r["node"]: r["n_triangles"] for r in forced.collect()} == expect
+
+
 def test_cooccurrence_edges_distinct_and_canonical(spark):
     """Repeat co-purchases collapse; edges come out with a < b."""
     li = spark.createDataFrame(
