@@ -186,27 +186,35 @@ def main() -> None:
     # r01 basket = same 17 slots but with the expression-path ANN entry,
     # so the round-over-round comparison stays apples-to-apples
     total_r01 = total - results["q_ann_cosine_topk_np"] + results["q_ann_cosine_topk"]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": results,
-                "total_r01_basket": round(total_r01, 3),
-                "total_ext_basket": round(ext_total, 3),
-                "total_r4_basket": round(r4_total, 3),
-                "queries_cold": cold,
-                "headline_total_cold_sec": round(
-                    sum(cold[n] for n in HEADLINE), 3
-                ),
-                # external-load context: this box shows loadavg spikes that
-                # inflate all queries uniformly (see COVERAGE.md perf notes)
-                "loadavg_1m": round(os.getloadavg()[0], 2),
-                "sf": sf,
-            }
-        )
-    )
+    # Field order matters: the driver's BENCH_r{N}.json capture truncates
+    # long lines from the FRONT (r04 kept only the tail — VERDICT r04 #8),
+    # so the per-query cold map goes first and the steady-state queries +
+    # basket totals (the headline evidence) go LAST where they survive.
+    payload = {
+        "metric": "headline_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        # external-load context: this box shows loadavg spikes that
+        # inflate all queries uniformly (see COVERAGE.md perf notes)
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "queries_cold": cold,
+        "headline_total_cold_sec": round(sum(cold[n] for n in HEADLINE), 3),
+        "queries": results,
+        "total_r01_basket": round(total_r01, 3),
+        "total_ext_basket": round(ext_total, 3),
+        "total_r4_basket": round(r4_total, 3),
+        "headline_total_sec": round(total, 3),
+    }
+    line = json.dumps(payload)
+    # Durable copy the driver can't truncate (VERDICT r04 #8): latest run
+    # overwritten in BENCH_LOCAL.json, full history appended as JSONL.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        f.write(line + "\n")
+    with open(os.path.join(here, "bench_history.jsonl"), "a") as f:
+        f.write(line + "\n")
+    print(line)
     spark.stop()
 
 
