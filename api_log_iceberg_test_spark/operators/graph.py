@@ -183,14 +183,16 @@ def triangle_counts(
     Shuffles: degree agg, orientation join (broadcast — degree table is
     |V| rows, tiny vs |E|), wedge join on src, closure join on (a,b).
 
-    ``broadcast_adjacency`` gates the closure-join strategy (VERDICT r04
-    #4): the adjacency frame holds exactly |E| total elements across |V|
-    rows, so ``None`` (auto) counts the checkpointed edge list — an action
-    the plan pays anyway to materialize the checkpoint — and broadcasts
-    only when |E| ≤ ``broadcast_budget_rows`` (default 4M elements ≈
-    64 MB serialized, inside a 1-2 GB driver/executor broadcast budget
-    with room for the 2x both-sides copy). Past the budget the SAME plan
-    runs without hints and the closure joins shuffle on src/dst.
+    ``broadcast_adjacency`` gates every broadcast hint in this operator
+    (VERDICT r04 #4) — the |V|-row degree table on the orientation joins
+    and the adjacency on the closure joins, both of which scale with the
+    graph: the adjacency holds exactly |E| total elements and the degree
+    table |V| ≤ 2|E| rows. ``None`` (auto) counts the checkpointed edge
+    list — an action the plan pays anyway to materialize the checkpoint —
+    and broadcasts only when |E| ≤ ``broadcast_budget_rows`` (default 4M
+    elements ≈ 64 MB serialized, inside a 1-2 GB driver/executor broadcast
+    budget with room for the 2x both-sides copy). Past the budget the SAME
+    plan runs without hints and the joins shuffle on their keys.
     """
     # The edge list feeds four plan branches (degrees, orientation, closure);
     # without lineage truncation Catalyst inlines the derivation subtree
@@ -198,6 +200,14 @@ def triangle_counts(
     # that only gets worse when the caller's edge derivation is expensive.
     # A lazy localCheckpoint materializes it once on first use.
     edges = edges.localCheckpoint(eager=False)
+    # The same size gate covers BOTH broadcast families in this operator:
+    # the degree table is |V| ≤ 2|E| rows and the adjacency totals exactly
+    # |E| elements, so one edge count (an action the lazy checkpoint pays
+    # anyway) decides both. Past the budget every hint drops and the same
+    # plan shuffles on its join keys.
+    if broadcast_adjacency is None:
+        broadcast_adjacency = edges.count() <= broadcast_budget_rows
+    hint = F.broadcast if broadcast_adjacency else (lambda df: df)
     deg = (
         edges.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
@@ -206,8 +216,8 @@ def triangle_counts(
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
     oriented = (
-        edges.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        edges.join(hint(da), "a")
+        .join(hint(db), "b")
         .select(
             F.when(
                 (F.col("deg_a") < F.col("deg_b"))
@@ -231,15 +241,9 @@ def triangle_counts(
     # O(sqrt m) elements even under power-law skew.
     adj = oriented.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
     # adjacency is |V| rows summing to exactly |E| elements — broadcastable
-    # well past bench scale, but NOT unconditionally: size-gate on the edge
-    # count (the count materializes the lazy checkpoint, which every branch
-    # below reuses, so it is not an extra scan).
-    if broadcast_adjacency is None:
-        broadcast_adjacency = edges.count() <= broadcast_budget_rows
-    adj_u = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
-    adj_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
-    au = F.broadcast(adj_u) if broadcast_adjacency else adj_u
-    av = F.broadcast(adj_v) if broadcast_adjacency else adj_v
+    # well past bench scale, but NOT unconditionally: gated above.
+    au = hint(adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u")))
+    av = hint(adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v")))
     closed = (
         oriented.join(au, oriented.src == F.col("u"))
         .join(av, oriented.dst == F.col("v"))

@@ -1614,10 +1614,13 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate breadth: correlation / covariance / stddev of
-    order totals vs line counts per market segment."""
+    order totals vs line counts per market segment.
+
+    customer scales with SF (15B rows at 100 TB) — no broadcast hint; AQE
+    broadcasts while it fits and shuffles on the key past the threshold."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return (
         j.groupBy("c_mktsegment")
         .agg(
@@ -3584,18 +3587,22 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixing crawls ("which sources duplicate each other, and how much of
     the dedup burden is cross-source vs within-source?").
 
-    Reuses the exact-Jaccard pair list; sources attach via two
-    broadcastable id→source joins on the tiny pair set, cells canonicalize
-    as (min, max) so each unordered source pair counts once.
+    Reuses the exact-Jaccard pair list; sources attach via two id→source
+    joins where the PAIR side carries the broadcast hint — the pair list is
+    the near-dup set (small by construction) while (doc_id, source) is
+    corpus-sized, so hinting the corpus side would ship the whole table to
+    every executor at 100 TB. Cells canonicalize as (min, max) so each
+    unordered source pair counts once.
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
     src = docs.select("doc_id", "source")
-    j = pairs.join(
-        F.broadcast(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))),
+    j1 = F.broadcast(pairs).join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
         "doc_a",
-    ).join(
-        F.broadcast(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))),
+    )
+    j = F.broadcast(j1).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
         "doc_b",
     )
     return (

@@ -256,7 +256,9 @@ def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("mp_partkey")
         .join(part, F.col("l_partkey") == part.p_partkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        # supplier scales with SF (unlike nation/region) — no explicit hint;
+        # AQE broadcasts while it fits and shuffles past the threshold
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select(
             "p_partkey",
             "p_name",
@@ -290,7 +292,10 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_rev", F.max("total_revenue").over(Window.partitionBy())
     ).filter(F.col("total_revenue") == F.col("max_rev"))
     return (
-        top.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        # the bounded side here is `top` (the argmax rows, ~1 per tie group),
+        # not supplier (SF-scaled) — hint the side that stays small at 100 TB
+        F.broadcast(top)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -332,7 +337,8 @@ def q_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part scales with SF — AQE picks broadcast vs shuffle by runtime size
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -353,7 +359,8 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # part scales with SF — AQE picks broadcast vs shuffle by runtime size
+    j = li.join(part, li.l_partkey == part.p_partkey)
     block1 = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)
@@ -523,7 +530,8 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's STANDARD-part
     revenue per year — conditional-sum ratio over a 7-table join tree
-    (2 shuffle fact joins + 4 broadcast dims)."""
+    (shuffle fact joins; nation/region hinted broadcast — fixed 25/5 rows;
+    part/customer/supplier SF-scaled, so AQE sizes those joins)."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -538,7 +546,8 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part (even type-filtered) scales with SF — no hint, AQE decides
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -617,7 +626,8 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("l_partkey", "ap_partkey")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # brand-filtered part is 1/|brands| of an SF-scaled table — no hint
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_lim"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
