@@ -392,3 +392,51 @@ def test_ivm_deltas_broadcast_bases_probe(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_ivm_join_delta")
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# Queries whose plans legitimately contain an unpartitioned Window node.
+# Every entry is bounded by construction, never corpus-sized (SCALE.md §3):
+# - partition-offset family: the window runs over |partitions| rows
+#   (q_dense_ids, q_skyline_frontier, q_auc_eval);
+# - post-aggregation frames: |sources| / |strata| / |digits| / |days| rows
+#   (q_source_mix_weights, q_weighted_sample, q_temperature_mix,
+#   q_neyman_allocation, q_benford_audit, q_cumulative_distinct);
+# - predicate-bounded demo input: q_sql_ignore_nulls windows over the
+#   pushdown-filtered event_id < 2000 slice (IGNORE NULLS syntax surface).
+_GLOBAL_WINDOW_ALLOWLIST = {
+    "q_auc_eval",
+    "q_benford_audit",
+    "q_cumulative_distinct",
+    "q_dense_ids",
+    "q_neyman_allocation",
+    "q_skyline_frontier",
+    "q_source_mix_weights",
+    "q_sql_ignore_nulls",
+    "q_temperature_mix",
+    "q_weighted_sample",
+}
+
+
+def test_no_new_unpartitioned_windows_registry_wide(spark, sf_dir):
+    """Exhaustive global-window ban (SCALE.md §3): scan EVERY registered
+    query's optimized plan for Window nodes with an empty partition spec.
+    Any query outside the audited allowlist fails — a new operator cannot
+    silently move a corpus through one partition. (If a new entry's global
+    window IS bounded, audit it and extend the allowlist with a comment.)"""
+    import __spark_entry__ as entrymod
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "extended"
+            )
+        )
+        for m in re.finditer(r"^\s*\+?-?\s*Window (.+)$", plan, re.M):
+            groups = re.findall(r"\[[^\]]*\]", m.group(1))
+            if len(groups) <= 2:  # [funcs], [order] but no [partition spec]
+                offenders[name] = offenders.get(name, 0) + 1
+    unexpected = set(offenders) - _GLOBAL_WINDOW_ALLOWLIST
+    assert not unexpected, f"unaudited unpartitioned windows: {unexpected}"
+    gone = _GLOBAL_WINDOW_ALLOWLIST - set(offenders)
+    assert not gone, f"allowlist entries no longer global-window: {gone}"
