@@ -55,12 +55,15 @@ def token_stats_udtf():
 
     Built-in alternative shown in :func:`tfidf.tfidf_top_terms` is
     posexplode; the UDTF form is the sanctioned hook when per-row Python is
-    genuinely needed. Returned lazily (class, not instance) so this module
-    imports without an active SparkSession.
+    genuinely needed. ``useArrow=True`` keeps the per-row eval() authoring
+    model but ships rows over Arrow batches instead of pickled rows
+    (ArrowEvalPythonUDTF vs BatchEvalPythonUDTF in the plan) — the last
+    row-at-a-time transfer in the registry. Returned lazily (class, not
+    instance) so this module imports without an active SparkSession.
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="token: string, pos: int, tok_len: int")
+    @udtf(returnType="token: string, pos: int, tok_len: int", useArrow=True)
     class TokenStats:
         def eval(self, text: str):
             if text is None:

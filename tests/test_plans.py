@@ -440,3 +440,85 @@ def test_no_new_unpartitioned_windows_registry_wide(spark, sf_dir):
     assert not unexpected, f"unaudited unpartitioned windows: {unexpected}"
     gone = _GLOBAL_WINDOW_ALLOWLIST - set(offenders)
     assert not gone, f"allowlist entries no longer global-window: {gone}"
+
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin —
+# every one is a crossJoin/non-equi join whose BROADCAST side is bounded
+# by contract: a 1-row global-stats frame (totals, grand counts, spline
+# anchors), a tiny value grid, or a top-k list. Round-5 exhaustive audit.
+_BNLJ_ALLOWLIST = {
+    "q_ann_cosine_topk",
+    "q_ann_cosine_topk_ivf",
+    "q_assoc_rules",
+    "q_auc_eval",
+    "q_bm25_topk",
+    "q_chisq_lang_source",
+    "q_equiheight_histogram",
+    "q_hybrid_rrf",
+    "q_interpolate_gaps",
+    "q_lm_quality",
+    "q_psi_drift",
+    "q_resample_hourly",
+    "q_rich_quiet_customers",
+    "q_source_similarity",
+    "q_target_encoding",
+    "q_term_pmi",
+}
+
+# Queries that cross the Python boundary — all Arrow-batched by design
+# (ArrowEvalPython / MapInPandas / cogrouped+grouped applyInPandas /
+# ArrowEvalPythonUDTF). SCALE.md §5: pickled row-at-a-time transfer
+# (BatchEvalPython) is banned outright; there is no allowlist for it.
+_ARROW_PYTHON_ALLOWLIST = {
+    "q_ann_cosine_topk_np",
+    "q_ann_pq_topk",
+    "q_chunk_embed_pool",
+    "q_embed_documents",
+    "q_embedding_neardup_lsh",
+    "q_ks_drift",
+    "q_multimodal_features",
+    "q_rolling_median",
+    "q_udf_sigmoid",
+    "q_udtf_token_stats",
+}
+
+
+def test_join_and_python_boundary_shapes_registry_wide(spark, sf_dir):
+    """One pass over every registered query's plan enforcing three bans
+    (SCALE.md §2/§5): no CartesianProduct anywhere, no row-at-a-time
+    Python transfer (BatchEvalPython*) anywhere, and no
+    BroadcastNestedLoopJoin outside the audited bounded-side allowlist.
+    The Arrow-Python set is pinned exactly so a new Python hot path (or a
+    built-in path silently degrading to Python) shows up here."""
+    import __spark_entry__ as entrymod
+
+    cartesian, batch_py, bnlj, arrow_py = [], [], set(), set()
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BatchEvalPython" in plan:
+            batch_py.append(name)
+        if "BroadcastNestedLoopJoin" in plan:
+            bnlj.add(name)
+        if any(
+            node in plan
+            for node in (
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+                "FlatMapCoGroupsInPandas",
+            )
+        ):
+            arrow_py.add(name)
+    assert not cartesian, f"CartesianProduct in: {cartesian}"
+    assert not batch_py, f"row-at-a-time Python transfer in: {batch_py}"
+    assert bnlj <= _BNLJ_ALLOWLIST, f"unaudited BNLJ: {bnlj - _BNLJ_ALLOWLIST}"
+    assert arrow_py == _ARROW_PYTHON_ALLOWLIST, (
+        f"Python-boundary drift: +{arrow_py - _ARROW_PYTHON_ALLOWLIST} "
+        f"-{_ARROW_PYTHON_ALLOWLIST - arrow_py}"
+    )
