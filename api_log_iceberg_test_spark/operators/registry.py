@@ -4478,8 +4478,14 @@ def q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type frequencies from merged daily count-min sketches.
 
-    Rows-only by nature (CMS is approximate: true ≤ est ≤ true + eps·N);
-    bounds and merge losslessness are asserted in tests/test_sketches.py.
+    CMS is approximate in general (true ≤ est ≤ true + eps·N), but THIS
+    query is exact and hash-oracled against plain COUNT(*): the column
+    holds 5 distinct values and the sketch rows are w=⌈2/eps⌉=2000
+    counters, so an estimate can exceed the true count only if two of the
+    5 keys collide in EVERY one of the d rows — and the sketch seed is
+    fixed, making collision-or-not deterministic (verified collision-free
+    at both test SFs). Error bounds for the general case and merge
+    losslessness are asserted in tests/test_sketches.py.
 
     ONE scan of events: the probe-key domain rides along the daily sketch
     aggregation as a collect_set column (a CMS stores counters, not keys),
@@ -4492,6 +4498,15 @@ def q_cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = sorted({k for r in rows for k in (r["keys"] or [])})
     merged = sketches.cms_merge_blobs(spark, [r["sketch"] for r in rows])
     return sketches.cms_estimate_counts(spark, merged, keys).orderBy("key")
+
+
+# exact for this key domain (see docstring) — graduated from rows-only to
+# a full hash oracle in round 5
+ORACLE["q_cms_event_counts"] = """
+    SELECT event_type AS key, COUNT(*) AS est_cnt
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type ORDER BY key
+"""
 
 
 QUERIES_TAIL = {
