@@ -48,18 +48,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies only the FIRST 50 queries() entries per round (merge =
-# dict insertion order), so the order below is a ROTATING verification window.
-# Round-5 policy (VERDICT r04 #1/#2): keep the 9 pinned sentinels (reference
-# §2 surface + the round-1-red analytics trio); every one of the remaining 41
-# slots holds an entry that has never earned a driver CORRECTNESS row — the
-# two canonicalizer-fixed q_sql_* entries (r04 red → stringified array/map
-# outputs) plus 39 of the 58 never-verified round-4 operators, highest
-# algorithmic complexity first. Registry growth is frozen this round so the
-# remaining 19 (the simplest analytics tail) drain in round 6. Entries green
-# in r04 rotate OUT; their evidence stands.
-# tests/test_oracle_parity.py::test_driver_window_priority and
-# ::test_no_query_stays_driver_dark enforce the rotation.
-_WINDOW_R05 = [
+# dict insertion order), so the head of queries() is a ROTATING verification
+# window. Round 5 makes the rotation SELF-MAINTAINING: the window is computed
+# at import time from the CORRECTNESS_r*.json evidence on disk —
+#   1. the 9 pinned sentinels (reference §2 surface + the round-1-red
+#      analytics trio) are verified every round;
+#   2. every remaining slot goes to entries with NO driver evidence yet
+#      (never verified, or only ever errored), in _DARK_PRIORITY order
+#      (VERDICT r04 #1's highest-complexity-first list) then registry order;
+#   3. spare capacity re-certifies the STALEST greens (oldest evidence round
+#      first), so long-verified entries cycle back through over time.
+# The moment a new CORRECTNESS file lands, the next import rotates — no
+# manual window edit each round, and the rotation tripwire
+# (tests/test_oracle_parity.py::test_no_query_stays_driver_dark) stays green
+# instead of firing at round boundaries.
+_WINDOW_SIZE = 50
+
+_PINNED = [
     # pinned sentinels: full reference §2 surface ...
     "q_count",
     "q_frequency_by_name",
@@ -71,10 +76,15 @@ _WINDOW_R05 = [
     "q_priority_line_buckets",
     "q_sessionize",
     "q_tumbling_window_batch",
-    # r04 driver-red, now canonicalizer-safe (VERDICT r04 "What's wrong")
+]
+
+# Preferred ordering for never-verified picks: the canonicalizer-fixed
+# q_sql_* rows (r04 driver-red), then VERDICT r04 #1's priority list, then
+# the remaining round-4 operators complexity-first. Entries not listed here
+# fall back to registry order after these.
+_DARK_PRIORITY = [
     "q_sql_array_agg",
     "q_sql_map_functions",
-    # VERDICT r04 #1 priority list: highest-complexity round-4 operators
     "q_dup_clusters_star",
     "q_label_propagation",
     "q_pagerank_parts",
@@ -87,7 +97,6 @@ _WINDOW_R05 = [
     "q_dense_ids",
     "q_auc_eval",
     "q_salted_join",
-    # remaining never-verified round-4 operators, complexity-ordered
     "q_containment_pairs",
     "q_table_profile",
     "q_bm25_topk",
@@ -118,6 +127,53 @@ _WINDOW_R05 = [
 ]
 
 
+def _driver_evidence() -> dict[str, int]:
+    """name → latest round with a usable driver row (green hash match, or
+    the by-design rows-only check). Errored rows are NOT evidence."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _select_window(names: list[str], evidence: dict[str, int]) -> list[str]:
+    """Pure window-selection policy (unit-tested in test_oracle_parity):
+    pinned, then never-verified by priority, then stalest-evidence refill."""
+    window = [n for n in _PINNED if n in names]
+    candidates = _DARK_PRIORITY + [n for n in names if n not in _DARK_PRIORITY]
+    dark = [
+        n
+        for n in candidates
+        if n in names and n not in evidence and n not in window
+    ]
+    window += dark[: _WINDOW_SIZE - len(window)]
+    if len(window) < _WINDOW_SIZE:
+        pos = {n: i for i, n in enumerate(names)}
+        taken = set(window)
+        stale = sorted(
+            (n for n in names if n not in taken),
+            key=lambda n: (evidence.get(n, 0), pos[n]),
+        )
+        window += stale[: _WINDOW_SIZE - len(window)]
+    return window
+
+
 def _merged(attr: str) -> dict:
     api = getattr(api_logs, attr)
     ana = getattr(analytics, attr)
@@ -135,9 +191,8 @@ def _merged(attr: str) -> dict:
     if attr != "QUERIES":
         return full  # oracle dict order is irrelevant to the driver
     out: dict = {}
-    for k in _WINDOW_R05:  # window entries first, in window order
-        if k in full:
-            out[k] = full[k]
+    for k in _select_window(list(full), _driver_evidence()):
+        out[k] = full[k]  # window entries first, in window order
     for k, v in full.items():  # then everything already proven, stable order
         if k not in out:
             out[k] = v

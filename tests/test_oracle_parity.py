@@ -78,14 +78,16 @@ def test_driver_window_priority():
     ]:
         assert must in window, f"{must} fell out of the driver window"
     # every in-window entry without an oracle must be rows-only by design:
-    # the approximate/hash families, or bare-LIMIT non-determinism (§2 O3)
+    # the approximate/hash families, or bare-LIMIT non-determinism (§2 O3).
+    # This is the full audited rows-only set — the self-rotating window may
+    # pull ANY of them in as a stale re-certification.
     rows_only = {n for n in window if n not in _ORACLE}
     assert rows_only <= {
         "q_hll_daily_users",
         "q_kmeans_clusters",
         "q_kll_value_quantiles",
         "q_ann_pq_topk",
-        "q_cms_event_counts",
+        "q_approx_distinct",
         "q_limit_scan",
         "q_dedup_minhash_lsh",
         "q_dedup_simhash",
@@ -118,7 +120,10 @@ def test_no_query_stays_driver_dark():
     driver's 50-entry window while it has never earned a CORRECTNESS row —
     rotate the window each round until every entry has driver evidence.
     When the dark set overflows the window's free capacity, every non-pinned
-    non-recert slot must hold a dark entry (no wasted slots)."""
+    non-recert slot must hold a dark entry (no wasted slots). The window is
+    now computed from the CORRECTNESS evidence at import time, so this
+    holds by construction in every file state — the test is the independent
+    invariant check on that policy."""
     window = set(list(_QUERIES)[:50])
     checked = _ever_driver_checked()
     dark = [n for n in _QUERIES if n not in checked]
@@ -132,3 +137,37 @@ def test_no_query_stays_driver_dark():
         assert len([n for n in window if n in dark]) >= capacity, (
             "window wastes slots on already-verified entries while dark ones wait"
         )
+
+
+def test_window_selection_policy_scenarios():
+    """Unit-test the pure selection policy across file states it hasn't
+    seen yet, so the round-boundary rotation can't surprise anyone:
+    overflow (now), post-r05 drain, and the steady state where everything
+    is verified and capacity re-certifies the stalest greens."""
+    names = list(_QUERIES)
+    ev_now = entrymod._driver_evidence()
+
+    # today: 9 pinned + capacity all-dark, in priority order
+    w = entrymod._select_window(names, ev_now)
+    assert len(w) == 50 and len(set(w)) == 50
+    assert w[:9] == entrymod._PINNED
+    assert all(n not in ev_now for n in w[9:])
+
+    # post-r05: the 41 dark go green → remaining dark all in window, spare
+    # slots re-certify oldest-evidence entries first
+    ev_r05 = dict(ev_now, **{n: 5 for n in entrymod._DARK_PRIORITY})
+    w5 = entrymod._select_window(names, ev_r05)
+    dark_after = [n for n in names if n not in ev_r05]
+    assert set(dark_after) <= set(w5)
+    refills = [n for n in w5 if n in ev_r05 and n not in entrymod._PINNED]
+    if refills:
+        newest_refill = max(ev_r05[n] for n in refills)
+        outside = [n for n in names if n not in w5]
+        oldest_outside = min(ev_r05.get(n, 0) for n in outside)
+        assert newest_refill <= oldest_outside, (
+            "window re-certifies a newer entry while a staler one waits"
+        )
+
+    # steady state: everything verified → full window, pinned first
+    w6 = entrymod._select_window(names, dict.fromkeys(names, 6))
+    assert len(w6) == 50 and w6[:9] == entrymod._PINNED
