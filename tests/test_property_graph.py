@@ -65,7 +65,7 @@ def _union_find_components(edge_list):
     return out
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(_undirected_edges)
 def test_cc_minlabel_and_star_match_union_find(spark, edge_list):
     """Both CC implementations — O(diameter) min-label propagation and the
@@ -79,7 +79,7 @@ def test_cc_minlabel_and_star_match_union_find(spark, edge_list):
         assert got == expect, (fn.__name__, edge_list)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(_undirected_edges)
 def test_triangle_counts_match_bruteforce(spark, edge_list):
     """Per-node triangle participation from the degree-oriented
@@ -138,7 +138,7 @@ def _numpy_pagerank(edge_list, k=5, damping=0.85):
     return {node: rank[i] for node, i in idx.items()}
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(_directed_edges.map(_close_dangling))
 def test_pagerank_matches_dense_power_iteration(spark, edge_list):
     """The exchange-reusing distributed loop must reproduce the dense

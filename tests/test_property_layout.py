@@ -20,7 +20,7 @@ _unique_keys = st.lists(
 )
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(_unique_keys)
 def test_dense_ids_are_exact_ranks(spark, keys):
     """Unique sort keys: dense_id must equal the key's rank in sorted
@@ -31,7 +31,7 @@ def test_dense_ids_are_exact_ranks(spark, keys):
     assert got == expect, keys
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.integers(-50, 50), min_size=1, max_size=40
@@ -49,7 +49,7 @@ def test_dense_ids_dense_and_monotone_with_duplicates(spark, keys):
     assert by_id == sorted(keys), keys
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.tuples(st.integers(-1000, 1000), st.integers(-20, 20)),
@@ -73,7 +73,7 @@ def test_exclusive_prefix_sum_matches_cumsum(spark, pairs):
     assert got == expect, pairs
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.tuples(st.integers(-30, 30), st.integers(-30, 30)),

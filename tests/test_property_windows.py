@@ -77,7 +77,7 @@ def _us(row_ts):
     return int(row_ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(_events)
 def test_tumbling_window_matches_floor_division(spark, tmp_path, rows):
@@ -95,7 +95,7 @@ def test_tumbling_window_matches_floor_division(spark, tmp_path, rows):
     assert got == expect, rows
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(_events)
 def test_hopping_window_expands_each_event_three_times(spark, tmp_path, rows):
@@ -136,7 +136,7 @@ def _py_sessions(rows, merge_at_boundary):
     return sorted(out)
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(_events)
 def test_sessionize_matches_gap_reference(spark, tmp_path, rows):
@@ -155,7 +155,7 @@ def test_sessionize_matches_gap_reference(spark, tmp_path, rows):
     assert got == _py_sessions(rows, merge_at_boundary=True), rows
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(_events)
 def test_session_window_matches_gap_reference(spark, tmp_path, rows):
