@@ -708,6 +708,42 @@ def test_table_profile_single_scan(spark, sf_dir):
     assert prof["o_orderstatus"]["n_distinct"] == 3
 
 
+def test_table_profile_approx_variant_drops_expand(spark, sf_dir):
+    """The exact=False scale path (VERDICT r04's documented approx swap,
+    now a code branch): the plan loses the EXPAND the multi-column
+    countDistinct requires, stays one scan, and the HLL++ distinct counts
+    land within the configured rsd of exact."""
+    from api_log_iceberg_test_spark.operators.registry import table_profile
+    from api_log_iceberg_test_spark.schema import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.01", "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    exact_df = table_profile(o, cols, exact=True)
+    approx_df = table_profile(o, cols, exact=False, rsd=0.02)
+    assert "Expand" in plan_of(exact_df)
+    p_approx = plan_of(approx_df)
+    assert "Expand" not in p_approx, p_approx
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", p_approx)) == 1, p_approx
+    exact = {r["column_name"]: r for r in exact_df.collect()}
+    approx = {r["column_name"]: r for r in approx_df.collect()}
+    for c in cols:
+        e, a = exact[c]["n_distinct"], approx[c]["n_distinct"]
+        assert abs(a - e) <= max(3, 0.1 * e), (c, e, a)  # 5x rsd headroom
+        assert approx[c]["null_count"] == exact[c]["null_count"]
+        assert approx[c]["min_str"] == exact[c]["min_str"]
+        assert approx[c]["max_str"] == exact[c]["max_str"]
+
+
 def test_ivm_delta_rule_equals_recompute_minus_base(spark):
     """The three-term delta rule on crafted inserts equals full recompute
     minus base, including the ΔA⋈ΔB corner (a new order matching a NEW
