@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 import __spark_entry__ as em
 
 _QUERIES = em.queries()
@@ -417,21 +419,30 @@ _GLOBAL_WINDOW_ALLOWLIST = {
 }
 
 
-def test_no_new_unpartitioned_windows_registry_wide(spark, sf_dir):
+@pytest.fixture(scope="module")
+def registry_plans(spark, sf_dir):
+    """One 'extended' explain per registered query (optimized logical +
+    physical sections), shared by every registry-wide guard below so the
+    187-query pass is paid once per suite run, not once per test."""
+    import __spark_entry__ as entrymod
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "extended"
+    )
+    return {
+        name: fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        for name, fn in entrymod.queries().items()
+    }
+
+
+def test_no_new_unpartitioned_windows_registry_wide(registry_plans):
     """Exhaustive global-window ban (SCALE.md §3): scan EVERY registered
     query's optimized plan for Window nodes with an empty partition spec.
     Any query outside the audited allowlist fails — a new operator cannot
     silently move a corpus through one partition. (If a new entry's global
     window IS bounded, audit it and extend the allowlist with a comment.)"""
-    import __spark_entry__ as entrymod
-
     offenders = {}
-    for name, fn in entrymod.queries().items():
-        plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "extended"
-            )
-        )
+    for name, plan in registry_plans.items():
         for m in re.finditer(r"^\s*\+?-?\s*Window (.+)$", plan, re.M):
             groups = re.findall(r"\[[^\]]*\]", m.group(1))
             if len(groups) <= 2:  # [funcs], [order] but no [partition spec]
@@ -483,22 +494,15 @@ _ARROW_PYTHON_ALLOWLIST = {
 }
 
 
-def test_join_and_python_boundary_shapes_registry_wide(spark, sf_dir):
+def test_join_and_python_boundary_shapes_registry_wide(registry_plans):
     """One pass over every registered query's plan enforcing three bans
     (SCALE.md §2/§5): no CartesianProduct anywhere, no row-at-a-time
     Python transfer (BatchEvalPython*) anywhere, and no
     BroadcastNestedLoopJoin outside the audited bounded-side allowlist.
     The Arrow-Python set is pinned exactly so a new Python hot path (or a
     built-in path silently degrading to Python) shows up here."""
-    import __spark_entry__ as entrymod
-
     cartesian, batch_py, bnlj, arrow_py = [], [], set(), set()
-    for name, fn in entrymod.queries().items():
-        plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "simple"
-            )
-        )
+    for name, plan in registry_plans.items():
         if "CartesianProduct" in plan:
             cartesian.append(name)
         if "BatchEvalPython" in plan:
