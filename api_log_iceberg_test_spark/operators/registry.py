@@ -2728,20 +2728,40 @@ ORACLE["q_table_profile"] = """
 """
 
 
-def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def table_checksum(
+    df: DataFrame, canon, slice_col: str, p: int = 1_000_000_007
+) -> DataFrame:
     """Order-independent table checksum — the migration-validation primitive:
     after copying/rewriting a 100 TB table (engine swap, compaction,
     format change), both sides compute Σ md5(canonical row string) mod p
-    per partition-ish slice WITHOUT any global sort, and equal checksums
-    certify the copy row-for-row.
+    per ``slice_col`` slice WITHOUT any global sort, and equal checksums
+    certify the copy row-for-row. Modular SUM is commutative, so the
+    result is invariant to row order and partitioning by construction
+    (property-tested on random frames); the mod keeps the aggregate
+    inside BIGINT under ANSI overflow checking at any row count.
 
-    Canonicalization pins every cross-engine rendering trap: integers via
-    CAST to string, money as integer cents (no float formatting), dates via
-    an explicit format string, '|' separators. The modular sum keeps the
-    aggregate inside BIGINT under ANSI overflow checking at any row count.
-    Output: one row per o_orderstatus slice + row count + checksum, so a
-    mismatch also LOCATES the divergent slice (the grouped form of the
-    full-table check)."""
+    ``canon`` is the caller-built canonical row string (type rendering is
+    column-specific: integers CAST to string, money as integer cents,
+    dates via an explicit format — see :func:`q_table_checksum`).
+    Output: one row per slice + row count + checksum, so a mismatch also
+    LOCATES the divergent slice."""
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    pl = F.lit(p)
+    return (
+        df.groupBy(slice_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.pmod(F.sum(F.pmod(h, pl)), pl).cast("long").alias("checksum"),
+        )
+        .orderBy(slice_col)
+    )
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver binding for :func:`table_checksum` over orders, sliced by
+    o_orderstatus. Canonicalization pins every cross-engine rendering
+    trap: integers via CAST to string, money as integer cents (no float
+    formatting), dates via an explicit format string, '|' separators."""
     o = load_table(spark, sf_dir, "orders")
     canon = F.concat_ws(
         "|",
@@ -2752,16 +2772,7 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd"),
         F.col("o_orderpriority"),
     )
-    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
-    p = F.lit(1_000_000_007)
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.pmod(F.sum(F.pmod(h, p)), p).cast("long").alias("checksum"),
-        )
-        .orderBy("o_orderstatus")
-    )
+    return table_checksum(o, canon, "o_orderstatus")
 
 
 ORACLE["q_table_checksum"] = """
