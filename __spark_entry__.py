@@ -127,9 +127,20 @@ _DARK_PRIORITY = [
 ]
 
 
+def _usable_evidence_row(row: dict) -> bool:
+    """A CORRECTNESS row counts as driver evidence iff it hash-matched, or
+    it is a by-design rows-only row that actually produced rows."""
+    if row.get("hash_match"):
+        return True
+    return row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
+
+
 def _driver_evidence() -> dict[str, int]:
     """name → latest round with a usable driver row (green hash match, or
-    the by-design rows-only check). Errored rows are NOT evidence."""
+    the by-design rows-only check). Errored rows are NOT evidence, and a
+    rows-only row with 0 rows proves nothing (VERDICT r05 #3 / ADVICE r05:
+    q_embedding_neardup_lsh sat at spark_rows=0 in r02/r03 yet counted as
+    verified) — such rows stay dark until a non-empty result lands."""
     import glob
     import json
     import os
@@ -147,7 +158,7 @@ def _driver_evidence() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if row.get("hash_match") or row.get("err") == "no_oracle":
+            if _usable_evidence_row(row):
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
 

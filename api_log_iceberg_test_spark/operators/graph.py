@@ -193,6 +193,15 @@ def triangle_counts(
     elements ≈ 64 MB serialized, inside a 1-2 GB driver/executor broadcast
     budget with room for the 2x both-sides copy). Past the budget the SAME
     plan runs without hints and the joins shuffle on their keys.
+
+    NOTE (ADVICE r05): auto mode (``broadcast_adjacency=None``) runs the
+    edge count EAGERLY at DataFrame-construction time — building or
+    explaining the plan triggers one edge-derivation job before any action
+    on the result. Execution pays that job anyway (it materializes the
+    lazy checkpoint both paths reuse), so the cost is only visible in
+    plan-only contexts; callers that need a fully lazy plan (explain
+    fixtures, smoke checks) should pass an explicit ``broadcast_adjacency``
+    flag.
     """
     # The edge list feeds four plan branches (degrees, orientation, closure);
     # without lineage truncation Catalyst inlines the derivation subtree

@@ -2737,8 +2737,11 @@ def table_checksum(
     per ``slice_col`` slice WITHOUT any global sort, and equal checksums
     certify the copy row-for-row. Modular SUM is commutative, so the
     result is invariant to row order and partitioning by construction
-    (property-tested on random frames); the mod keeps the aggregate
-    inside BIGINT under ANSI overflow checking at any row count.
+    (property-tested on random frames). The per-row residues (each < 1e9)
+    accumulate in DECIMAL(38,0) — SUM over BIGINT would overflow a slice
+    at ~9.2e9 rows, below 100 TB row counts (ADVICE r05) — so the
+    aggregate stays exact under ANSI overflow checking to ~1e29 rows per
+    slice before the outer mod brings it back to a long.
 
     ``canon`` is the caller-built canonical row string (type rendering is
     column-specific: integers CAST to string, money as integer cents,
@@ -2751,7 +2754,9 @@ def table_checksum(
         df.groupBy(slice_col)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.pmod(F.sum(F.pmod(h, pl)), pl).cast("long").alias("checksum"),
+            F.pmod(F.sum(F.pmod(h, pl).cast("decimal(38,0)")), pl)
+            .cast("long")
+            .alias("checksum"),
         )
         .orderBy(slice_col)
     )

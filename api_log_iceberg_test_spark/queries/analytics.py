@@ -273,24 +273,35 @@ def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue view + scalar MAX over it.
 
-    The MAX is taken with an unpartitioned window over the ALREADY-AGGREGATED
-    relation (|suppliers| rows, not |lineitem|), so the single-partition
-    window is cheap at any scale and the max is computed in the same pass as
-    the revenues it filters (no recompute divergence).
+    The supplier-revenue relation is SF-scaled (|suppliers| rows), so the
+    scalar MAX is NOT taken with an unpartitioned window (that funnels the
+    whole relation through one task — the exact shape the registry-wide
+    global-window ban exists to catch; ADVICE r05 flagged the earlier
+    version as its one escapee). Instead: a 1-row ``agg(max)`` is
+    broadcast-joined back on value equality — the max reduces map-side, the
+    filter runs partition-parallel. The revenue frame feeding both branches
+    is lazily ``localCheckpoint``-ed so the two consumers share ONE
+    materialization; fp-sum recompute divergence between the max branch and
+    the probe branch is impossible.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
     )
     supp = load_table(spark, sf_dir, "supplier")
-    revenue = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
         )
+        .localCheckpoint(eager=False)
     )
-    top = revenue.withColumn(
-        "max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    top = revenue.join(
+        F.broadcast(max_rev), F.col("total_revenue") == F.col("max_rev")
+    ).drop("max_rev")
     return (
         # the bounded side here is `top` (the argmax rows, ~1 per tie group),
         # not supplier (SF-scaled) — hint the side that stays small at 100 TB

@@ -147,11 +147,39 @@ def test_window_selection_policy_scenarios():
     names = list(_QUERIES)
     ev_now = entrymod._driver_evidence()
 
-    # today: 9 pinned + capacity all-dark, in priority order
+    # today (whatever CORRECTNESS files are on disk): pinned first, then
+    # EVERY current-dark entry that fits (in _DARK_PRIORITY-then-registry
+    # order), then stalest-green refill — the invariant, not a snapshot of
+    # one round's file state (VERDICT r05 #2: the old "all 41 slots dark"
+    # assertion flipped the moment the next CORRECTNESS file landed).
     w = entrymod._select_window(names, ev_now)
     assert len(w) == 50 and len(set(w)) == 50
     assert w[:9] == entrymod._PINNED
-    assert all(n not in ev_now for n in w[9:])
+    dark_now = [n for n in names if n not in ev_now and n not in entrymod._PINNED]
+    capacity = 50 - len(entrymod._PINNED)
+    if len(dark_now) <= capacity:
+        assert set(dark_now) <= set(w), "a dark entry waits outside the window"
+        refills = [n for n in w[9:] if n in ev_now]
+        if refills:  # spare slots go to the stalest greens, none newer outside
+            outside = [n for n in names if n not in w]
+            assert max(ev_now[n] for n in refills) <= min(
+                ev_now.get(n, 0) for n in outside
+            ), "window re-certifies a newer entry while a staler one waits"
+    else:
+        assert all(n in dark_now for n in w[9:]), "overflow window wastes a slot"
+
+    # rows-only hardening (VERDICT r05 #3): a no_oracle row with 0 rows is
+    # NOT evidence — the entry must stay dark and re-enter the window.
+    assert not entrymod._usable_evidence_row({"err": "no_oracle", "spark_rows": 0})
+    assert not entrymod._usable_evidence_row({"err": "no_oracle"})
+    assert entrymod._usable_evidence_row({"err": "no_oracle", "spark_rows": 3})
+    assert entrymod._usable_evidence_row({"hash_match": True, "spark_rows": 0})
+    assert not entrymod._usable_evidence_row({"hash_match": False, "spark_rows": 9})
+    ev_vac = {n: 5 for n in names if n != "q_embedding_neardup_lsh"}
+    w_vac = entrymod._select_window(names, ev_vac)
+    assert "q_embedding_neardup_lsh" in w_vac[9:10], (
+        "a vacuous rows-only entry must be re-queued as the first dark slot"
+    )
 
     # post-r05: the 41 dark go green → remaining dark all in window, spare
     # slots re-certify oldest-evidence entries first

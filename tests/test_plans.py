@@ -407,6 +407,11 @@ def test_ivm_deltas_broadcast_bases_probe(spark, sf_dir):
 #   pushdown-filtered event_id < 2000 slice (IGNORE NULLS syntax surface).
 _GLOBAL_WINDOW_ALLOWLIST = {
     "q_auc_eval",
+    # surfaced by the r06 regex fix (Window nodes in join branches were
+    # previously invisible): ranks bm25_topk's ≤50-row lexical result —
+    # bounded by the upstream top-k LIMIT regardless of corpus scale
+    # (registry.py q_hybrid_rrf docstring)
+    "q_hybrid_rrf",
     "q_benford_audit",
     "q_cumulative_distinct",
     "q_dense_ids",
@@ -443,7 +448,15 @@ def test_no_new_unpartitioned_windows_registry_wide(registry_plans):
     window IS bounded, audit it and extend the allowlist with a comment.)"""
     offenders = {}
     for name, plan in registry_plans.items():
-        for m in re.finditer(r"^\s*\+?-?\s*Window (.+)$", plan, re.M):
+        for line in plan.splitlines():
+            # strip ALL tree-drawing prefixes — the old `^\s*\+?-?\s*` regex
+            # missed the `:` branch connector, so Window nodes inside a
+            # join's left branch escaped the scan (ADVICE r05, verified
+            # live on q_top_supplier_revenue)
+            node = re.sub(r"^[\s:+|*-]*", "", line)
+            m = re.match(r"Window (\[.+)$", node)
+            if not m:
+                continue
             groups = re.findall(r"\[[^\]]*\]", m.group(1))
             if len(groups) <= 2:  # [funcs], [order] but no [partition spec]
                 offenders[name] = offenders.get(name, 0) + 1
