@@ -1151,3 +1151,150 @@ def containment_pairs(
             | (F.col("containment_b") >= threshold)
         )
     )
+
+
+def lsh_param_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    band_grid: tuple[int, ...] = (4, 8, 16, 32),
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Band/row tradeoff report for MinHash-LSH: measured recall and
+    candidate cost per (bands, rows_per_band) config, against the exact
+    Jaccard tier as ground truth — the tuning artifact you produce BEFORE
+    committing a 100 TB dedup run to one parameter choice.
+
+    One row per config:
+
+    ``(bands, rows_per_band, expected_recall_at_t, n_candidates,
+    n_captured, n_true, recall, precision)``
+
+    - ``expected_recall_at_t`` = 1-(1-t^r)^b, the S-curve capture
+      probability AT the threshold (pairs above t capture more often);
+    - ``n_true`` / ``recall`` use :func:`ngram_jaccard_pairs` (the
+      engine's exact tier) as the reference pair set;
+    - ``precision`` = share of a config's candidate pairs that verify at
+      the threshold — the wasted-verification cost signal.
+
+    Scale: signatures are computed ONCE (same explode + per-permutation
+    MIN aggregates as :func:`minhash_lsh_pairs`, whole-stage codegen, one
+    reused groupBy(id) exchange); each config re-slices the SAME signature
+    array into band keys, and all configs' band keys union into ONE
+    shuffle on (bands, band, bhash). Parameter tuning is a sampled
+    activity by contract — run it on a bounded sample of the corpus, pick
+    the knee of the recall/cost curve, then run the chosen config at full
+    scale. The 1-row truth-count frame joins back via broadcast.
+    """
+    if any(num_perm % b for b in band_grid):
+        raise ValueError(f"every bands value in {band_grid} must divide {num_perm}")
+    p = F.lit(_MERSENNE31)
+    ab = [
+        (
+            (((seed + 2 * i + 1) * 0x9E3779B1) % _MERSENNE31) + 1,
+            ((i + 1) * 0x85EBCA77) % _MERSENNE31,
+        )
+        for i in range(num_perm)
+    ]
+    per = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(text_col, n)).alias("s"),
+        )
+        .select("id", F.xxhash64("s").alias("h64"))
+        .repartition(F.col("id"))
+    )
+    hp = F.pmod(F.col("h64"), p)
+    docs_sig = (
+        per.groupBy("id")
+        .agg(
+            *[
+                F.min(F.pmod(F.lit(a) * hp + F.lit(b), p)).alias(f"_m{i}")
+                for i, (a, b) in enumerate(ab)
+            ]
+        )
+        .select(
+            "id",
+            F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig"),
+        )
+    )
+
+    def banded_for(bands: int) -> DataFrame:
+        rows_per_band = num_perm // bands
+        return docs_sig.select(
+            F.lit(bands).alias("bands"),
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.lit(b),
+                                F.concat_ws(
+                                    ",",
+                                    F.slice(
+                                        "sig", b * rows_per_band + 1, rows_per_band
+                                    ),
+                                ),
+                            ).alias("bhash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            "bands", "id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash")
+        )
+
+    banded = banded_for(band_grid[0])
+    for b in band_grid[1:]:
+        banded = banded.unionByName(banded_for(b))
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["bands", "band", "bhash"])
+        .select("bands", F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["bands", "id_a", "id_b"])
+    )
+    truth = ngram_jaccard_pairs(
+        df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    per_cfg = (
+        cands.join(truth.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left")
+        .groupBy("bands")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_captured"),
+        )
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    expected = F.create_map(
+        *[
+            c
+            for b in band_grid
+            for c in (
+                F.lit(b),
+                F.lit(round(1 - (1 - threshold ** (num_perm // b)) ** b, 6)),
+            )
+        ]
+    )
+    return (
+        per_cfg.join(F.broadcast(n_true))
+        .select(
+            "bands",
+            (F.lit(num_perm) / F.col("bands")).cast("int").alias("rows_per_band"),
+            expected[F.col("bands")].alias("expected_recall_at_t"),
+            "n_candidates",
+            "n_captured",
+            "n_true",
+            F.round(F.col("n_captured") / F.col("n_true"), 6).alias("recall"),
+            F.round(F.col("n_captured") / F.col("n_candidates"), 6).alias(
+                "precision"
+            ),
+        )
+        .orderBy("bands")
+    )

@@ -185,3 +185,94 @@ def cms_estimate_counts(spark, merged, keys: list) -> DataFrame:
     exact in practice (collision-free rows)."""
     data = [(k, int(merged.estimateCount(k)) if merged else 0) for k in keys]
     return spark.createDataFrame(data, "key string, est_cnt long")
+
+
+def kll_window_drift(
+    daily: DataFrame,
+    window_days: int = 7,
+    probs: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Quantile drift over trailing ``window_days`` windows, composed from
+    the daily KLL rollup — the sketch answer to "did this week's latency
+    distribution move vs yesterday's week?" at 100 TB: the raw data is
+    scanned once ever (by :func:`kll_daily_sketches` on ingest); every
+    sliding window is a merge of ≤ ``window_days`` small sketch rows, and
+    re-answering with a different window length or quantile needs NO
+    rescan.
+
+    Plan: each daily sketch fans out to the ``window_days`` window-end
+    days it contributes to (bounded explode of a |days|-row frame), one
+    agg per window folds the ≤ ``window_days`` sketches
+    (``kll_sketch_merge_double`` under the ``reduce`` HOF — interpreted,
+    but over a rollup frame that never exceeds |days| × window rows), and
+    a self-join on the previous day turns consecutive windows into drift
+    deltas without any global window. Windows are emitted only for days
+    that exist in the rollup, and ``n`` is EXACT per window (KLL tracks
+    stream length), so ``n`` doubles as the window-coverage audit column.
+
+    Returns ``(day, days_in_window, n, p50, p95, d_p50, d_p95)`` —
+    ``d_*`` NULL on the first day (no prior window). Rows-only for the
+    driver oracle (sketch quantiles are approximate); rank-error bounds vs
+    exact window quantiles are asserted in tests/test_sketches.py.
+    """
+    contrib = daily.select(
+        F.col("day").alias("src_day"),
+        "sketch",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), window_days - 1)
+            )
+        ).alias("day"),
+    ).join(daily.select("day"), "day", "semi")  # only real days end a window
+    win = (
+        contrib.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("days_in_window"),
+            F.collect_list("sketch").alias("sks"),
+        )
+        .select(
+            "day",
+            "days_in_window",
+            F.reduce(
+                F.slice("sks", 2, 2_000_000_000),
+                F.col("sks")[0],
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("sketch"),
+        )
+        .select(
+            "day",
+            "days_in_window",
+            F.kll_sketch_get_n_double("sketch").alias("n"),
+            *[
+                F.round(
+                    F.kll_sketch_get_quantile_double("sketch", F.lit(p)), 6
+                ).alias(f"p{int(p * 100):02d}")
+                for p in probs
+            ],
+        )
+        # KLL compaction is randomized, so the two consumers below (window
+        # row + previous-day row) must share ONE materialization — without
+        # the lineage cut each join branch would recompute the sketch
+        # aggregation and the drift columns would mix two different
+        # compactions of the same data. |days| rows: trivially cacheable.
+        .localCheckpoint(eager=False)
+    )
+    prev = win.select(
+        F.date_add(F.col("day"), 1).alias("day"),
+        *[F.col(f"p{int(p * 100):02d}").alias(f"_prev_p{int(p * 100):02d}") for p in probs],
+    )
+    qcols = [f"p{int(p * 100):02d}" for p in probs]
+    return (
+        win.join(prev, "day", "left")
+        .select(
+            "day",
+            "days_in_window",
+            "n",
+            *qcols,
+            *[
+                F.round(F.col(q) - F.col(f"_prev_{q}"), 6).alias(f"d_{q}")
+                for q in qcols
+            ],
+        )
+        .orderBy("day")
+    )

@@ -139,8 +139,12 @@ ROUND4 = [
 
 #: Round-6 additions, timed as their own basket (total_r6_basket) so the
 #: earlier baskets stay comparable across rounds (basket discipline,
-#: VERDICT r05 #4). Filled as the round-6 operators land.
-ROUND6: list[str] = []
+#: VERDICT r05 #4).
+ROUND6 = [
+    "q_pack_batches",
+    "q_kll_window_drift",
+    "q_lsh_param_sweep",
+]
 
 
 def main() -> None:

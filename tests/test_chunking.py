@@ -99,3 +99,58 @@ def test_chunking_plan_has_no_exchange(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_pack_batches_exact_budget_invariant(spark, sf_dir):
+    """Round 6: every (bucket, bin) except each bucket's tail bin holds
+    EXACTLY `budget` tokens; per-bucket token totals are conserved; doc
+    counts decompose into full + partial."""
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 512
+    rows = chunking.pack_batches(docs, budget=budget, num_buckets=8).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    totals = {
+        r["bucket"]: r["tot"]
+        for r in docs.select(
+            (F.col("doc_id") % 8).alias("bucket"),
+            text.token_count("text").cast("long").alias("n"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("tot"))
+        .collect()
+    }
+    for bucket, bins in by_bucket.items():
+        bins.sort(key=lambda r: r["bin_id"])
+        # contiguous bin ids from 0
+        assert [r["bin_id"] for r in bins] == list(range(len(bins)))
+        for r in bins[:-1]:
+            assert r["n_tokens_bin"] == budget, r
+        assert 0 < bins[-1]["n_tokens_bin"] <= budget
+        assert sum(r["n_tokens_bin"] for r in bins) == totals[bucket]
+        for r in bins:
+            assert r["n_docs"] == r["n_full_docs"] + r["n_partial_docs"]
+            assert r["first_doc"] <= r["last_doc"]
+
+
+def test_pack_batches_consistent_with_pack_sequences(spark, sf_dir):
+    """A document's pack_sequences bin (the bin its START offset falls in)
+    must appear as one of the bins pack_batches spreads it over, and a
+    fully-contained doc must be counted full in exactly that bin."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = {
+        (r["bucket"], r["doc_id"]): r["bin_id"]
+        for r in chunking.pack_sequences(docs, budget=512, num_buckets=8).collect()
+        if r["n_tokens"] > 0
+    }
+    v2 = chunking.pack_batches(docs, budget=512, num_buckets=8).collect()
+    spans = {}
+    for r in v2:
+        spans.setdefault(r["bucket"], {})[r["bin_id"]] = (
+            r["first_doc"],
+            r["last_doc"],
+        )
+    for (bucket, doc_id), bin_id in v1.items():
+        lo, hi = spans[bucket][bin_id]
+        assert lo <= doc_id <= hi, (bucket, doc_id, bin_id)

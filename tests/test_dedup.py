@@ -330,3 +330,52 @@ def test_containment_planted_excerpt(spark):
     assert r["containment_b"] < 0.2
     # and Jaccard indeed misses it
     assert dedup.ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_lsh_param_sweep_nested_grid_monotone(spark, sf_dir):
+    """Round 6: with the power-of-two band grid over one 32-perm signature,
+    each config's band keys REFINE the previous config's (a 2r-perm band
+    agreeing implies both r-perm halves agree), so candidate sets are
+    nested: n_candidates is monotone non-decreasing in bands, captures are
+    bounded by the truth set, and the expected-capture column carries the
+    exact 1-(1-t^r)^b values."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = dedup.lsh_param_sweep(docs, threshold=0.5).collect()
+    assert [r["bands"] for r in rows] == [4, 8, 16, 32]
+    n_true = rows[0]["n_true"]
+    assert n_true > 0  # non-vacuous on the driver testdata
+    prev_cands = prev_capt = 0
+    for r in rows:
+        assert r["rows_per_band"] == 32 // r["bands"]
+        assert r["n_true"] == n_true  # truth is config-independent
+        assert 0 <= r["n_captured"] <= min(r["n_true"], r["n_candidates"])
+        assert r["n_candidates"] >= prev_cands
+        assert r["n_captured"] >= prev_capt  # nesting: captures only grow
+        prev_cands, prev_capt = r["n_candidates"], r["n_captured"]
+        want = round(1 - (1 - 0.5 ** r["rows_per_band"]) ** r["bands"], 6)
+        assert abs(r["expected_recall_at_t"] - want) < 1e-9
+        assert 0.0 <= r["recall"] <= 1.0
+        assert 0.0 < r["precision"] <= 1.0
+
+
+def test_lsh_param_sweep_recall_matches_lsh_pairs(spark, sf_dir):
+    """The bands=8 sweep row must agree with minhash_lsh_pairs run at the
+    same parameters: same candidate-capture behavior, so the sweep's
+    captured count equals the number of truth pairs the production LSH
+    path finds at threshold (both use the identical permutation family and
+    band hashing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    row8 = {
+        r["bands"]: r for r in dedup.lsh_param_sweep(docs, threshold=0.5).collect()
+    }[8]
+    lsh_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_perm=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert row8["n_captured"] == len(lsh_pairs & truth)

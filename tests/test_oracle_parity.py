@@ -94,6 +94,10 @@ def test_driver_window_priority():
         "q_ann_cosine_topk_ivf",
         "q_ann_cosine_topk_np",
         "q_embedding_neardup_lsh",
+        # r06 additions: sketch-composed quantiles / xxhash64-dependent
+        # candidates — approximate or engine-specific by design
+        "q_kll_window_drift",
+        "q_lsh_param_sweep",
     }, f"unexpected rows-only entries in window: {rows_only}"
 
 

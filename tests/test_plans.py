@@ -481,6 +481,9 @@ _BNLJ_ALLOWLIST = {
     "q_hybrid_rrf",
     "q_interpolate_gaps",
     "q_lm_quality",
+    # r06: the sweep report joins its 4 config rows against the 1-row
+    # truth-count aggregate (broadcast crossJoin) — bounded by contract
+    "q_lsh_param_sweep",
     "q_psi_drift",
     "q_resample_hourly",
     "q_rich_quiet_customers",

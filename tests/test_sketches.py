@@ -130,3 +130,42 @@ def test_cms_empty_input(spark):
     assert sketches.cms_merge(spark, daily) is None
     out = sketches.cms_estimate_counts(spark, None, ["x"])
     assert [tuple(r) for r in out.collect()] == [("x", 0)]
+
+
+def test_kll_window_drift_n_exact_and_quantiles_bounded(spark, sf_dir):
+    """Sliding-window composition (round 6): per-window n must be EXACT
+    (sum of the merged daily stream lengths), quantiles within KLL rank
+    error of the exact window distribution, and the drift columns must be
+    exactly the difference of consecutive windows' quantiles."""
+    import bisect
+    import datetime
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketches.kll_daily_sketches(ev, time_col="ts", value_col="value")
+    drift = sketches.kll_window_drift(daily, window_days=7).collect()
+
+    by_day = {}
+    for r in ev.select(F.to_date("ts").alias("day"), "value").collect():
+        by_day.setdefault(r["day"], []).append(float(r["value"]))
+    days = sorted(by_day)
+    assert [r["day"] for r in drift] == days  # one window per real day
+
+    rows = {r["day"]: r for r in drift}
+    for day in days:
+        lo = day - datetime.timedelta(days=6)
+        window_vals = sorted(
+            v for d, vs in by_day.items() if lo <= d <= day for v in vs
+        )
+        r = rows[day]
+        assert r["n"] == len(window_vals), (day, r["n"], len(window_vals))
+        assert r["days_in_window"] == sum(1 for d in days if lo <= d <= day)
+        for p, col in [(0.5, "p50"), (0.95, "p95")]:
+            rank = bisect.bisect_right(window_vals, r[col]) / len(window_vals)
+            assert abs(rank - p) < 0.05, (day, col, r[col], rank)
+
+    # drift = this window's quantile minus the previous day's window's
+    for prev_day, day in zip(days, days[1:]):
+        for col in ("p50", "p95"):
+            want = round(rows[day][col] - rows[prev_day][col], 6)
+            assert abs(rows[day][f"d_{col}"] - want) < 1e-9
+    assert rows[days[0]]["d_p50"] is None and rows[days[0]]["d_p95"] is None
