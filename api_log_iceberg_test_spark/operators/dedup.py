@@ -1199,13 +1199,16 @@ def lsh_param_sweep(
         )
         for i in range(num_perm)
     ]
-    per = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(text_col, n)).alias("s"),
-        )
-        .select("id", F.xxhash64("s").alias("h64"))
-        .repartition(F.col("id"))
+    # Build the signature input as the SAME (id, sh) repartitioned subtree
+    # ngram_jaccard_pairs constructs internally for the truth tier below —
+    # canonically identical plans, so ReuseExchange shares ONE corpus
+    # scan + shingle pass + id-shuffle across the signature branch and all
+    # of the truth tier's consumers (verified by the scan-count plan test).
+    docs = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    ).repartition(F.col("id"))
+    per = docs.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("h64")
     )
     hp = F.pmod(F.col("h64"), p)
     docs_sig = (
@@ -1220,6 +1223,11 @@ def lsh_param_sweep(
             "id",
             F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig"),
         )
+        # every config's two self-join sides re-slice this one frame — the
+        # lazy checkpoint materializes the signature pass ONCE (|docs| rows
+        # of 32 longs, far smaller than the shingled corpus) instead of
+        # letting 8 consumer subtrees re-scan and re-shingle the corpus
+        .localCheckpoint(eager=False)
     )
 
     def banded_for(bands: int) -> DataFrame:
@@ -1260,9 +1268,16 @@ def lsh_param_sweep(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["bands", "id_a", "id_b"])
     )
-    truth = ngram_jaccard_pairs(
-        df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
-    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    truth = (
+        ngram_jaccard_pairs(
+            df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+        )
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        # two consumers (capture join + 1-row count): materialize the
+        # pair-set-sized truth tier once instead of re-running its corpus
+        # scan + blocking join per consumer
+        .localCheckpoint(eager=False)
+    )
     per_cfg = (
         cands.join(truth.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left")
         .groupBy("bands")
