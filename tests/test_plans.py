@@ -484,6 +484,10 @@ _BNLJ_ALLOWLIST = {
     # r06: the sweep report joins its 4 config rows against the 1-row
     # truth-count aggregate (broadcast crossJoin) — bounded by contract
     "q_lsh_param_sweep",
+    # r06: derived-partsupp queries attach the 1-row supplier count
+    # (and, for Q11, the 1-row bloc total) via broadcast crossJoin
+    "q_product_profit",
+    "q_important_stock",
     "q_psi_drift",
     "q_resample_hourly",
     "q_rich_quiet_customers",
