@@ -203,3 +203,43 @@ def test_window_selection_policy_scenarios():
     # steady state: everything verified → full window, pinned first
     w6 = entrymod._select_window(names, dict.fromkeys(names, 6))
     assert len(w6) == 50 and w6[:9] == entrymod._PINNED
+
+
+def test_derived_partsupp_structure(spark, sf_dir):
+    """Round 6: the derived partsupp must be a valid TPC-H-shaped relation
+    at every SF — exactly 4 DISTINCT suppliers per part (the ring offsets
+    are distinct for |supplier| >= 4), every ps_suppkey a real supplier,
+    availqty in [1, 9999], supplycost in [1.00, 200.99] and BITWISE equal
+    to its closed form recomputed from the keys (the cross-engine
+    determinism claim — IEEE division of the same small integers)."""
+    from pyspark.sql import functions as F
+
+    from api_log_iceberg_test_spark.queries.analytics import derived_partsupp
+    from api_log_iceberg_test_spark.schema import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = derived_partsupp(part, load_table(spark, sf_dir, "supplier"))
+    n_parts = part.count()
+    assert ps.count() == 4 * n_parts
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.countDistinct("ps_suppkey").alias("nsupp")
+    )
+    assert per_part.filter(F.col("nsupp") != 4).count() == 0
+    supp_keys = {r["s_suppkey"] for r in supp.select("s_suppkey").collect()}
+    got_keys = {r["ps_suppkey"] for r in ps.select("ps_suppkey").distinct().collect()}
+    assert got_keys <= supp_keys
+    recomputed = (
+        F.pmod(
+            F.col("ps_partkey") * 29 + F.col("ps_suppkey") * 13, F.lit(19999)
+        )
+        + 100
+    ) / F.lit(100.0)
+    bad = ps.filter(
+        (F.col("ps_availqty") < 1)
+        | (F.col("ps_availqty") > 9999)
+        | (F.col("ps_supplycost") < 1.0)
+        | (F.col("ps_supplycost") > 200.99)
+        | (F.col("ps_supplycost") != recomputed)
+    )
+    assert bad.count() == 0

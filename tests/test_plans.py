@@ -577,3 +577,13 @@ def test_lsh_param_sweep_bounded_corpus_scans(spark, sf_dir):
     final = final.split("== Initial Plan ==")[0]
     assert "FileScan parquet" not in final, final
     assert final.count("Scan ExistingRDD") >= 2, final
+
+
+def test_product_profit_pushes_name_filter_no_cartesian(spark, sf_dir):
+    """Q9 over the derived partsupp: the part name filter must reach the
+    part scan (StringContains pushdown), the only nested-loop join is the
+    1-row supplier-count attach, and the fact joins stay hash joins."""
+    plan = _plan(spark, sf_dir, "q_product_profit")
+    assert re.search(r"PushedFilters: \[[^\]]*StringContains\(p_name,red", plan), plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1, plan
