@@ -169,3 +169,52 @@ def test_kll_window_drift_n_exact_and_quantiles_bounded(spark, sf_dir):
             want = round(rows[day][col] - rows[prev_day][col], 6)
             assert abs(rows[day][f"d_{col}"] - want) < 1e-9
     assert rows[days[0]]["d_p50"] is None and rows[days[0]]["d_p95"] is None
+
+
+def test_kll_window_drift_with_gap_days(spark):
+    """Non-contiguous rollups (ingestion outages, partitions still in
+    flight): windows must end ONLY on days that exist, each trailing
+    window must cover exactly the existing days in its range, n stays
+    exact, and the drift join pairs a day with the previous CALENDAR day
+    (absent day → NULL drift, not the last available window)."""
+    import datetime
+
+    base = datetime.date(2024, 3, 1)
+    # days 0,1,2 then a 4-day gap, then 7,8 — values chosen distinct/day
+    day_values = {
+        0: [1.0, 2.0, 3.0],
+        1: [10.0, 20.0],
+        2: [5.0],
+        7: [100.0, 200.0, 300.0, 400.0],
+        8: [7.0],
+    }
+    flat = [(d, v) for d, vs in day_values.items() for v in vs]
+    rows = [
+        (
+            i,
+            datetime.datetime.combine(
+                base + datetime.timedelta(days=d), datetime.time(12, 0)
+            ),
+            float(v),
+        )
+        for i, (d, v) in enumerate(flat)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    daily = sketches.kll_daily_sketches(ev, time_col="ts", value_col="value")
+    got = {r["day"]: r for r in sketches.kll_window_drift(daily, window_days=3).collect()}
+
+    want_days = {base + datetime.timedelta(days=d) for d in day_values}
+    assert set(got) == want_days  # no window for any absent day
+    for d, vs in day_values.items():
+        day = base + datetime.timedelta(days=d)
+        in_win = [
+            dd for dd in day_values
+            if 0 <= d - dd <= 2
+        ]
+        r = got[day]
+        assert r["days_in_window"] == len(in_win)
+        assert r["n"] == sum(len(day_values[dd]) for dd in in_win)
+    # day 7 follows a gap: no window ended on day 6 → drift is NULL
+    assert got[base + datetime.timedelta(days=7)]["d_p50"] is None
+    # day 8 pairs with day 7's window
+    assert got[base + datetime.timedelta(days=8)]["d_p50"] is not None
