@@ -2409,9 +2409,17 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two exact-percentile aggregates (median of values, then median of
     absolute deviations), both combinable and broadcast back — the fact
-    table never shuffles. The threshold applies to the ROUNDED score so
+    table never shuffles. The threshold applies to the QUANTIZED score so
     borderline membership can't diverge between engines. Zero-MAD groups
     (>50% identical values) are excluded explicitly.
+
+    Quantization note (found by the r06 sf0.1 sweep): the raw scores are
+    bit-identical across engines, but engine ROUND disagrees within an
+    ulp of a half boundary — Spark rounds the double's exact decimal
+    expansion while DuckDB multiplies first (3.8522499999999997 → 3.8522
+    vs 3.8523). The score is therefore quantized as explicit IEEE
+    arithmetic, ``floor(x·10⁴ + 0.5)/10⁴``, written identically in both
+    engines — identical inputs through identical IEEE ops cannot split.
     """
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     med = ev.groupBy("event_type").agg(
@@ -2430,8 +2438,15 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             F.round("value", 6).alias("value"),
-            F.round(
-                F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 4
+            (
+                F.floor(
+                    F.lit(0.6745)
+                    * (F.col("value") - F.col("med"))
+                    / F.col("mad")
+                    * 10000
+                    + 0.5
+                )
+                / 10000
             ).alias("mod_zscore"),
         )
         .filter(F.abs(F.col("mod_zscore")) > 3.5)
@@ -2456,10 +2471,11 @@ ORACLE["q_anomaly_mad"] = """
     )
     SELECT event_id, d.event_type,
            ROUND(value, 6) AS value,
-           ROUND(0.6745 * (value - med) / mad, 4) AS mod_zscore
+           FLOOR(0.6745 * (value - med) / mad * 10000 + 0.5) / 10000
+               AS mod_zscore
     FROM dev d JOIN mad USING (event_type)
     WHERE mad > 0
-      AND abs(ROUND(0.6745 * (value - med) / mad, 4)) > 3.5
+      AND abs(FLOOR(0.6745 * (value - med) / mad * 10000 + 0.5) / 10000) > 3.5
     ORDER BY event_id
 """
 
