@@ -4589,6 +4589,179 @@ ORACLE["q_cms_event_counts"] = """
 """
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch shard assignment — how a 100 TB corpus is
+    re-shuffled per training epoch WITHOUT a global sort: each doc's
+    position is a multiplicative hash of (epoch, doc_id), its shard the
+    position modulo the shard count. Reproducible across engines and
+    runs (pure integer arithmetic, no RNG state), and any epoch/shard is
+    reconstructable independently — a resumed job re-derives its shard
+    without consulting the others.
+
+    Output: one row per (epoch, shard) with doc/char totals plus
+    ``n_same_as_prev`` — how many of the shard's docs sat in the SAME
+    shard the previous epoch: the decorrelation audit, expected ≈
+    n_docs/n_shards under ideal mixing (measured 0.124-0.125 of docs at
+    every SF). The epoch enters as a per-epoch MULTIPLIER — an additive
+    offset (first attempt) makes consecutive epochs a constant position
+    shift mod p, i.e. a deterministic shard ROTATION with ZERO overlap,
+    which is correlation of the worst kind wearing a disguise; a broken
+    hash shows up as n_same_as_prev ≈ n_docs or ≈ 0. Scale: position/shard are scan projections; the stats are
+    one agg on (epoch, shard); the decorrelation join shuffles only
+    (doc_id, epoch, shard) triples.
+    """
+    n_epochs, n_shards = 3, 8
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    epochs = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.array(*[F.lit(e).cast("long") for e in range(n_epochs)])
+        ).alias("epoch"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "epoch",
+        # mod-reduce before multiplying: identical residues, no BIGINT
+        # overflow under ANSI at web-scale ids (same trick as
+        # q_train_sample)
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(1_000_003))
+            * (F.lit(2654435761) + F.col("epoch") * F.lit(40503)),
+            F.lit(1_000_003),
+        ).alias("pos"),
+    )
+    assign = epochs.select(
+        "doc_id",
+        "n_chars",
+        "epoch",
+        "pos",
+        F.pmod(F.col("pos"), F.lit(n_shards)).alias("shard"),
+    )
+    prev = assign.select(
+        "doc_id",
+        (F.col("epoch") + 1).alias("epoch"),
+        F.col("shard").alias("prev_shard"),
+    )
+    return (
+        assign.join(prev, ["doc_id", "epoch"], "left")
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum(
+                F.when(F.col("prev_shard") == F.col("shard"), 1).otherwise(0)
+            ).alias("n_same_as_prev"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+ORACLE["q_epoch_shuffle"] = """
+    WITH assign AS (
+        SELECT doc_id, n_chars, epoch,
+               ((doc_id % 1000003) * (2654435761 + epoch * 40503)) % 1000003
+                   AS pos
+        FROM documents, (SELECT unnest(range(3)) AS epoch)
+    ),
+    sharded AS (SELECT *, pos % 8 AS shard FROM assign)
+    SELECT s.epoch, s.shard,
+           COUNT(*) AS n_docs,
+           SUM(s.n_chars)::BIGINT AS n_chars,
+           SUM(CASE WHEN p.shard = s.shard THEN 1 ELSE 0 END)::BIGINT
+               AS n_same_as_prev
+    FROM sharded s
+    LEFT JOIN sharded p ON p.doc_id = s.doc_id AND p.epoch = s.epoch - 1
+    GROUP BY s.epoch, s.shard
+    ORDER BY s.epoch, s.shard
+"""
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained training-mix selection: from each source, keep
+    documents in deterministic hash order until ~30% of that source's
+    character mass is reached (first doc to CROSS the budget is kept, so
+    every source with data contributes) — the operator that turns
+    q_source_mix_weights/q_temperature_mix WEIGHTS into an actual
+    document selection at any scale.
+
+    Deterministic: the "random" order is a multiplicative hash of doc_id
+    (no RNG state), so the selection is reproducible and the DuckDB
+    oracle replays it exactly. Scale: one shuffle on source for the
+    running-sum window (|sources| partitions — set the partitioner to a
+    (source, salt) composite if one source dominates); totals ride the
+    same aggregate and broadcast back; emits a |sources|-row audit
+    (kept/total docs, kept/total chars, realized fraction).
+    """
+    from pyspark.sql import Window
+
+    frac = 0.30
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(1_000_003)) * F.lit(2654435761),
+            F.lit(1_000_003),
+        ).alias("h"),
+    )
+    totals = docs.groupBy("source").agg(F.sum("n_chars").alias("total_chars"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = docs.withColumn("cum_chars", F.sum("n_chars").over(w)).join(
+        F.broadcast(totals), "source"
+    )
+    kept = cum.filter(
+        F.col("cum_chars") - F.col("n_chars")
+        < F.col("total_chars") * F.lit(frac)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.max("total_chars").alias("chars_total"),
+            F.round(F.sum("n_chars") / F.max("total_chars"), 6).alias(
+                "realized_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["q_token_budget_sample"] = """
+    WITH h AS (
+        SELECT doc_id, source, n_chars,
+               ((doc_id % 1000003) * 2654435761) % 1000003 AS h
+        FROM documents
+    ),
+    cum AS (
+        SELECT source, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_chars,
+               SUM(n_chars) OVER (PARTITION BY source) AS total_chars
+        FROM h
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           SUM(n_chars)::BIGINT AS chars_kept,
+           MAX(total_chars)::BIGINT AS chars_total,
+           ROUND(SUM(n_chars)::DOUBLE / MAX(total_chars), 6) AS realized_frac
+    FROM cum
+    WHERE cum_chars - n_chars < total_chars * 0.30
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+# oracled round-6 entries defined below the dict literal
+QUERIES_LATE["q_epoch_shuffle"] = q_epoch_shuffle
+QUERIES_LATE["q_token_budget_sample"] = q_token_budget_sample
+
+
 def q_kll_window_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day quantile drift composed from the daily KLL rollup
     (sketches.kll_window_drift) — per-day p50/p95 over the sliding window

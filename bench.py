@@ -142,6 +142,8 @@ ROUND4 = [
 #: VERDICT r05 #4).
 ROUND6 = [
     "q_pack_batches",
+    "q_epoch_shuffle",
+    "q_token_budget_sample",
     "q_product_profit",
     "q_important_stock",
     "q_kll_window_drift",

@@ -243,3 +243,59 @@ def test_derived_partsupp_structure(spark, sf_dir):
         | (F.col("ps_supplycost") != recomputed)
     )
     assert bad.count() == 0
+
+
+def test_epoch_shuffle_permutation_and_balance(spark, sf_dir):
+    """Round 6: within an epoch the position hash must be injective over
+    the corpus (p prime, nonzero multiplier → bijection on doc_id mod p),
+    shards must be balanced (no shard above 2x the ideal share), and
+    epoch-to-epoch same-shard overlap must sit near 1/n_shards — not ≈ 0
+    (the constant-rotation failure mode) and not ≈ 1 (no mixing)."""
+    rows = _QUERIES["q_epoch_shuffle"](spark, sf_dir).collect()
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1, 2}
+    n_docs = sum(r["n_docs"] for r in by_epoch[0])
+    for epoch, shards in by_epoch.items():
+        assert sum(r["n_docs"] for r in shards) == n_docs
+        assert max(r["n_docs"] for r in shards) <= 2 * (n_docs / 8)
+    for epoch in (1, 2):
+        same = sum(r["n_same_as_prev"] for r in by_epoch[epoch])
+        frac = same / n_docs
+        assert 0.05 < frac < 0.25, (epoch, frac)
+    assert all(r["n_same_as_prev"] == 0 for r in by_epoch[0])
+
+
+def test_token_budget_sample_is_hash_prefix(spark, sf_dir):
+    """Round 6: per source, the kept set must be exactly the prefix of the
+    deterministic hash order that first crosses 30% of the source's char
+    mass — re-derived independently in Python from the raw table."""
+    from api_log_iceberg_test_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    by_source: dict[str, list] = {}
+    for r in docs:
+        h = ((r["doc_id"] % 1_000_003) * 2654435761) % 1_000_003
+        by_source.setdefault(r["source"], []).append((h, r["doc_id"], r["n_chars"]))
+    want = {}
+    for src, items in by_source.items():
+        items.sort()
+        total = sum(n for _, _, n in items)
+        kept_chars = kept_docs = 0
+        cum = 0
+        for _, _, n in items:
+            if cum < 0.30 * total:
+                kept_docs += 1
+                kept_chars += n
+            cum += n
+        want[src] = (kept_docs, kept_chars, total)
+    got = {
+        r["source"]: (r["n_kept"], r["chars_kept"], r["chars_total"])
+        for r in _QUERIES["q_token_budget_sample"](spark, sf_dir).collect()
+    }
+    assert got == want
+    for src, (kd, kc, tot) in got.items():
+        assert kc >= 0.30 * tot  # crossing doc kept → budget reached
