@@ -35,6 +35,40 @@ from pyspark.sql import functions as F
 _MERSENNE31 = (1 << 31) - 1
 
 
+def minhash_ab(seed: int, num_perm: int) -> list[tuple[int, int]]:
+    """The (a_i, b_i) permutation-constant family shared by EVERY MinHash
+    site (signature HOF, LSH pipeline, parameter sweep) — one definition,
+    so a seed-mixing tweak cannot silently diverge the variants that tests
+    assert produce identical signatures."""
+    return [
+        (
+            (((seed + 2 * i + 1) * 0x9E3779B1) % _MERSENNE31) + 1,
+            ((i + 1) * 0x85EBCA77) % _MERSENNE31,
+        )
+        for i in range(num_perm)
+    ]
+
+
+def band_key_structs(bands: int, rows_per_band: int):
+    """Banding key expression shared by the LSH pipeline and the parameter
+    sweep: explode-ready array of (band, bhash) structs over a ``sig``
+    array column — bhash = xxhash64 over the band's signature slice."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    F.concat_ws(
+                        ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    ),
+                ).alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tier 1-2: exact / normalized
 # ---------------------------------------------------------------------------
@@ -306,15 +340,9 @@ def minhash_signature(hash_col: Column, num_perm: int = 32, seed: int = 7) -> Co
     constants a_i, b_i are Python-computed literals (a·h < 2^62, ANSI-safe).
     """
     p = F.lit(_MERSENNE31)
-    a_consts = F.array(
-        *[
-            F.lit((((seed + 2 * i + 1) * 0x9E3779B1) % _MERSENNE31) + 1)
-            for i in range(num_perm)
-        ]
-    )
-    b_consts = F.array(
-        *[F.lit(((i + 1) * 0x85EBCA77) % _MERSENNE31) for i in range(num_perm)]
-    )
+    ab = minhash_ab(seed, num_perm)
+    a_consts = F.array(*[F.lit(a) for a, _ in ab])
+    b_consts = F.array(*[F.lit(b) for _, b in ab])
 
     def step(acc: Column, h: Column) -> Column:
         permuted = F.zip_with(a_consts, b_consts, lambda a, b: F.pmod(a * h + b, p))
@@ -364,13 +392,7 @@ def minhash_lsh_pairs(
     # 32-long row per doc per partition), and its groupBy(id) exchange is
     # REUSED by the banding branch and both verification joins.
     p = F.lit(_MERSENNE31)
-    ab = [
-        (
-            (((seed + 2 * i + 1) * 0x9E3779B1) % _MERSENNE31) + 1,
-            ((i + 1) * 0x85EBCA77) % _MERSENNE31,
-        )
-        for i in range(num_perm)
-    ]
+    ab = minhash_ab(seed, num_perm)
     # The exploded shingle-hash rows shuffle ONCE on id (ReuseExchange: both
     # aggregates below hang off this same repartition subtree, so the scan +
     # shingle regex + explode compute once). Splitting the signature MIN-agg
@@ -424,22 +446,7 @@ def minhash_lsh_pairs(
 
     banded = docs.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
-                            F.concat_ws(
-                                ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                            ),
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(band_key_structs(bands, rows_per_band)).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
     banded = cap_buckets(banded, ["band", "bhash"], max_bucket_size)
 
@@ -1178,7 +1185,9 @@ def lsh_param_sweep(
     - ``n_true`` / ``recall`` use :func:`ngram_jaccard_pairs` (the
       engine's exact tier) as the reference pair set;
     - ``precision`` = share of a config's candidate pairs that verify at
-      the threshold — the wasted-verification cost signal.
+      the threshold — the wasted-verification cost signal. Every config
+      gets its row even with zero candidates (n_candidates=0,
+      precision NULL); recall is NULL only on a truth-free sample.
 
     Scale: signatures are computed ONCE (same explode + per-permutation
     MIN aggregates as :func:`minhash_lsh_pairs`, whole-stage codegen, one
@@ -1192,13 +1201,7 @@ def lsh_param_sweep(
     if any(num_perm % b for b in band_grid):
         raise ValueError(f"every bands value in {band_grid} must divide {num_perm}")
     p = F.lit(_MERSENNE31)
-    ab = [
-        (
-            (((seed + 2 * i + 1) * 0x9E3779B1) % _MERSENNE31) + 1,
-            ((i + 1) * 0x85EBCA77) % _MERSENNE31,
-        )
-        for i in range(num_perm)
-    ]
+    ab = minhash_ab(seed, num_perm)
     # Build the signature input as the SAME (id, sh) repartitioned subtree
     # ngram_jaccard_pairs constructs internally for the truth tier below —
     # canonically identical plans, so ReuseExchange shares ONE corpus
@@ -1231,29 +1234,10 @@ def lsh_param_sweep(
     )
 
     def banded_for(bands: int) -> DataFrame:
-        rows_per_band = num_perm // bands
         return docs_sig.select(
             F.lit(bands).alias("bands"),
             "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                F.lit(b),
-                                F.concat_ws(
-                                    ",",
-                                    F.slice(
-                                        "sig", b * rows_per_band + 1, rows_per_band
-                                    ),
-                                ),
-                            ).alias("bhash"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bk"),
+            F.explode(band_key_structs(bands, num_perm // bands)).alias("bk"),
         ).select(
             "bands", "id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash")
         )
@@ -1286,6 +1270,18 @@ def lsh_param_sweep(
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_captured"),
         )
     )
+    # a config with ZERO candidate pairs (selective bands on a
+    # low-duplication sample — the sweep's stated use case) has no group
+    # above; left-join from the config grid so the report still carries
+    # its row with n_candidates=0 / recall=0 (precision NULL: undefined
+    # over an empty candidate set) instead of silently omitting it
+    # (r06 review finding: the one-row-per-config contract)
+    cfgs = banded.select("bands").distinct()
+    per_cfg = cfgs.join(per_cfg, "bands", "left").select(
+        "bands",
+        F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce("n_captured", F.lit(0)).cast("long").alias("n_captured"),
+    )
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     expected = F.create_map(
         *[
@@ -1306,10 +1302,17 @@ def lsh_param_sweep(
             "n_candidates",
             "n_captured",
             "n_true",
-            F.round(F.col("n_captured") / F.col("n_true"), 6).alias("recall"),
-            F.round(F.col("n_captured") / F.col("n_candidates"), 6).alias(
-                "precision"
-            ),
+            # NULL (not an ANSI divide-by-zero abort) when the denominator
+            # set is empty: recall is undefined on a truth-free sample,
+            # precision on a candidate-free config
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.col("n_captured") / F.col("n_true"), 6),
+            ).alias("recall"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.round(F.col("n_captured") / F.col("n_candidates"), 6),
+            ).alias("precision"),
         )
         .orderBy("bands")
     )

@@ -4622,12 +4622,19 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         "epoch",
-        # mod-reduce before multiplying: identical residues, no BIGINT
-        # overflow under ANSI at web-scale ids (same trick as
-        # q_train_sample)
+        # Split doc_id into (quotient, remainder) mod p and give EACH its
+        # own per-epoch multiplier: hashing the remainder alone would give
+        # every ~p-spaced residue class identical positions in every
+        # epoch (cohorts that never decorrelate — caught in the r06
+        # review); mixing q in with a second epoch-varying multiplier
+        # makes same-residue docs diverge per epoch. All products stay
+        # under 2^63 (r < 1e6 x ~2.7e9; q <= 9.2e12 x ~5e4), so ANSI
+        # BIGINT arithmetic cannot overflow at any doc_id.
         F.pmod(
             F.pmod(F.col("doc_id"), F.lit(1_000_003))
-            * (F.lit(2654435761) + F.col("epoch") * F.lit(40503)),
+            * (F.lit(2654435761) + F.col("epoch") * F.lit(40503))
+            + F.expr("doc_id DIV 1000003")
+            * (F.lit(48271) + F.col("epoch") * F.lit(1013)),
             F.lit(1_000_003),
         ).alias("pos"),
     )
@@ -4660,7 +4667,8 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_epoch_shuffle"] = """
     WITH assign AS (
         SELECT doc_id, n_chars, epoch,
-               ((doc_id % 1000003) * (2654435761 + epoch * 40503)) % 1000003
+               ((doc_id % 1000003) * (2654435761 + epoch * 40503)
+                + (doc_id // 1000003) * (48271 + epoch * 1013)) % 1000003
                    AS pos
         FROM documents, (SELECT unnest(range(3)) AS epoch)
     ),

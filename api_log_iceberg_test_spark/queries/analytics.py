@@ -538,40 +538,34 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def derived_partsupp(part: DataFrame, supp: DataFrame) -> DataFrame:
-    """Deterministic ``partsupp`` derived from part × |supplier| — the
-    driver testdata ships no partsupp table (VERDICT r03-r05 carried TPC-H
-    Q9/Q11 as not-expressible for that reason). TPC-H's own generator
-    assigns each part 4 suppliers by rotating around the supplier ring;
-    this derivation keeps that structure (offsets i·(S DIV 4), plus a
-    per-part shift, modulo S — distinct for S ≥ 4) and replaces dbgen's
-    seeded availqty/supplycost with closed-form integer arithmetic, so the
-    DuckDB oracle rebuilds the identical relation row-for-row and the real
-    Q9/Q11 plans become hash-verifiable.
+def derived_partsupp(lineitem: DataFrame) -> DataFrame:
+    """Deterministic ``partsupp`` derived from the OBSERVED
+    ``(l_partkey, l_suppkey)`` pairs — the driver testdata ships no
+    partsupp table (VERDICT r03-r05 carried TPC-H Q9/Q11 as
+    not-expressible for that reason). TPC-H guarantees every lineitem
+    pair exists in partsupp, so the distinct observed pairs ARE the slice
+    of partsupp the queries can touch; dbgen's seeded availqty/supplycost
+    become closed-form integer arithmetic over the keys, and the DuckDB
+    oracle rebuilds the identical relation row-for-row, making the real
+    Q9/Q11 plans hash-verifiable. (An earlier round-6 version rebuilt the
+    generator's 4-supplier ring from part × |supplier| instead — but the
+    testdata's lineitem suppkeys are generated independently of any ring,
+    so Q9's partsupp join silently kept only the ~4% of lineitem that
+    landed on it; deriving from observed pairs makes the join a true
+    enrichment with 100% lineitem coverage, and duplicate composite keys
+    are impossible by construction.)
 
-    Scale: |part| × 4 rows from a bounded explode; the only extra input is
-    the 1-row supplier count attached via broadcast (audited BNLJ).
+    Scale: one DISTINCT over the composite key — the same shuffle a real
+    partsupp extraction from a fact table would pay; keys stay narrow.
     ``ps_supplycost`` = (arith % 19999 + 100) / 100.0 is exact IEEE
     division of small integers — bit-identical across engines.
     """
-    stats = supp.agg(F.count(F.lit(1)).alias("_s"))
     return (
-        part.select("p_partkey")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "p_partkey",
-            "_s",
-            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("_i"),
+        lineitem.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
         )
-        .select(
-            F.col("p_partkey").alias("ps_partkey"),
-            F.pmod(
-                F.col("p_partkey")
-                + F.col("_i") * F.expr("_s DIV 4")
-                + F.expr("p_partkey DIV _s"),
-                F.col("_s"),
-            ).alias("ps_suppkey"),
-        )
+        .distinct()
         .select(
             "ps_partkey",
             "ps_suppkey",
@@ -597,17 +591,14 @@ def derived_partsupp(part: DataFrame, supp: DataFrame) -> DataFrame:
 
 #: DuckDB twin of :func:`derived_partsupp` — shared by the Q9/Q11 oracles.
 _PARTSUPP_CTE = """
-    scount AS (SELECT COUNT(*) AS cnt FROM supplier),
     partsupp AS (
         SELECT ps_partkey, ps_suppkey,
                (ps_partkey * 7 + ps_suppkey * 3) % 9999 + 1 AS ps_availqty,
                ((ps_partkey * 29 + ps_suppkey * 13) % 19999 + 100) / 100.0
                    AS ps_supplycost
         FROM (
-            SELECT p_partkey AS ps_partkey,
-                   (p_partkey + i * (cnt // 4) + (p_partkey // cnt)) % cnt
-                       AS ps_suppkey
-            FROM part, scount, (SELECT unnest(range(4)) AS i)
+            SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+            FROM lineitem
         )
     )
 """.strip()
@@ -618,20 +609,20 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     line revenue minus supply cost of the quantity, over the 6-relation
     join tree (lineitem ⋈ part ⋈ supplier ⋈ partsupp ⋈ orders ⋈ nation).
 
-    partsupp is :func:`derived_partsupp` (see there). Plan: part is
-    name-filtered before its join (scan prune + AQE may broadcast the
-    survivors); partsupp joins on the composite (partkey, suppkey) the
-    lineitem shuffle already carries; nation is hinted broadcast (fixed 25
-    rows); the agg is |nations|×|years| groups — map-side combinable.
+    partsupp is :func:`derived_partsupp` (observed-pair derivation, see
+    there — every filtered lineitem row survives the partsupp join, as in
+    real TPC-H). Plan: part is name-filtered before its join (scan prune +
+    AQE may broadcast the survivors); partsupp joins on the composite
+    (partkey, suppkey) the lineitem shuffle already carries; nation is
+    hinted broadcast (fixed 25 rows); the agg is |nations|×|years| groups
+    — map-side combinable.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     supp = load_table(spark, sf_dir, "supplier")
-    # fresh supplier load for the count input: passing the SAME instance
+    # fresh lineitem load for the derivation: passing the SAME instance
     # that later joins ps trips Spark's ambiguous-self-join detection
-    ps = derived_partsupp(
-        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "supplier")
-    )
+    ps = derived_partsupp(load_table(spark, sf_dir, "lineitem"))
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
@@ -675,9 +666,7 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13)
-    ps = derived_partsupp(
-        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "supplier")
-    )
+    ps = derived_partsupp(load_table(spark, sf_dir, "lineitem"))
     national = (
         ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)

@@ -161,7 +161,13 @@ def main() -> None:
     # separate signal from load without re-running.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     if "--repeats" in sys.argv:
-        repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
+        i = sys.argv.index("--repeats")
+        if i + 1 >= len(sys.argv):
+            sys.exit("--repeats requires an integer value")
+        try:
+            repeats = int(sys.argv[i + 1])
+        except ValueError:
+            sys.exit(f"--repeats: not an integer: {sys.argv[i + 1]!r}")
     repeats = max(1, repeats)
     spark = build_session(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -379,3 +379,18 @@ def test_lsh_param_sweep_recall_matches_lsh_pairs(spark, sf_dir):
         for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
     }
     assert row8["n_captured"] == len(lsh_pairs & truth)
+
+
+def test_lsh_param_sweep_emits_all_configs_without_candidates(spark):
+    """r06 review: a config whose banding produces ZERO candidate pairs
+    must still appear in the report (n_candidates=0, recall 0/NULL-free
+    counts) — a tiny all-distinct corpus exercises the empty-group path."""
+    docs = spark.createDataFrame(
+        [(i, f"totally unique document number {i} with words {i*7} {i*13}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    rows = {r["bands"]: r for r in dedup.lsh_param_sweep(docs, threshold=0.5).collect()}
+    assert sorted(rows) == [4, 8, 16, 32], f"missing config rows: {sorted(rows)}"
+    for r in rows.values():
+        assert r["n_candidates"] >= 0 and r["n_captured"] == 0

@@ -206,9 +206,10 @@ def test_window_selection_policy_scenarios():
 
 
 def test_derived_partsupp_structure(spark, sf_dir):
-    """Round 6: the derived partsupp must be a valid TPC-H-shaped relation
-    at every SF — exactly 4 DISTINCT suppliers per part (the ring offsets
-    are distinct for |supplier| >= 4), every ps_suppkey a real supplier,
+    """Round 6: the observed-pair partsupp must be a valid TPC-H-shaped
+    relation at every SF — one row per DISTINCT (l_partkey, l_suppkey)
+    pair (duplicate composite keys impossible), EVERY lineitem pair
+    covered (Q9's join is a true enrichment: zero lineitem rows lost),
     availqty in [1, 9999], supplycost in [1.00, 200.99] and BITWISE equal
     to its closed form recomputed from the keys (the cross-engine
     determinism claim — IEEE division of the same small integers)."""
@@ -217,18 +218,17 @@ def test_derived_partsupp_structure(spark, sf_dir):
     from api_log_iceberg_test_spark.queries.analytics import derived_partsupp
     from api_log_iceberg_test_spark.schema import load_table
 
-    part = load_table(spark, sf_dir, "part")
-    supp = load_table(spark, sf_dir, "supplier")
-    ps = derived_partsupp(part, load_table(spark, sf_dir, "supplier"))
-    n_parts = part.count()
-    assert ps.count() == 4 * n_parts
-    per_part = ps.groupBy("ps_partkey").agg(
-        F.countDistinct("ps_suppkey").alias("nsupp")
-    )
-    assert per_part.filter(F.col("nsupp") != 4).count() == 0
-    supp_keys = {r["s_suppkey"] for r in supp.select("s_suppkey").collect()}
-    got_keys = {r["ps_suppkey"] for r in ps.select("ps_suppkey").distinct().collect()}
-    assert got_keys <= supp_keys
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = derived_partsupp(load_table(spark, sf_dir, "lineitem"))
+    n_pairs = li.select("l_partkey", "l_suppkey").distinct().count()
+    assert ps.count() == n_pairs
+    assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == n_pairs
+    uncovered = li.join(
+        ps,
+        (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        "left_anti",
+    ).count()
+    assert uncovered == 0, "a lineitem pair is missing from partsupp"
     recomputed = (
         F.pmod(
             F.col("ps_partkey") * 29 + F.col("ps_suppkey") * 13, F.lit(19999)
@@ -299,3 +299,44 @@ def test_token_budget_sample_is_hash_prefix(spark, sf_dir):
     assert got == want
     for src, (kd, kc, tot) in got.items():
         assert kc >= 0.30 * tot  # crossing doc kept → budget reached
+
+
+def test_epoch_shuffle_decorrelates_residue_classes(spark, tmp_path):
+    """Round 6 review: ids p apart share doc_id mod p, so a hash of the
+    remainder ALONE gives them identical positions in every epoch — a
+    cohort that never separates, invisible to the aggregate overlap audit.
+    With the quotient mixed in under its own per-epoch multiplier,
+    same-residue pairs must NOT share a shard across all epochs at the
+    ~100% rate the broken scheme produced (ideal: (1/8)^2 of pairs share
+    in both epoch transitions ≈ 1.6%)."""
+    p = 1_000_003
+    ids = list(range(60)) + [i + p for i in range(60)] + [i + 2 * p for i in range(60)]
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "src", 10) for i in ids],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "residue")
+    docs.write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    from pyspark.sql import functions as F
+
+    # reuse the registered query's arithmetic end-to-end via its table path
+    rows = _QUERIES["q_epoch_shuffle"](spark, d).collect()
+    assert sum(r["n_docs"] for r in rows if r["epoch"] == 0) == len(ids)
+
+    # recompute shard per (doc, epoch) with the same closed form and count
+    # same-residue pairs stuck together in EVERY epoch
+    def shard(doc_id, epoch):
+        r, q = doc_id % p, doc_id // p
+        return ((r * (2654435761 + epoch * 40503) + q * (48271 + epoch * 1013)) % p) % 8
+
+    stuck = 0
+    pairs = 0
+    for i in range(60):
+        for a, b in [(i, i + p), (i, i + 2 * p), (i + p, i + 2 * p)]:
+            pairs += 1
+            if all(shard(a, e) == shard(b, e) for e in range(3)):
+                stuck += 1
+    assert stuck / pairs < 0.10, (
+        f"{stuck}/{pairs} same-residue pairs share a shard in every epoch"
+    )

@@ -484,9 +484,9 @@ _BNLJ_ALLOWLIST = {
     # r06: the sweep report joins its 4 config rows against the 1-row
     # truth-count aggregate (broadcast crossJoin) — bounded by contract
     "q_lsh_param_sweep",
-    # r06: derived-partsupp queries attach the 1-row supplier count
-    # (and, for Q11, the 1-row bloc total) via broadcast crossJoin
-    "q_product_profit",
+    # r06: Q11 attaches its 1-row bloc total via broadcast crossJoin
+    # (Q9 lost its BNLJ when partsupp switched to the observed-pair
+    # derivation — no supplier-count attach remains)
     "q_important_stock",
     "q_psi_drift",
     "q_resample_hourly",
@@ -581,9 +581,9 @@ def test_lsh_param_sweep_bounded_corpus_scans(spark, sf_dir):
 
 def test_product_profit_pushes_name_filter_no_cartesian(spark, sf_dir):
     """Q9 over the derived partsupp: the part name filter must reach the
-    part scan (StringContains pushdown), the only nested-loop join is the
-    1-row supplier-count attach, and the fact joins stay hash joins."""
+    part scan (StringContains pushdown) and every join is an equi join —
+    the observed-pair derivation needs no nested-loop attach at all."""
     plan = _plan(spark, sf_dir, "q_product_profit")
     assert re.search(r"PushedFilters: \[[^\]]*StringContains\(p_name,red", plan), plan
     assert "CartesianProduct" not in plan
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
