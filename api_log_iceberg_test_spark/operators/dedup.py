@@ -1169,6 +1169,7 @@ def lsh_param_sweep(
     band_grid: tuple[int, ...] = (4, 8, 16, 32),
     threshold: float = 0.5,
     seed: int = 7,
+    sample_fraction: float | None = 0.5,
 ) -> DataFrame:
     """Band/row tradeoff report for MinHash-LSH: measured recall and
     candidate cost per (bands, rows_per_band) config, against the exact
@@ -1183,23 +1184,53 @@ def lsh_param_sweep(
     - ``expected_recall_at_t`` = 1-(1-t^r)^b, the S-curve capture
       probability AT the threshold (pairs above t capture more often);
     - ``n_true`` / ``recall`` use :func:`ngram_jaccard_pairs` (the
-      engine's exact tier) as the reference pair set;
+      engine's exact tier) as the reference pair set. NOTE: that tier
+      blocks candidates on each doc's 3 lexicographically smallest
+      shingles — a high-recall heuristic, not exhaustive — so ``n_true``
+      can undercount true J≥t pairs and the reported ``recall`` is
+      measured RELATIVE to the blocking-recalled exact tier, not the
+      exhaustive pair set (it can overstate absolute recall near the
+      threshold);
     - ``precision`` = share of a config's candidate pairs that verify at
       the threshold — the wasted-verification cost signal. Every config
       gets its row even with zero candidates (n_candidates=0,
       precision NULL); recall is NULL only on a truth-free sample.
 
+    Parameter tuning is a sampled activity by contract — the exact truth
+    tier is O(corpus blocking join), so tuning runs on a bounded sample,
+    picks the knee of the recall/cost curve, then the CHOSEN config runs
+    at full scale. ``sample_fraction`` (default 0.5) makes that contract
+    executable: a deterministic multiplicative-hash filter on ``id_col``
+    (the q_token_budget_sample idiom, xxhash64-prefixed so any id type
+    works) keeps ~that fraction of documents BEFORE the shingle explode,
+    so every downstream tier — signatures, banding, truth — sees only the
+    sample. Pass ``sample_fraction=None`` to opt in to the full corpus
+    (small corpora, tests, or when the truth tier is affordable).
+
     Scale: signatures are computed ONCE (same explode + per-permutation
     MIN aggregates as :func:`minhash_lsh_pairs`, whole-stage codegen, one
     reused groupBy(id) exchange); each config re-slices the SAME signature
     array into band keys, and all configs' band keys union into ONE
-    shuffle on (bands, band, bhash). Parameter tuning is a sampled
-    activity by contract — run it on a bounded sample of the corpus, pick
-    the knee of the recall/cost curve, then run the chosen config at full
-    scale. The 1-row truth-count frame joins back via broadcast.
+    shuffle on (bands, band, bhash). The 1-row truth-count frame joins
+    back via broadcast.
     """
     if any(num_perm % b for b in band_grid):
         raise ValueError(f"every bands value in {band_grid} must divide {num_perm}")
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(f"sample_fraction must be in (0, 1]: {sample_fraction}")
+        if sample_fraction < 1.0:
+            # deterministic hash-sample BELOW the shingle explode (plan-
+            # guarded in tests/test_plans.py): cheap codegen filter adjacent
+            # to the scan, identical doc subset in every tier and every run
+            df = df.filter(
+                F.pmod(
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_003))
+                    * F.lit(2654435761),
+                    F.lit(1_000_003),
+                )
+                < F.lit(int(sample_fraction * 1_000_003))
+            )
     p = F.lit(_MERSENNE31)
     ab = minhash_ab(seed, num_perm)
     # Build the signature input as the SAME (id, sh) repartitioned subtree

@@ -159,7 +159,13 @@ def main() -> None:
     # `repeats` steady passes (default 3; --repeats N / env override), with
     # every raw sample recorded in the durable history line so a judge can
     # separate signal from load without re-running.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    try:
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    except ValueError:
+        sys.exit(
+            "SPARK_GRAFT_BENCH_REPEATS: not an integer: "
+            f"{os.environ['SPARK_GRAFT_BENCH_REPEATS']!r}"
+        )
     if "--repeats" in sys.argv:
         i = sys.argv.index("--repeats")
         if i + 1 >= len(sys.argv):

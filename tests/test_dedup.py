@@ -338,7 +338,10 @@ def test_lsh_param_sweep_nested_grid_monotone(spark, sf_dir):
     agreeing implies both r-perm halves agree), so candidate sets are
     nested: n_candidates is monotone non-decreasing in bands, captures are
     bounded by the truth set, and the expected-capture column carries the
-    exact 1-(1-t^r)^b values."""
+    exact 1-(1-t^r)^b values. Runs at the DEFAULT sample_fraction (0.5)
+    so the contract the registered entry ships is the one proven here —
+    n_true>0 asserts the sampled truth tier stays non-vacuous on the
+    driver testdata."""
     docs = load_table(spark, sf_dir, "documents")
     rows = dedup.lsh_param_sweep(docs, threshold=0.5).collect()
     assert [r["bands"] for r in rows] == [4, 8, 16, 32]
@@ -363,10 +366,14 @@ def test_lsh_param_sweep_recall_matches_lsh_pairs(spark, sf_dir):
     same parameters: same candidate-capture behavior, so the sweep's
     captured count equals the number of truth pairs the production LSH
     path finds at threshold (both use the identical permutation family and
-    band hashing)."""
+    band hashing). Full-corpus opt-in (sample_fraction=None) so the
+    comparison against the unsampled production LSH path is exact."""
     docs = load_table(spark, sf_dir, "documents")
     row8 = {
-        r["bands"]: r for r in dedup.lsh_param_sweep(docs, threshold=0.5).collect()
+        r["bands"]: r
+        for r in dedup.lsh_param_sweep(
+            docs, threshold=0.5, sample_fraction=None
+        ).collect()
     }[8]
     lsh_pairs = {
         (r["doc_a"], r["doc_b"])
@@ -381,6 +388,40 @@ def test_lsh_param_sweep_recall_matches_lsh_pairs(spark, sf_dir):
     assert row8["n_captured"] == len(lsh_pairs & truth)
 
 
+def test_lsh_param_sweep_sample_is_deterministic_hash_subset(spark, sf_dir):
+    """The default bounded sample (sample_fraction=0.5) is the SAME
+    deterministic doc subset in every tier: the sweep at the default
+    equals the full-corpus sweep run on a manually hash-filtered frame
+    (the q_token_budget_sample multiplicative idiom, xxhash64-prefixed).
+    No RNG state — rerunning reproduces the identical report."""
+    from pyspark.sql import functions as F
+
+    corpus = load_table(spark, sf_dir, "documents")
+    manual = corpus.filter(
+        F.pmod(
+            F.pmod(F.xxhash64("doc_id"), F.lit(1_000_003)) * F.lit(2654435761),
+            F.lit(1_000_003),
+        )
+        < F.lit(500_001)
+    )
+    n, m = corpus.count(), manual.count()
+    assert 0 < m < n, f"sample not a strict subset: {m}/{n}"
+    a = [r.asDict() for r in dedup.lsh_param_sweep(corpus, threshold=0.5).collect()]
+    b = [
+        r.asDict()
+        for r in dedup.lsh_param_sweep(
+            manual, threshold=0.5, sample_fraction=None
+        ).collect()
+    ]
+    assert a == b
+
+
+def test_lsh_param_sweep_rejects_bad_fraction(spark, docs):
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="sample_fraction"):
+            dedup.lsh_param_sweep(docs, sample_fraction=bad)
+
+
 def test_lsh_param_sweep_emits_all_configs_without_candidates(spark):
     """r06 review: a config whose banding produces ZERO candidate pairs
     must still appear in the report (n_candidates=0, recall 0/NULL-free
@@ -390,7 +431,12 @@ def test_lsh_param_sweep_emits_all_configs_without_candidates(spark):
          for i in range(6)],
         "doc_id long, text string",
     )
-    rows = {r["bands"]: r for r in dedup.lsh_param_sweep(docs, threshold=0.5).collect()}
+    rows = {
+        r["bands"]: r
+        for r in dedup.lsh_param_sweep(
+            docs, threshold=0.5, sample_fraction=None
+        ).collect()
+    }
     assert sorted(rows) == [4, 8, 16, 32], f"missing config rows: {sorted(rows)}"
     for r in rows.values():
         assert r["n_candidates"] >= 0 and r["n_captured"] == 0

@@ -579,6 +579,49 @@ def test_lsh_param_sweep_bounded_corpus_scans(spark, sf_dir):
     assert final.count("Scan ExistingRDD") >= 2, final
 
 
+def test_lsh_param_sweep_sample_filter_below_shingle_explode(
+    spark, sf_dir, monkeypatch
+):
+    """VERDICT r06 #2: the sweep's bounded-sample contract must be CODE —
+    the deterministic hash-sample filter (multiplicative constant
+    2654435761) has to sit scan-adjacent, BELOW the shingle explode, in
+    EVERY tier (signatures, banding, truth), so the O(blocking-join)
+    truth tier only ever sees the sample. The lazy checkpoints hide the
+    scan subtree from the final plan, so this guard disables them (the
+    filter placement is identical either way — checkpointing only changes
+    where materialization happens, not the lineage below it)."""
+    from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+
+    from api_log_iceberg_test_spark.operators import dedup
+    from api_log_iceberg_test_spark.schema import load_table
+
+    monkeypatch.setattr(
+        _ClassicDF, "localCheckpoint", lambda self, eager=True: self
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    df = dedup.lsh_param_sweep(docs, threshold=0.5)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "extended"
+    )
+    opt = (
+        df._jdf.queryExecution()
+        .explainString(mode)
+        .split("== Optimized Logical Plan ==")[1]
+        .split("== Physical Plan ==")[0]
+    )
+    lines = opt.splitlines()
+    rels = [i for i, ln in enumerate(lines) if re.search(r"Relation .*parquet", ln)]
+    assert rels, opt
+    for i in rels:
+        # the node directly above every corpus scan must be the sample
+        # filter — nothing (explode, join, agg) gets unsampled rows
+        assert "Filter" in lines[i - 1] and "2654435761" in lines[i - 1], (
+            f"scan at line {i} not sample-filtered: {lines[i - 1]}"
+        )
+    # and the filter count matches the scan count: no tier escapes
+    assert sum("2654435761" in ln for ln in lines) == len(rels), opt
+
+
 def test_product_profit_pushes_name_filter_no_cartesian(spark, sf_dir):
     """Q9 over the derived partsupp: the part name filter must reach the
     part scan (StringContains pushdown) and every join is an equi join —
