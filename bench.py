@@ -150,6 +150,38 @@ ROUND6 = [
     "q_lsh_param_sweep",
 ]
 
+#: Round-7 (VERDICT r06 #6): all 22 TPC-H shapes as ONE frozen basket
+#: (total_tpch_basket) — an externally recognizable yardstick at sf0.1,
+#: and a tripwire that surfaces plan drift in any shape as a basket move
+#: rather than tail noise. Each query is measured ONCE per run; entries
+#: that already belong to an earlier basket keep that membership (old
+#: basket totals are untouched), and the per-run median simply feeds both
+#: totals. Order is Q1..Q22.
+TPCH = [
+    "q_pricing_summary",  # Q1
+    "q_min_price_supplier",  # Q2
+    "q_revenue_topk",  # Q3
+    "q_late_ship_priority",  # Q4
+    "q_local_supplier_volume",  # Q5
+    "q_forecast_revenue",  # Q6
+    "q_nation_trade_volume",  # Q7
+    "q_market_share",  # Q8
+    "q_product_profit",  # Q9
+    "q_returned_item_customers",  # Q10
+    "q_important_stock",  # Q11
+    "q_priority_line_buckets",  # Q12
+    "q_customer_order_histogram",  # Q13
+    "q_promo_revenue_pct",  # Q14
+    "q_top_supplier_revenue",  # Q15
+    "q_supplier_part_counts",  # Q16
+    "q_small_qty_revenue",  # Q17
+    "q_large_orders",  # Q18
+    "q_disjunctive_revenue",  # Q19
+    "q_bulk_part_suppliers",  # Q20
+    "q_waiting_suppliers",  # Q21
+    "q_rich_quiet_customers",  # Q22
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -206,7 +238,9 @@ def main() -> None:
     ext_total = 0.0
     r4_total = 0.0
     r6_total = 0.0
-    for name in HEADLINE + ["q_ann_cosine_topk"] + EXTENSION + ROUND4 + ROUND6:
+    timed = HEADLINE + ["q_ann_cosine_topk"] + EXTENSION + ROUND4 + ROUND6
+    timed += [n for n in TPCH if n not in timed]
+    for name in timed:
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         cold[name] = round(time.time() - t0, 3)
@@ -251,6 +285,7 @@ def main() -> None:
         "total_ext_basket": round(ext_total, 3),
         "total_r4_basket": round(r4_total, 3),
         "total_r6_basket": round(r6_total, 3),
+        "total_tpch_basket": round(sum(results[n] for n in TPCH), 3),
         "headline_total_sec": round(total, 3),
     }
     line = json.dumps(payload)
