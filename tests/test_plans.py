@@ -6,6 +6,8 @@ pushdown, column pruning, broadcast joins, or top-k plans.
 
 from __future__ import annotations
 
+import json
+import os
 import re
 
 import pytest
@@ -545,6 +547,99 @@ def test_join_and_python_boundary_shapes_registry_wide(registry_plans):
     assert arrow_py == _ARROW_PYTHON_ALLOWLIST, (
         f"Python-boundary drift: +{arrow_py - _ARROW_PYTHON_ALLOWLIST} "
         f"-{_ARROW_PYTHON_ALLOWLIST - arrow_py}"
+    )
+
+
+# --- plan-fingerprint regression harness (VERDICT r06 #3) -------------------
+#
+# The targeted guards above catch KNOWN anti-patterns; they cannot catch
+# silent plan drift — a broadcast flipping to sort-merge, a pushed filter
+# un-pushing, an extra exchange appearing after an innocent refactor. This
+# harness freezes a structural fingerprint of EVERY registered query's
+# physical plan (node-type counts + the pushed-filter set) into a committed
+# snapshot; any diff fails the suite.
+#
+# Intentional-diff workflow: when a plan change is DELIBERATE (new operator,
+# reviewed optimization), regenerate with
+#
+#   SPARK_GRAFT_UPDATE_FINGERPRINTS=1 python -m pytest \
+#       tests/test_plans.py::test_plan_fingerprints_frozen -q
+#
+# then review `git diff tests/plan_fingerprints.json` — the diff IS the
+# review artifact (exactly which queries changed shape, and how) — and
+# commit it together with the code change.
+
+_FP_PATH = os.path.join(os.path.dirname(__file__), "plan_fingerprints.json")
+
+#: Physical node types whose count defines a plan's shape. \b-bounded so
+#: e.g. `Exchange` (shuffle) does not also count `BroadcastExchange`.
+_FP_NODES = (
+    "FileScan",
+    "Exchange",
+    "BroadcastExchange",
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "Window",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "TakeOrderedAndProject",
+)
+
+
+def _fingerprint(plan: str) -> dict:
+    """Structural fingerprint of one query's physical plan: non-zero node
+    counts + the sorted set of PushedFilters strings (literal-determined,
+    no expression IDs — stable across runs at a fixed SF)."""
+    phys = plan.split("== Physical Plan ==")[-1]
+    counts = {
+        node: len(re.findall(rf"\b{node}\b", phys)) for node in _FP_NODES
+    }
+    # single-line capture, clipped at `]` OR end-of-line: Spark truncates
+    # long filter lists mid-entry (maxMetadataStringLength) with no closing
+    # bracket on the line, and a greedy cross-line capture would absorb
+    # neighboring plan text containing expression IDs (#NNN) — those shift
+    # whenever the registry's construction order rotates, which would fail
+    # this suite at every driver round boundary
+    pushed = re.findall(r"PushedFilters: \[([^\]\n]*)", phys)
+    return {
+        "nodes": {k: v for k, v in sorted(counts.items()) if v},
+        "pushed": sorted(set(pushed)),
+    }
+
+
+def test_plan_fingerprints_frozen(registry_plans, sf_dir):
+    """Every registered query's plan fingerprint must match the committed
+    snapshot — silent plan drift anywhere in the registry fails here.
+    Snapshot is taken at the default sf0.001 testdata (statistics-driven
+    choices like broadcast thresholds are SF-dependent), so the test
+    skips under an SF override."""
+    if sf_dir != "/root/testdata/sf0.001":
+        pytest.skip("fingerprint snapshot is pinned to the sf0.001 testdata")
+    got = {name: _fingerprint(plan) for name, plan in registry_plans.items()}
+    if os.environ.get("SPARK_GRAFT_UPDATE_FINGERPRINTS"):
+        with open(_FP_PATH, "w") as f:
+            json.dump(got, f, indent=1, sort_keys=True)
+            f.write("\n")
+        pytest.skip(f"regenerated {_FP_PATH} — review the git diff")
+    assert os.path.exists(_FP_PATH), (
+        "no committed fingerprint snapshot; regenerate with "
+        "SPARK_GRAFT_UPDATE_FINGERPRINTS=1"
+    )
+    with open(_FP_PATH) as f:
+        want = json.load(f)
+    drifted = {
+        n: {"want": want.get(n), "got": got.get(n)}
+        for n in set(want) | set(got)
+        if want.get(n) != got.get(n)
+    }
+    assert not drifted, (
+        f"plan fingerprints drifted for {sorted(drifted)}:\n"
+        + json.dumps(drifted, indent=1, sort_keys=True)[:4000]
+        + "\nIf deliberate, regenerate the snapshot (see module comment) "
+        "and commit the reviewed diff."
     )
 
 
