@@ -2094,7 +2094,12 @@ def q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nn_g").cast("long").alias("n_neg"),
         F.round(
             F.sum(F.col("np_g") * (F.col("neg_below") + 0.5 * F.col("nn_g")))
-            / (F.sum("np_g") * F.sum("nn_g")),
+            # denominator cast to DOUBLE before the multiply (mirrored in
+            # the oracle): n_pos×n_neg is BIGINT×BIGINT and wraps past
+            # 2^63 at ~3e9 positives and negatives each — reachable on a
+            # 100 TB eval set; exact below 2^53 so small-SF hashes agree
+            # (SCALE.md §10 overflow audit)
+            / (F.sum("np_g").cast("double") * F.sum("nn_g").cast("double")),
             6,
         ).alias("auc"),
     )
@@ -2121,7 +2126,7 @@ ORACLE["q_auc_eval"] = """
     )
     SELECT SUM(np_g)::BIGINT AS n_pos, SUM(nn_g)::BIGINT AS n_neg,
            ROUND(SUM(np_g * (neg_below + 0.5 * nn_g))
-                 / (SUM(np_g) * SUM(nn_g)), 6) AS auc
+                 / (SUM(np_g)::DOUBLE * SUM(nn_g)::DOUBLE), 6) AS auc
     FROM p
 """
 
@@ -4051,7 +4056,17 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term_b",
             "n_ab",
             F.round(
-                F.log(F.col("n_ab") * F.col("n_docs") / (F.col("df_a") * F.col("df_b"))), 6
+                # DOUBLE before the multiplies (mirrored in the oracle):
+                # n_ab×n_docs and df_a×df_b are BIGINT×BIGINT and wrap
+                # past 2^63 at ~3e9 documents (both factors scale with
+                # |docs|); exact below 2^53 so small-SF hashes agree
+                # (SCALE.md §10 overflow audit)
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n_docs").cast("double")
+                    / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+                ),
+                6,
             ).alias("pmi"),
         )
         .orderBy(F.desc("pmi"), "term_a", "term_b")
@@ -4081,8 +4096,8 @@ ORACLE["q_term_pmi"] = f"""
         GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 5
     )
     SELECT term_a, term_b, n_ab,
-           ROUND(LN(n_ab * (SELECT COUNT(*) FROM documents)
-                    / (df_a * df_b)), 6) AS pmi
+           ROUND(LN(n_ab::DOUBLE * (SELECT COUNT(*) FROM documents)::DOUBLE
+                    / (df_a::DOUBLE * df_b::DOUBLE)), 6) AS pmi
     FROM pairs ORDER BY pmi DESC, term_a, term_b LIMIT 50
 """
 
