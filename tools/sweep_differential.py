@@ -1,0 +1,113 @@
+"""Differential sweep: every oracled query, Spark vs DuckDB, at any SF dir.
+
+The driver's gate runs at sf0.01; the verify recipe adds sf0.1. Each 10x
+step has surfaced a new cross-engine numeric class (r06: q_anomaly_mad's
+ROUND flip at sf0.1), so round 7 adds sf1.0 (VERDICT r06 #1) via the
+derived tables from tools/make_sf1.py.
+
+Scope control: --skip-heavy excludes the pair/graph families whose cost
+is driven by near-dup pair explosion, not numeric arithmetic — the sf1.0
+derivation makes every document a 10-replica near-dup cluster, which is
+great for dedup semantics but quadratic for exact-pair oracles, and none
+of those families are in the numeric-risk taxonomy (rounded doubles, fp
+aggregates joined against themselves, modular checksums, quantiles).
+They remain covered by the sf0.1 sweep.
+
+Usage:
+    python tools/sweep_differential.py <sf_dir> [--skip-heavy] [--only n1,n2]
+Writes JSONL progress to sweep_<tag>.jsonl next to this file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: pair-explosion / iterative-graph families — excluded under --skip-heavy
+#: (cost ∝ near-dup pairs² or |V| iterations; not numeric-risk)
+HEAVY = {
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_incremental",
+    "q_dedup_spans",
+    "q_dedup_cluster_stats",
+    "q_cross_source_dups",
+    "q_containment_pairs",
+    "q_dup_clusters_star",
+    "q_decontaminate",
+    "q_leakage_safe_split",
+    "q_curation_pipeline",
+    "q_corpus_datacard",
+    "q_fuzzy_match_names",
+    "q_source_similarity",
+    "q_audience_overlap",
+    "q_pagerank",
+    "q_pagerank_parts",
+    "q_label_propagation",
+    "q_triangle_counts",
+    "q_lsh_param_sweep",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    skip_heavy = "--skip-heavy" in sys.argv
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+    from tests.oracle import compare, duckdb_conn
+
+    qs, osql = em.queries(), em.oracle_sql()
+    con = duckdb_conn(sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    log_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), f"sweep_{tag}.jsonl")
+    names = [n for n in sorted(qs) if n in osql]
+    if skip_heavy:
+        names = [n for n in names if n not in HEAVY]
+    if only:
+        names = [n for n in names if n in only]
+    bad = []
+    with open(log_path, "w") as log:
+        for i, name in enumerate(names):
+            t0 = time.time()
+            try:
+                errs = compare(
+                    qs[name](spark, sf_dir),
+                    con.execute(osql[name]).fetchdf(),
+                    name,
+                )
+            except Exception as e:  # noqa: BLE001 — record, keep sweeping
+                errs = [f"{name}: EXCEPTION {type(e).__name__}: {e}"]
+            dt = round(time.time() - t0, 2)
+            row = {"q": name, "sec": dt, "errs": errs or None, "i": i, "n": len(names)}
+            log.write(json.dumps(row) + "\n")
+            log.flush()
+            if errs:
+                bad.append(errs)
+                print("MISMATCH", name, errs, flush=True)
+            else:
+                print(f"[{i + 1}/{len(names)}] {name} ok {dt}s", flush=True)
+    print("SWEEP DONE", sf_dir, "queries:", len(names), "mismatches:", len(bad))
+    for b in bad:
+        print("  ", b)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
