@@ -4814,6 +4814,603 @@ def q_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_param_sweep(docs, threshold=0.5)
 
 
+# ---------------------------------------------------------------------------
+# Round-7 operators: evaluation statistics, feature screening, corpus-value
+# measurement, embedding mining, and batching efficiency for the training-
+# data pipeline. All hash-oracled.
+# ---------------------------------------------------------------------------
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for the mean
+    event value per type — the uncertainty attached to every pipeline
+    metric before a ship/no-ship call (e.g. "did quality really move?").
+
+    Poisson bootstrap (each row enters replica r with a Poisson(1)
+    multiplicity) is the STREAMING form of the bootstrap: no resample
+    materialization, no per-replica pass — all R=32 replicas ride ONE
+    scan. The multiplicity is the inverse-CDF of Poisson(1) applied to
+    the same multiplicative per-replica hash family as q_epoch_shuffle
+    (no RNG state; DuckDB replays it exactly). Replica means use the
+    identical s/n form in both engines; the CI is mean ± 1.96·SE with SE
+    from the explicit (S2 − S1²/R)/(R−1) variance over replica means.
+
+    Scale: the explode is a ×32 row amplification that collapses in the
+    map-side partial aggregate — the shuffle carries |event_type|×32
+    rows. Base stats come from the SAME frame (each row appears exactly
+    R times, so Σcount/R is exact), keeping the raw table at ONE scan.
+    """
+    R = 32
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    rep = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(R - 1))).alias("r"),
+    )
+    u = (
+        F.pmod(
+            F.pmod(F.col("event_id"), F.lit(1_000_003))
+            * (F.lit(2654435761) + F.col("r").cast("long") * F.lit(40503)),
+            F.lit(1_000_003),
+        )
+        / F.lit(1_000_003.0)
+    )
+    w = (
+        F.when(u < 0.367879, 0)
+        .when(u < 0.735759, 1)
+        .when(u < 0.919699, 2)
+        .when(u < 0.981012, 3)
+        .otherwise(4)
+    )
+    g = (
+        rep.withColumn("w", w)
+        .groupBy("event_type", "r")
+        .agg(
+            F.sum(F.col("w") * F.col("value")).alias("ws"),
+            F.sum("w").alias("wn"),
+            F.sum("value").alias("sv"),
+            F.count(F.lit(1)).alias("cn"),
+        )
+        .filter(F.col("wn") > 0)
+        .withColumn("mean_r", F.col("ws") / F.col("wn"))
+    )
+    t = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("rr"),
+        F.sum("mean_r").alias("s1"),
+        F.sum(F.col("mean_r") * F.col("mean_r")).alias("s2"),
+        F.sum("sv").alias("svt"),
+        F.sum("cn").alias("cnt"),
+    )
+    se = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("rr"))
+        / (F.col("rr") - 1)
+    )
+    mean = F.col("svt") / F.col("cnt")
+    return t.select(
+        "event_type",
+        (F.col("cnt") / R).cast("long").alias("n_events"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(se, 6).alias("boot_se"),
+        F.round(mean - 1.96 * se, 6).alias("ci_lo"),
+        F.round(mean + 1.96 * se, 6).alias("ci_hi"),
+    ).orderBy("event_type")
+
+
+ORACLE["q_bootstrap_ci"] = """
+    WITH rep AS (
+        SELECT event_type, value, r,
+               ((event_id % 1000003) * (2654435761 + r * 40503)) % 1000003
+                   AS h
+        FROM events, (SELECT unnest(range(32)) AS r)
+    ),
+    wt AS (
+        SELECT event_type, value, r,
+               CASE WHEN h / 1000003.0 < 0.367879 THEN 0
+                    WHEN h / 1000003.0 < 0.735759 THEN 1
+                    WHEN h / 1000003.0 < 0.919699 THEN 2
+                    WHEN h / 1000003.0 < 0.981012 THEN 3
+                    ELSE 4 END AS w
+        FROM rep
+    ),
+    g AS (
+        SELECT event_type, r, SUM(w * value) AS ws, SUM(w) AS wn,
+               SUM(value) AS sv, COUNT(*) AS cn
+        FROM wt GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, ws / wn AS mean_r, sv, cn FROM g WHERE wn > 0
+    ),
+    t AS (
+        SELECT event_type, COUNT(*) AS rr, SUM(mean_r) AS s1,
+               SUM(mean_r * mean_r) AS s2, SUM(sv) AS svt, SUM(cn) AS cnt
+        FROM m GROUP BY 1
+    )
+    SELECT event_type,
+           (cnt // 32)::BIGINT AS n_events,
+           ROUND(svt / cnt, 6) AS mean_value,
+           ROUND(SQRT((s2 - s1 * s1 / rr) / (rr - 1)), 6) AS boot_se,
+           ROUND(svt / cnt - 1.96 * SQRT((s2 - s1 * s1 / rr) / (rr - 1)), 6)
+               AS ci_lo,
+           ROUND(svt / cnt + 1.96 * SQRT((s2 - s1 * s1 / rr) / (rr - 1)), 6)
+               AS ci_hi
+    FROM t ORDER BY event_type
+"""
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen of a categorical
+    feature against a binary label (o_orderpriority vs fulfilled status)
+    — the standard first-pass feature-selection statistic for tabular
+    training sets (IV < 0.02 → drop the feature).
+
+    WOE_b = ln((pos_b/pos_tot)/(neg_b/neg_tot)); IV = Σ_b (pos_b/pos_tot
+    − neg_b/neg_tot)·WOE_b. One combinable aggregate collapses the fact
+    table to |buckets| rows; the two 1-row totals (class totals, IV)
+    attach back via audited broadcast crossJoins — bounded by contract,
+    same pattern as q_important_stock's bloc total.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lab = (F.col("o_orderstatus") == "F").cast("int")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.sum(lab).alias("pos"),
+        F.sum(1 - lab).alias("neg"),
+    )
+    tot = g.agg(F.sum("pos").alias("pt"), F.sum("neg").alias("nt"))
+    woe = F.log(
+        (F.col("pos") / F.col("pt")) / (F.col("neg") / F.col("nt"))
+    )
+    b = g.join(F.broadcast(tot)).select(
+        "o_orderpriority",
+        (F.col("pos") + F.col("neg")).alias("n_orders"),
+        F.col("pos").alias("n_pos"),
+        woe.alias("_woe"),
+        ((F.col("pos") / F.col("pt") - F.col("neg") / F.col("nt")) * woe).alias(
+            "_contrib"
+        ),
+    )
+    iv = b.agg(F.sum("_contrib").alias("_iv"))
+    return (
+        b.join(F.broadcast(iv))
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "n_pos",
+            F.round("_woe", 6).alias("woe"),
+            F.round("_iv", 6).alias("iv"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE["q_woe_iv"] = """
+    WITH g AS (
+        SELECT o_orderpriority,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS neg
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT SUM(pos) AS pt, SUM(neg) AS nt FROM g),
+    b AS (
+        SELECT o_orderpriority, pos + neg AS n_orders, pos AS n_pos,
+               LN((pos / pt) / (neg / nt)) AS woe,
+               (pos / pt - neg / nt) * LN((pos / pt) / (neg / nt)) AS contrib
+        FROM g, t
+    )
+    SELECT o_orderpriority, n_orders::BIGINT AS n_orders,
+           n_pos::BIGINT AS n_pos,
+           ROUND(woe, 6) AS woe,
+           ROUND((SELECT SUM(contrib) FROM b), 6) AS iv
+    FROM b ORDER BY o_orderpriority
+"""
+
+
+def q_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document-quality raters
+    (char-mass rater: n_chars ≥ 300; token-count rater: ≥ 60 whitespace
+    tokens) — the chance-corrected agreement statistic used to decide
+    whether two labeling functions / annotator pools are interchangeable
+    before training on their union.
+
+    κ = (p_o − p_e)/(1 − p_e) with p_e from the raters' marginals. ONE
+    combinable aggregate pass over the corpus — 1 output row at any
+    scale; no joins, no windows, no shuffle beyond the 1-row merge.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    a = (F.col("n_chars") >= 300).cast("int")
+    b = (text.token_count("text") >= 60).cast("int")
+    t = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a * b).alias("n11"),
+        F.sum((1 - a) * (1 - b)).alias("n00"),
+        F.sum(a).alias("na"),
+        F.sum(b).alias("nb"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    pa = F.col("na") / F.col("n")
+    pb = F.col("nb") / F.col("n")
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    return t.select(
+        F.col("n").alias("n_docs"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+ORACLE["q_kappa_agreement"] = f"""
+    WITH r AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+               CASE WHEN (CASE WHEN length(regexp_replace(lower(text),
+                          '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                          ELSE len({_TOKENS}) END) >= 60
+                    THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    t AS (
+        SELECT COUNT(*) AS n, SUM(a * b) AS n11,
+               SUM((1 - a) * (1 - b)) AS n00, SUM(a) AS na, SUM(b) AS nb
+        FROM r
+    )
+    SELECT n::BIGINT AS n_docs,
+           ROUND((n11 + n00) / n, 6) AS p_observed,
+           ROUND((na / n) * (nb / n)
+                 + (1 - na / n) * (1 - nb / n), 6) AS p_expected,
+           ROUND(((n11 + n00) / n
+                  - ((na / n) * (nb / n) + (1 - na / n) * (1 - nb / n)))
+                 / (1 - ((na / n) * (nb / n)
+                         + (1 - na / n) * (1 - nb / n))), 6) AS kappa
+    FROM t
+"""
+
+
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching efficiency report: documents grouped into
+    power-of-two token-length buckets (cap 512 — the training sequence
+    budget), with the padding overhead each bucket pays when every
+    sequence pads to its bucket cap — the tuning artifact that decides
+    bucket granularity for a packing/batching config before a training
+    run (complements q_pack_batches, which measures the packed
+    alternative).
+
+    bucket_cap = 2^ceil(log2(len)) clamped to 512; log2 is exact at
+    powers of two in IEEE double, so the ceil can't flip cross-engine
+    (non-powers land strictly between integers). One combinable
+    aggregate; ~10 output rows at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = text.token_count("text")
+    elen = F.least(n, F.lit(512))
+    cap = F.least(
+        F.pow(F.lit(2.0), F.ceil(F.log2(elen))).cast("long"), F.lit(512)
+    )
+    return (
+        docs.select(elen.alias("elen"), cap.alias("bucket_cap"))
+        .filter(F.col("elen") > 0)
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("elen").alias("total_tokens"),
+            F.sum(F.col("bucket_cap") - F.col("elen")).alias("pad_tokens"),
+            F.round(
+                F.sum(F.col("bucket_cap") - F.col("elen"))
+                / F.sum(F.col("bucket_cap")).cast("double"),
+                6,
+            ).alias("waste_frac"),
+        )
+        .orderBy("bucket_cap")
+    )
+
+
+ORACLE["q_padding_waste"] = f"""
+    WITH lens AS (
+        SELECT LEAST(CASE WHEN length(regexp_replace(lower(text),
+                     '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                     ELSE len({_TOKENS}) END, 512) AS elen
+        FROM documents
+    ),
+    b AS (
+        SELECT elen,
+               LEAST(POWER(2, CEIL(LOG2(elen)))::BIGINT, 512) AS bucket_cap
+        FROM lens WHERE elen > 0
+    )
+    SELECT bucket_cap, COUNT(*) AS n_docs,
+           SUM(elen)::BIGINT AS total_tokens,
+           SUM(bucket_cap - elen)::BIGINT AS pad_tokens,
+           ROUND(SUM(bucket_cap - elen) / SUM(bucket_cap)::DOUBLE, 6)
+               AS waste_frac
+    FROM b GROUP BY 1 ORDER BY bucket_cap
+"""
+
+
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-decomposition strength per event type: fit the cyclic
+    (day-of-week × hour) mean profile, subtract it, and report how much
+    of the value variance the profile explains — strength = 1 −
+    var(residual)/var(total), the STL-style statistic that decides
+    whether a metric needs seasonal adjustment before drift/anomaly
+    monitoring (complements q_hourofweek_profile, which reports the
+    profile itself).
+
+    The cell mean comes from a window PARTITIONED BY (type, dow, hour) —
+    sum/count written explicitly so both engines share one arithmetic
+    form — so the raw table is scanned ONCE (no profile-join second
+    pass). Variances use the explicit (s2 − s1²/n)/(n−1) form. Shuffle:
+    one exchange on the 168·|types| cell key, then a |types|-row merge.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hour"),
+        "value",
+    )
+    w = Window.partitionBy("event_type", "dow", "hour")
+    cells = ev.select(
+        "event_type",
+        "value",
+        (F.sum("value").over(w) / F.count(F.lit(1)).over(w)).alias("mu"),
+    ).withColumn("resid", F.col("value") - F.col("mu"))
+    t = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s1v"),
+        F.sum(F.col("value") * F.col("value")).alias("s2v"),
+        F.sum("resid").alias("s1r"),
+        F.sum(F.col("resid") * F.col("resid")).alias("s2r"),
+    )
+    var_t = (F.col("s2v") - F.col("s1v") * F.col("s1v") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    var_r = (F.col("s2r") - F.col("s1r") * F.col("s1r") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return t.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(var_t, 6).alias("var_total"),
+        F.round(var_r, 6).alias("var_resid"),
+        F.round(1 - var_r / var_t, 6).alias("strength"),
+    ).orderBy("event_type")
+
+
+ORACLE["q_seasonality_strength"] = """
+    WITH cells AS (
+        SELECT event_type, value,
+               value - SUM(value) OVER (PARTITION BY event_type,
+                                        dayofweek(ts) + 1, hour(ts))
+                       / COUNT(*) OVER (PARTITION BY event_type,
+                                        dayofweek(ts) + 1, hour(ts))
+                   AS resid
+        FROM events
+    ),
+    t AS (
+        SELECT event_type, COUNT(*) AS n, SUM(value) AS s1v,
+               SUM(value * value) AS s2v, SUM(resid) AS s1r,
+               SUM(resid * resid) AS s2r
+        FROM cells GROUP BY 1
+    )
+    SELECT event_type, n::BIGINT AS n_events,
+           ROUND((s2v - s1v * s1v / n) / (n - 1), 6) AS var_total,
+           ROUND((s2r - s1r * s1r / n) / (n - 1), 6) AS var_resid,
+           ROUND(1 - ((s2r - s1r * s1r / n) / (n - 1))
+                     / ((s2v - s1v * s1v / n) / (n - 1)), 6) AS strength
+    FROM t ORDER BY event_type
+"""
+
+
+def q_curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning pacing schedule: documents bucketed into four
+    fixed difficulty tiers (char-mass proxy, 300-char steps), then an
+    8-step root-style pacing function admits tiers progressively (steps
+    0-1 train on tier 0 only, 2-3 on ≤1, 4-5 on ≤2, 6-7 on everything) —
+    the deterministic schedule audit (docs/chars admitted per step) a
+    trainer materializes before a curriculum run. Complements
+    q_epoch_shuffle (ordering within a step) and q_token_budget_sample
+    (mix selection).
+
+    Scale: the step explode is ×8 row amplification collapsed by the
+    map-side partial aggregate (shuffle carries 8 rows); difficulty is a
+    pure scan-side projection — no quantiles, no global windows, no
+    second pass.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.least(F.floor(F.col("n_chars") / 300), F.lit(3)).alias("tier"),
+        "n_chars",
+    )
+    steps = docs.select(
+        "tier",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("step"),
+    )
+    adm = steps.filter(
+        F.col("tier") <= F.floor(F.col("step") / 2)
+    )
+    return (
+        adm.groupBy("step")
+        .agg(
+            F.floor(F.max("step") / 2).cast("int").alias("max_tier"),
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 2).alias(
+                "mean_chars"
+            ),
+        )
+        .orderBy("step")
+    )
+
+
+ORACLE["q_curriculum_pacing"] = """
+    WITH d AS (
+        SELECT LEAST(n_chars // 300, 3) AS tier, n_chars FROM documents
+    ),
+    s AS (
+        SELECT tier, n_chars, step
+        FROM d, (SELECT unnest(range(8)) AS step)
+        WHERE tier <= step // 2
+    )
+    SELECT step::INT AS step, (MAX(step) // 2)::INT AS max_tier,
+           COUNT(*) AS n_admitted, SUM(n_chars)::BIGINT AS total_chars,
+           ROUND(SUM(n_chars) / COUNT(*), 2) AS mean_chars
+    FROM s GROUP BY step ORDER BY step
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty-decay curve: split the corpus into 10 ingest-order
+    slices (doc_id deciles) and measure, per slice, how many of its
+    distinct word trigrams were NEVER seen in an earlier slice — the
+    diminishing-returns curve ("is the next 10 TB of this source still
+    adding information?") that drives data-acquisition decisions.
+
+    Slice = integer decile of doc_id against the 1-row max (broadcast);
+    shingles are the same distinct word-trigram family as the dedup
+    tier. Scale: one shingle explode, one (slice, trigram) distinct,
+    then a trigram-keyed MIN aggregate — the same shuffle shape as the
+    BPE/PMI text family; output is 10 rows at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    sliced = (
+        docs.join(F.broadcast(mx))
+        .select(
+            F.expr("(doc_id * 10) div (mx + 1)").alias("slice"),
+            F.explode(dedup.word_shingles("text", 3)).alias("tri"),
+        )
+        .distinct()
+    )
+    present = sliced.groupBy("slice").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    first = (
+        sliced.groupBy("tri")
+        .agg(F.min("slice").alias("slice"))
+        .groupBy("slice")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    return (
+        present.join(first, "slice")
+        .select(
+            "slice",
+            "n_shingles",
+            "n_new",
+            F.round(F.col("n_new") / F.col("n_shingles").cast("double"), 6).alias(
+                "new_frac"
+            ),
+        )
+        .orderBy("slice")
+    )
+
+
+ORACLE["q_ngram_novelty"] = f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES} AS sh
+        FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+    ),
+    sliced AS (
+        SELECT DISTINCT
+               (doc_id * 10) // ((SELECT MAX(doc_id) FROM documents) + 1)
+                   AS slice,
+               unnest(sh.sh) AS tri
+        FROM sh
+    ),
+    present AS (
+        SELECT slice, COUNT(*) AS n_shingles FROM sliced GROUP BY 1
+    ),
+    first AS (
+        SELECT slice, COUNT(*) AS n_new
+        FROM (SELECT tri, MIN(slice) AS slice FROM sliced GROUP BY tri)
+        GROUP BY slice
+    )
+    SELECT p.slice::BIGINT AS slice, n_shingles, n_new,
+           ROUND(n_new / n_shingles::DOUBLE, 6) AS new_frac
+    FROM present p JOIN first f ON p.slice = f.slice
+    ORDER BY slice
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each of 10
+    anchor vectors, the 3 nearest OTHER-label vectors — the negatives
+    that sit closest to the decision boundary and carry the most
+    gradient signal when building triplet/contrastive batches.
+
+    Distance is L1 over 3-decimal-quantized components (floor(x·1000 +
+    0.5), the explicit-IEEE idiom both engines share) — pure INTEGER
+    arithmetic, so scores and therefore rankings are bit-identical
+    cross-engine (float cosine made the ANN family rows-only; quantized
+    L1 keeps this entry hash-verifiable; quantization fidelity vs
+    raw-float L1 ranking is asserted in tests/test_round7_ops.py). Ties
+    break on neighbor_id.
+
+    Scale: same audited shape as cosine_topk_bruteforce — anchors
+    broadcast (bounded by contract), corpus scored map-side in one scan,
+    only |anchors|·k rows survive the per-anchor top-k window.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = lambda c: F.transform(  # noqa: E731 — local quantizer
+        c, lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("alabel"),
+        qz(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        qz(F.col("embedding")).alias("cv"),
+    )
+    from pyspark.sql import Window
+
+    scored = c.join(F.broadcast(q), F.col("label") != F.col("alabel")).select(
+        "anchor_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: F.abs(a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("l1_dist"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy("l1_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("anchor_id", "neighbor_id", "l1_dist", "rank")
+        .orderBy("anchor_id", "rank")
+    )
+
+
+ORACLE["q_hard_negatives"] = """
+    WITH q AS (
+        SELECT vec_id AS anchor_id, label AS alabel,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                for x in embedding] AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, label,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                for x in embedding] AS cv
+        FROM embeddings
+    ),
+    s AS (
+        SELECT anchor_id, neighbor_id,
+               list_sum([abs(qv[i] - cv[i])
+                         for i in range(1, len(qv) + 1)])::BIGINT AS l1_dist
+        FROM q, c WHERE c.label <> q.alabel
+    ),
+    r AS (
+        SELECT anchor_id, neighbor_id, l1_dist,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY l1_dist, neighbor_id) AS rank
+        FROM s
+    )
+    SELECT anchor_id, neighbor_id, l1_dist, rank::INT AS rank
+    FROM r WHERE rank <= 3 ORDER BY anchor_id, rank
+"""
+
+
 QUERIES_TAIL = {
     "q_hll_daily_users": q_hll_daily_users,
     "q_kmeans_clusters": q_kmeans_clusters,
@@ -4824,3 +5421,12 @@ QUERIES_TAIL = {
     "q_kll_window_drift": q_kll_window_drift,
     "q_lsh_param_sweep": q_lsh_param_sweep,
 }
+
+QUERIES_LATE["q_bootstrap_ci"] = q_bootstrap_ci
+QUERIES_LATE["q_woe_iv"] = q_woe_iv
+QUERIES_LATE["q_kappa_agreement"] = q_kappa_agreement
+QUERIES_LATE["q_padding_waste"] = q_padding_waste
+QUERIES_LATE["q_seasonality_strength"] = q_seasonality_strength
+QUERIES_LATE["q_curriculum_pacing"] = q_curriculum_pacing
+QUERIES_LATE["q_ngram_novelty"] = q_ngram_novelty
+QUERIES_LATE["q_hard_negatives"] = q_hard_negatives

@@ -150,6 +150,19 @@ ROUND6 = [
     "q_lsh_param_sweep",
 ]
 
+#: Round-7 operator additions, timed as their own basket (total_r7_basket)
+#: so earlier baskets stay comparable across rounds (basket discipline).
+ROUND7 = [
+    "q_bootstrap_ci",
+    "q_woe_iv",
+    "q_kappa_agreement",
+    "q_padding_waste",
+    "q_seasonality_strength",
+    "q_curriculum_pacing",
+    "q_ngram_novelty",
+    "q_hard_negatives",
+]
+
 #: Round-7 (VERDICT r06 #6): all 22 TPC-H shapes as ONE frozen basket
 #: (total_tpch_basket) — an externally recognizable yardstick at sf0.1,
 #: and a tripwire that surfaces plan drift in any shape as a basket move
@@ -238,7 +251,8 @@ def main() -> None:
     ext_total = 0.0
     r4_total = 0.0
     r6_total = 0.0
-    timed = HEADLINE + ["q_ann_cosine_topk"] + EXTENSION + ROUND4 + ROUND6
+    r7_total = 0.0
+    timed = HEADLINE + ["q_ann_cosine_topk"] + EXTENSION + ROUND4 + ROUND6 + ROUND7
     timed += [n for n in TPCH if n not in timed]
     for name in timed:
         t0 = time.time()
@@ -260,6 +274,8 @@ def main() -> None:
             r4_total += dt
         elif name in ROUND6:
             r6_total += dt
+        elif name in ROUND7:
+            r7_total += dt
 
     # r01 basket = same 17 slots but with the expression-path ANN entry,
     # so the round-over-round comparison stays apples-to-apples
@@ -285,6 +301,7 @@ def main() -> None:
         "total_ext_basket": round(ext_total, 3),
         "total_r4_basket": round(r4_total, 3),
         "total_r6_basket": round(r6_total, 3),
+        "total_r7_basket": round(r7_total, 3),
         "total_tpch_basket": round(sum(results[n] for n in TPCH), 3),
         "headline_total_sec": round(total, 3),
     }

@@ -460,7 +460,20 @@ def test_no_new_unpartitioned_windows_registry_wide(registry_plans):
             if not m:
                 continue
             groups = re.findall(r"\[[^\]]*\]", m.group(1))
-            if len(groups) <= 2:  # [funcs], [order] but no [partition spec]
+            # A Window node prints [funcs] then its specs: a PARTITION
+            # group (plain columns) and/or an ORDER group (entries carry
+            # ASC/DESC). Counting groups alone misclassifies a
+            # partitioned-but-unordered window (2 groups: funcs +
+            # partition) as global — found r07 by q_seasonality_strength,
+            # whose (type,dow,hour)-partitioned frame-less window is
+            # exactly the scale-safe shape this ban exists to encourage.
+            # Global ⇔ no spec group consists of plain (non-ASC/DESC)
+            # columns.
+            has_partition = any(
+                g.strip("[]").strip() and " ASC" not in g and " DESC" not in g
+                for g in groups[1:]
+            )
+            if not has_partition:
                 offenders[name] = offenders.get(name, 0) + 1
     unexpected = set(offenders) - _GLOBAL_WINDOW_ALLOWLIST
     assert not unexpected, f"unaudited unpartitioned windows: {unexpected}"
@@ -490,6 +503,14 @@ _BNLJ_ALLOWLIST = {
     # (Q9 lost its BNLJ when partsupp switched to the observed-pair
     # derivation — no supplier-count attach remains)
     "q_important_stock",
+    # r07: WOE/IV attaches its 1-row class totals + 1-row IV sum via
+    # broadcast crossJoins — bounded by contract
+    "q_woe_iv",
+    # r07: novelty curve attaches the 1-row MAX(doc_id) via broadcast
+    "q_ngram_novelty",
+    # r07: hard-negative mining broadcasts the 10-anchor frame into a
+    # non-equi (label<>label) join — the audited ANN family shape
+    "q_hard_negatives",
     "q_psi_drift",
     "q_resample_hourly",
     "q_rich_quiet_customers",

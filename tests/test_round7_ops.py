@@ -1,0 +1,245 @@
+"""Semantic tests for the round-7 operators (evaluation statistics,
+feature screening, corpus-value measurement, embedding mining, batching
+efficiency). Each operator's headline claim gets a planted-data or
+invariant check beyond the DuckDB hash oracle."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+
+import __spark_entry__ as em
+
+_QUERIES = em.queries()
+
+
+# --- q_bootstrap_ci ----------------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark, sf_dir):
+    rows = {r["event_type"]: r for r in _QUERIES["q_bootstrap_ci"](spark, sf_dir).collect()}
+    again = {r["event_type"]: r for r in _QUERIES["q_bootstrap_ci"](spark, sf_dir).collect()}
+    assert rows.keys() == again.keys()
+    for t, r in rows.items():
+        assert r == again[t]  # no RNG state anywhere
+        assert r["boot_se"] > 0
+        assert r["ci_lo"] < r["mean_value"] < r["ci_hi"]
+        # CI is symmetric by construction
+        assert abs((r["ci_hi"] - r["mean_value"]) - (r["mean_value"] - r["ci_lo"])) < 1e-4
+
+
+def test_bootstrap_ci_se_shrinks_with_n(spark, sf_dir):
+    """SE ~ sd/sqrt(n): the per-type bootstrap SE must be within a small
+    factor of the analytic standard error of the mean."""
+    from api_log_iceberg_test_spark.schema import load_table
+    from pyspark.sql import functions as F
+
+    stats = {
+        r["event_type"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.stddev_samp("value").alias("sd"),
+        )
+        .collect()
+    }
+    for r in _QUERIES["q_bootstrap_ci"](spark, sf_dir).collect():
+        s = stats[r["event_type"]]
+        analytic = s["sd"] / math.sqrt(s["n"])
+        assert 0.4 * analytic < r["boot_se"] < 2.5 * analytic, (
+            r["event_type"],
+            r["boot_se"],
+            analytic,
+        )
+        assert r["n_events"] == s["n"]
+
+
+# --- q_woe_iv ----------------------------------------------------------------
+
+
+def test_woe_iv_matches_hand_computation(spark, sf_dir):
+    from api_log_iceberg_test_spark.schema import load_table
+    from pyspark.sql import functions as F
+
+    g = {
+        r["o_orderpriority"]: (r["pos"], r["neg"])
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum((F.col("o_orderstatus") == "F").cast("int")).alias("pos"),
+            F.sum((F.col("o_orderstatus") != "F").cast("int")).alias("neg"),
+        )
+        .collect()
+    }
+    pt = sum(p for p, _ in g.values())
+    nt = sum(n for _, n in g.values())
+    iv = sum(
+        (p / pt - n / nt) * math.log((p / pt) / (n / nt)) for p, n in g.values()
+    )
+    rows = _QUERIES["q_woe_iv"](spark, sf_dir).collect()
+    for r in rows:
+        p, n = g[r["o_orderpriority"]]
+        assert r["n_orders"] == p + n and r["n_pos"] == p
+        assert abs(r["woe"] - math.log((p / pt) / (n / nt))) < 1e-5
+        assert abs(r["iv"] - iv) < 1e-5  # IV identical on every row
+
+
+# --- q_kappa_agreement -------------------------------------------------------
+
+
+def test_kappa_perfect_and_independent_agreement(spark, monkeypatch):
+    """Planted corpora: identical raters → κ=1; a rater that is constant
+    has zero chance-corrected information → κ=0."""
+    from api_log_iceberg_test_spark.operators import registry
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+        monkeypatch.setattr(registry, "load_table", lambda *_a, **_k: df)
+        out = registry.q_kappa_agreement(spark, "unused").collect()[0]
+        monkeypatch.undo()
+        return out
+
+    long_text = " ".join(["word"] * 80)  # ≥60 tokens AND ≥300 chars
+    short_text = "tiny"
+    perfect = run(
+        [(i, long_text, len(long_text)) for i in range(5)]
+        + [(i + 5, short_text, len(short_text)) for i in range(5)]
+    )
+    assert perfect["kappa"] == 1.0 and perfect["p_observed"] == 1.0
+    # rater A constant-negative (all n_chars small), rater B splits:
+    # p_o == p_e exactly → kappa 0
+    mixed = run(
+        [(i, long_text, 10) for i in range(5)]
+        + [(i + 5, short_text, 10) for i in range(5)]
+    )
+    assert mixed["kappa"] == 0.0
+
+
+# --- q_padding_waste ---------------------------------------------------------
+
+
+def test_padding_waste_bucket_invariants(spark, sf_dir):
+    rows = _QUERIES["q_padding_waste"](spark, sf_dir).collect()
+    assert rows, "corpus must produce at least one bucket"
+    for r in rows:
+        cap = r["bucket_cap"]
+        assert cap & (cap - 1) == 0 and cap <= 512  # power of two, clamped
+        assert 0 <= r["waste_frac"] < 1
+        # identity: padded + actual = docs × cap
+        assert r["total_tokens"] + r["pad_tokens"] == r["n_docs"] * cap
+
+
+# --- q_seasonality_strength --------------------------------------------------
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+
+def test_seasonality_strength_planted_signal(spark, monkeypatch):
+    """A value that is a pure function of (dow, hour) has strength ≈ 1;
+    a value independent of the cycle has strength ≈ 0."""
+    from api_log_iceberg_test_spark.operators import registry
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    for day in range(28):
+        for hour in range(0, 24, 3):
+            ts = base + dt.timedelta(days=day, hours=hour)
+            seasonal = float(10 * ts.weekday() + hour)
+            noise = float((i * 2654435761) % 1000) / 100.0
+            rows.append((i, ts, 1, "seasonal", seasonal, ""))
+            rows.append((i, ts, 1, "noise", noise, ""))
+            i += 1
+    df = _events_df(spark, rows)
+    monkeypatch.setattr(registry, "load_table", lambda *_a, **_k: df)
+    out = {
+        r["event_type"]: r
+        for r in registry.q_seasonality_strength(spark, "unused").collect()
+    }
+    assert out["seasonal"]["strength"] == 1.0  # residuals exactly zero
+    assert out["noise"]["strength"] < 0.3
+
+
+# --- q_curriculum_pacing -----------------------------------------------------
+
+
+def test_curriculum_pacing_monotone_and_complete(spark, sf_dir):
+    from api_log_iceberg_test_spark.schema import load_table
+
+    rows = _QUERIES["q_curriculum_pacing"](spark, sf_dir).collect()
+    assert [r["step"] for r in rows] == list(range(8))
+    n_total = load_table(spark, sf_dir, "documents").count()
+    prev = 0
+    for r in rows:
+        assert r["max_tier"] == r["step"] // 2
+        assert r["n_admitted"] >= prev  # pacing only ever admits more
+        prev = r["n_admitted"]
+    assert rows[-1]["n_admitted"] == n_total  # final steps train on everything
+    assert rows[0]["n_admitted"] < n_total  # early steps are restricted
+
+
+# --- q_ngram_novelty ---------------------------------------------------------
+
+
+def test_ngram_novelty_first_slice_and_conservation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from api_log_iceberg_test_spark.operators import dedup
+    from api_log_iceberg_test_spark.schema import load_table
+
+    rows = _QUERIES["q_ngram_novelty"](spark, sf_dir).collect()
+    by_slice = {r["slice"]: r for r in rows}
+    assert by_slice[0]["new_frac"] == 1.0  # nothing precedes slice 0
+    total_new = sum(r["n_new"] for r in rows)
+    distinct_tris = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(dedup.word_shingles("text", 3)).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert total_new == distinct_tris  # every trigram first-seen exactly once
+    for r in rows:
+        assert 0 < r["n_new"] <= r["n_shingles"]
+
+
+# --- q_hard_negatives --------------------------------------------------------
+
+
+def test_hard_negatives_constraints_and_quantization_fidelity(spark, sf_dir):
+    from api_log_iceberg_test_spark.schema import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    labels = {r["vec_id"]: r["label"] for r in emb}
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb}
+
+    rows = _QUERIES["q_hard_negatives"](spark, sf_dir).collect()
+    anchors = {r["anchor_id"] for r in rows}
+    assert anchors == {v for v in labels if v < 10}
+    per_anchor: dict[int, list] = {}
+    for r in rows:
+        assert labels[r["neighbor_id"]] != labels[r["anchor_id"]]
+        per_anchor.setdefault(r["anchor_id"], []).append(r)
+    for a, rs in per_anchor.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        assert rs[0]["l1_dist"] <= rs[1]["l1_dist"] <= rs[2]["l1_dist"]
+        # quantization fidelity: the rank-1 quantized-L1 neighbor is in the
+        # true top-3 by RAW float L1 over the other-label candidates
+        cands = sorted(
+            (
+                float(np.abs(vecs[a] - vecs[v]).sum(), ),
+                v,
+            )
+            for v, l in labels.items()
+            if l != labels[a]
+        )
+        top_raw = {v for _, v in cands[:3]}
+        assert rs[0]["neighbor_id"] in top_raw, (a, rs[0], cands[:5])
