@@ -5278,6 +5278,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(dedup.word_shingles("text", 3)).alias("tri"),
         )
         .distinct()
+        # two consumers (per-slice presence + first-seen MIN): materialize
+        # the corpus scan + shingle explode + distinct ONCE instead of
+        # letting both branches re-derive it (the lazy-checkpoint doctrine
+        # from the LSH sweep; plan-guarded below)
+        .localCheckpoint(eager=False)
     )
     present = sliced.groupBy("slice").agg(
         F.count(F.lit(1)).alias("n_shingles")

@@ -506,7 +506,9 @@ _BNLJ_ALLOWLIST = {
     # r07: WOE/IV attaches its 1-row class totals + 1-row IV sum via
     # broadcast crossJoins — bounded by contract
     "q_woe_iv",
-    # r07: novelty curve attaches the 1-row MAX(doc_id) via broadcast
+    # r07: novelty curve attaches the 1-row MAX(doc_id) via broadcast —
+    # the attach now sits below the lazy checkpoint so the top plan no
+    # longer prints it; kept allowlisted for the un-checkpointed lineage
     "q_ngram_novelty",
     # r07: hard-negative mining broadcasts the 10-anchor frame into a
     # non-equi (label<>label) join — the audited ANN family shape
@@ -736,6 +738,20 @@ def test_lsh_param_sweep_sample_filter_below_shingle_explode(
         )
     # and the filter count matches the scan count: no tier escapes
     assert sum("2654435761" in ln for ln in lines) == len(rels), opt
+
+
+def test_ngram_novelty_single_shingle_materialization(spark, sf_dir):
+    """The novelty curve's two consumers (per-slice presence, first-seen
+    MIN) must share ONE materialized (slice, trigram) distinct — without
+    the lazy checkpoint each branch re-scans the corpus and re-runs the
+    shingle explode (r07 plan audit found 4 FileScans; the corpus pass
+    is the dominant cost at scale)."""
+    df = _QUERIES["q_ngram_novelty"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    assert "FileScan parquet" not in final, final
+    assert final.count("Scan ExistingRDD") >= 2, final
 
 
 def test_product_profit_pushes_name_filter_no_cartesian(spark, sf_dir):
