@@ -31,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: (cost ∝ near-dup pairs² or |V| iterations; not numeric-risk)
 HEAVY = {
     "q_dedup_ngram_jaccard",
+    "q_dedup_canonical",  # 21 min at sf1.0 (passed) — pair-quadratic
+    "q_dup_clusters",  # 16 min at sf1.0 (passed) — recursive-CTE components
+    "q_embedding_neardup",  # killed at 35+ min — O(pairs) under replica clusters
+    "q_embedding_neardup_lsh",
     "q_dedup_minhash_lsh",
     "q_dedup_incremental",
     "q_dedup_spans",
@@ -85,6 +89,8 @@ def main() -> None:
     bad = []
     with open(log_path, "w") as log:
         for i, name in enumerate(names):
+            log.write(json.dumps({"q": name, "start": True, "i": i}) + "\n")
+            log.flush()
             t0 = time.time()
             try:
                 errs = compare(
