@@ -868,18 +868,35 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative sum per user ordered by event time (analytic frame)."""
+    """Cumulative sum per user ordered by event time (analytic frame).
+
+    Accumulates on an exact decimal grid: each value quantizes to 1e-6
+    units (floor(x·1e6+0.5), IEEE-identical in both engines), the
+    running SUM runs over DECIMAL(38,0) units — exact integers, so the
+    total is independent of summation ORDER — and the 4dp output comes
+    from the same explicit floor quantization. The r07 sf1.0 sweep
+    caught the fp version flipping 25 rounding boundaries (Spark's
+    sequential running sum vs DuckDB's segment-tree association differ
+    by ulps; at 3.3M rows some cumsum always lands within an ulp of a
+    half boundary). Exactness is also the 100 TB property: an
+    association-dependent running total isn't reproducible across
+    repartitionings or resumes; the grid sum is.
+    """
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    units = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("decimal(38,0)")
     return ev.select(
         "user_id",
         "event_id",
         "ts",
-        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        (
+            F.floor(F.sum(units).over(w).cast("double") / 1e2 + F.lit(0.5))
+            / 1e4
+        ).alias("running_value"),
     )
 
 
@@ -1423,8 +1440,10 @@ ORACLE: dict[str, str] = {
     """,
     "q_running_total": """
         SELECT user_id, event_id, ts,
-               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               FLOOR(CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) / 1e2 + 0.5) / 1e4
                      AS running_value
         FROM events
     """,
@@ -2204,15 +2223,24 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle on user_id; the gap-merge happens inside the session-window
     aggregation, state bounded per key.
+
+    total_value accumulates on the exact 1e-6 decimal grid (same idiom
+    as q_running_total — the r07 sf1.0 sweep caught the fp SUM flipping
+    4 half-boundaries at 2dp: partial-merge association differs between
+    engines by ulps, and with ~300k sessions some sum always lands on a
+    boundary).
     """
     ev = load_table(spark, sf_dir, "events")
+    units = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("decimal(38,0)")
     return (
         ev.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (
+                F.floor(F.sum(units).cast("double") / 1e4 + F.lit(0.5)) / 1e2
+            ).alias("total_value"),
         )
         .select(
             "user_id",
@@ -2243,7 +2271,8 @@ ORACLE["q_session_window_batch"] = """
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           FLOOR(CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT))
+                 AS DOUBLE) / 1e4 + 0.5) / 1e2 AS total_value
     FROM g GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
