@@ -35,6 +35,9 @@ HEAVY = {
     "q_dup_clusters",  # 16 min at sf1.0 (passed) — recursive-CTE components
     "q_embedding_neardup",  # killed at 35+ min — O(pairs) under replica clusters
     "q_embedding_neardup_lsh",
+    # DuckDB-oracle-side quadratic at 1M events (no interval-join optimizer
+    # path — 27 min at 100% CPU, Spark side idle); the Spark plan is fine
+    "q_range_join_nearby_events",
     "q_dedup_minhash_lsh",
     "q_dedup_incremental",
     "q_dedup_spans",
