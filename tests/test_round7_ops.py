@@ -210,6 +210,48 @@ def test_ngram_novelty_first_slice_and_conservation(spark, sf_dir):
         assert 0 < r["n_new"] <= r["n_shingles"]
 
 
+# --- exact-grid accumulation (r07 sf1.0 sweep fix) ---------------------------
+
+
+def test_grid_accumulation_is_layout_invariant(spark):
+    """The sf1.0 sweep showed fp SUM association flips ROUND boundaries
+    (engines disagree); the exact-grid fix also makes totals invariant
+    to PHYSICAL layout. Pin that: session-style group totals over the
+    grid are bit-identical across repartitionings, and equal the exact
+    decimal reference computed driver-side."""
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    # values chosen for poor binary representation (0.1-style tails)
+    rows = [(i % 7, 0.1 + i * 0.0001) for i in range(2000)]
+    ref = {}
+    for k, v in rows:
+        u = int(
+            decimal.Decimal(v * 1e6 + 0.5).to_integral_value(
+                rounding=decimal.ROUND_FLOOR
+            )
+        )
+        ref[k] = ref.get(k, 0) + u
+    expect = {
+        k: float(int((u / 1e4 + 0.5) // 1)) / 1e2 for k, u in ref.items()
+    }
+
+    def grid_total(df):
+        units = F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("decimal(38,0)")
+        return {
+            r["k"]: r["t"]
+            for r in df.groupBy("k")
+            .agg((F.floor(F.sum(units).cast("double") / 1e4 + F.lit(0.5)) / 1e2).alias("t"))
+            .collect()
+        }
+
+    base = spark.createDataFrame(rows, "k int, v double")
+    a = grid_total(base.repartition(1))
+    b = grid_total(base.repartition(16, "v"))
+    assert a == b == expect
+
+
 # --- q_hard_negatives --------------------------------------------------------
 
 
