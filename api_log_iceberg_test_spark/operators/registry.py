@@ -5416,6 +5416,304 @@ ORACLE["q_hard_negatives"] = """
 """
 
 
+def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-calibration-error report for a similarity-as-probability
+    classifier: cosine-to-anchor rescaled to [0,1] is treated as the
+    predicted probability that a vector shares the anchor's label, binned
+    into 10 fixed-width bins with per-bin confidence vs accuracy and the
+    ECE = Σ (n_b/N)·|acc_b − conf_b| — the standard reliability-diagram
+    statistic a model-eval pipeline reports next to AUC (same scoring
+    subtree as q_auc_eval, same 6dp-rounded score contract).
+
+    Scale: anchor broadcast, one corpus scan, 10-row bin agg; the 1-row
+    N total attaches by audited broadcast crossJoin.
+    """
+    emb = _load_embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("q_vec"),
+        similarity.norm(F.col("embedding")).alias("q_norm"),
+    )
+    s = (
+        emb.filter(F.col("vec_id") != 7)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.round(
+                (
+                    F.coalesce(
+                        F.try_divide(
+                            similarity.dot(F.col("embedding"), F.col("q_vec")),
+                            similarity.norm(F.col("embedding")) * F.col("q_norm"),
+                        ),
+                        F.lit(0.0),
+                    )
+                    + 1
+                )
+                / 2,
+                6,
+            ).alias("p"),
+            (F.col("label") == 0).cast("int").alias("y"),
+        )
+    )
+    bins = (
+        s.select(
+            F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin"),
+            "p",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").alias("sp"),
+            F.sum("y").alias("sy"),
+        )
+    )
+    tot = bins.agg(F.sum("n").alias("nt"))
+    b = bins.join(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        (F.col("sp") / F.col("n")).alias("_conf"),
+        (F.col("sy") / F.col("n")).alias("_acc"),
+        (
+            F.col("n") / F.col("nt") * F.abs(F.col("sy") / F.col("n") - F.col("sp") / F.col("n"))
+        ).alias("_w"),
+    )
+    ece = b.agg(F.sum("_w").alias("_ece"))
+    return (
+        b.join(F.broadcast(ece))
+        .select(
+            "bin",
+            "n",
+            F.round("_conf", 6).alias("confidence"),
+            F.round("_acc", 6).alias("accuracy"),
+            F.round("_ece", 6).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE["q_ece_calibration"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+    s AS (
+        SELECT ROUND((list_cosine_similarity(e.v, q.qv) + 1) / 2, 6) AS p,
+               CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS y
+        FROM e CROSS JOIN q WHERE e.vec_id <> 7
+    ),
+    bins AS (
+        SELECT LEAST(FLOOR(p * 10), 9)::INT AS bin, COUNT(*) AS n,
+               SUM(p) AS sp, SUM(y) AS sy
+        FROM s GROUP BY 1
+    ),
+    b AS (
+        SELECT bin, n, sp / n AS conf, sy / n AS acc,
+               n / (SELECT SUM(n) FROM bins) * ABS(sy / n - sp / n) AS w
+        FROM bins
+    )
+    SELECT bin, n, ROUND(conf, 6) AS confidence, ROUND(acc, 6) AS accuracy,
+           ROUND((SELECT SUM(w) FROM b), 6) AS ece
+    FROM b ORDER BY bin
+"""
+
+
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between the 'click' and 'view' event
+    populations' values — the A/B significance readout an experimentation
+    pipeline emits before a ship decision (complements q_bootstrap_ci's
+    nonparametric interval with the parametric statistic).
+
+    t = (m̄_a − m̄_b)/√(s²_a/n_a + s²_b/n_b), Welch–Satterthwaite df —
+    all from the explicit (s2 − s1²/n)/(n−1) moment form both engines
+    share. ONE conditional-aggregate pass (no join, no second scan);
+    1 output row at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    a = (F.col("event_type") == "click").cast("int")
+
+    def mom(side: F.Column, tag: str) -> list:
+        v = F.col("value") * side
+        return [
+            F.sum(side).alias(f"n_{tag}"),
+            F.sum(v).alias(f"s1_{tag}"),
+            F.sum(v * F.col("value")).alias(f"s2_{tag}"),
+        ]
+
+    t = ev.agg(*mom(a, "a"), *mom(1 - a, "b"))
+    va = (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    vb = (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    ma, mb = F.col("s1_a") / F.col("n_a"), F.col("s1_b") / F.col("n_b")
+    sea, seb = va / F.col("n_a"), vb / F.col("n_b")
+    df_w = (sea + seb) * (sea + seb) / (
+        sea * sea / (F.col("n_a") - 1) + seb * seb / (F.col("n_b") - 1)
+    )
+    return t.select(
+        F.col("n_a").cast("long").alias("n_click"),
+        F.col("n_b").cast("long").alias("n_view"),
+        F.round(ma, 6).alias("mean_click"),
+        F.round(mb, 6).alias("mean_view"),
+        F.round((ma - mb) / F.sqrt(sea + seb), 6).alias("t_stat"),
+        F.round(df_w, 4).alias("df_welch"),
+    )
+
+
+ORACLE["q_ab_ttest"] = """
+    WITH t AS (
+        SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS s1_a,
+               SUM(CASE WHEN event_type = 'click' THEN value * value ELSE 0 END) AS s2_a,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_b,
+               SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END) AS s1_b,
+               SUM(CASE WHEN event_type = 'view' THEN value * value ELSE 0 END) AS s2_b
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    m AS (
+        SELECT n_a, n_b, s1_a / n_a AS ma, s1_b / n_b AS mb,
+               ((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a AS sea,
+               ((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b AS seb
+        FROM t
+    )
+    SELECT n_a::BIGINT AS n_click, n_b::BIGINT AS n_view,
+           ROUND(ma, 6) AS mean_click, ROUND(mb, 6) AS mean_view,
+           ROUND((ma - mb) / SQRT(sea + seb), 6) AS t_stat,
+           ROUND((sea + seb) * (sea + seb)
+                 / (sea * sea / (n_a - 1) + seb * seb / (n_b - 1)), 4)
+               AS df_welch
+    FROM m
+"""
+
+
+def q_join_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew probe: the pre-flight audit a pipeline runs on a
+    candidate join/partition key BEFORE committing a 100 TB shuffle to
+    it — per-key frequency moments (max, mean, p50/p99 via the
+    established percentile≡quantile_cont contract) and the skew ratio
+    that decides whether the key needs salting (operators/skew.py) or
+    AQE skew-join handling.
+
+    Scale: one map-side-combined count per key, then combinable
+    percentile/max/avg aggregates over the |keys|-row frequency frame;
+    1 output row. The probe itself must never be the bottleneck — no
+    sort, no window, no join.
+    """
+    freq = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return freq.agg(
+        F.sum("f").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("f").cast("long").alias("max_freq"),
+        F.round(F.sum("f") / F.count(F.lit(1)), 6).alias("mean_freq"),
+        F.round(
+            F.max("f") / (F.sum("f") / F.count(F.lit(1))), 6
+        ).alias("skew_ratio"),
+        F.round(F.expr("percentile(f, 0.5)"), 6).alias("p50_freq"),
+        F.round(F.expr("percentile(f, 0.99)"), 6).alias("p99_freq"),
+    )
+
+
+ORACLE["q_join_skew_probe"] = """
+    WITH freq AS (
+        SELECT user_id, COUNT(*) AS f FROM events GROUP BY user_id
+    )
+    SELECT SUM(f)::BIGINT AS n_rows, COUNT(*) AS n_keys,
+           MAX(f)::BIGINT AS max_freq,
+           ROUND(SUM(f) / COUNT(*), 6) AS mean_freq,
+           ROUND(MAX(f) / (SUM(f) / COUNT(*)), 6) AS skew_ratio,
+           ROUND(quantile_cont(f, 0.5), 6) AS p50_freq,
+           ROUND(quantile_cont(f, 0.99), 6) AS p99_freq
+    FROM freq
+"""
+
+
+def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (RBO, p=0.9) between two top-20 corpus
+    rankings — char-mass order vs token-count order — the top-weighted
+    ranking-similarity statistic (Webber et al.) an eval pipeline uses
+    to quantify how much a ranker change reshuffles what users actually
+    see (complements q_hybrid_rrf, which FUSES rankings; RBO COMPARES
+    them).
+
+    RBO@k = Σ_{d=1..k} (1−p)·p^{d−1}·|A[:d] ∩ B[:d]|/d. Each ranking is
+    a TakeOrdered top-20 (deterministic doc_id tie-break); the prefix
+    overlap joins the two 20-row lists on doc_id and counts pairs with
+    max(rank_a, rank_b) ≤ d against a 20-row depth spine — everything
+    after the two top-k passes is constant-size work, so the statistic
+    costs two scans and no corpus shuffle at any scale.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    k, p = 20, 0.9
+
+    def topk(order_col: F.Column, tag: str) -> DataFrame:
+        # distributed top-k FIRST (TakeOrderedAndProject — per-partition
+        # partial top-20, no global sort), THEN row_number over the
+        # surviving 20-row frame: the window is global but its input is
+        # bounded by construction (the audited q_hybrid_rrf exception
+        # shape; allowlisted in tests/test_plans.py)
+        w = Window.orderBy(F.desc("_v"), F.asc("doc_id"))
+        return (
+            docs.select("doc_id", order_col.alias("_v"))
+            .orderBy(F.desc("_v"), F.asc("doc_id"))
+            .limit(k)
+            .withColumn("r", F.row_number().over(w))
+            .select("doc_id", F.col("r").alias(f"rank_{tag}"))
+        )
+
+    a = topk(F.col("n_chars"), "a")
+    b = topk(text.token_count("text"), "b")
+    both = a.join(b, "doc_id").select(
+        F.greatest("rank_a", "rank_b").alias("m")
+    )
+    depths = spark.range(1, k + 1).select(F.col("id").cast("int").alias("d"))
+    overlap = (
+        depths.join(F.broadcast(both), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("m").alias("x_d"))
+    )
+    wgt = F.lit(1 - p) * F.pow(F.lit(p), F.col("d") - 1)
+    return overlap.agg(
+        F.max(F.when(F.col("d") == k, F.col("x_d"))).cast("long").alias(
+            "overlap_at_k"
+        ),
+        F.round(F.sum(wgt * F.col("x_d") / F.col("d")), 6).alias("rbo"),
+    )
+
+
+ORACLE["q_rank_biased_overlap"] = f"""
+    WITH a AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank_a
+        FROM documents QUALIFY rank_a <= 20
+    ),
+    b AS (
+        SELECT doc_id, ROW_NUMBER() OVER (
+            ORDER BY (CASE WHEN length(regexp_replace(lower(text),
+                      '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                      ELSE len({_TOKENS}) END) DESC, doc_id) AS rank_b
+        FROM documents QUALIFY rank_b <= 20
+    ),
+    ab AS (
+        SELECT GREATEST(rank_a, rank_b) AS m FROM a JOIN b USING (doc_id)
+    ),
+    overlap AS (
+        SELECT d, COUNT(m) AS x_d
+        FROM (SELECT unnest(range(1, 21)) AS d) ds
+        LEFT JOIN ab ON m <= d
+        GROUP BY d
+    )
+    SELECT MAX(CASE WHEN d = 20 THEN x_d END)::BIGINT AS overlap_at_k,
+           ROUND(SUM((1 - 0.9) * POWER(0.9, d - 1) * x_d / d), 6) AS rbo
+    FROM overlap
+"""
+
+
 QUERIES_TAIL = {
     "q_hll_daily_users": q_hll_daily_users,
     "q_kmeans_clusters": q_kmeans_clusters,
@@ -5435,3 +5733,7 @@ QUERIES_LATE["q_seasonality_strength"] = q_seasonality_strength
 QUERIES_LATE["q_curriculum_pacing"] = q_curriculum_pacing
 QUERIES_LATE["q_ngram_novelty"] = q_ngram_novelty
 QUERIES_LATE["q_hard_negatives"] = q_hard_negatives
+QUERIES_LATE["q_ece_calibration"] = q_ece_calibration
+QUERIES_LATE["q_ab_ttest"] = q_ab_ttest
+QUERIES_LATE["q_join_skew_probe"] = q_join_skew_probe
+QUERIES_LATE["q_rank_biased_overlap"] = q_rank_biased_overlap

@@ -161,6 +161,10 @@ ROUND7 = [
     "q_curriculum_pacing",
     "q_ngram_novelty",
     "q_hard_negatives",
+    "q_ece_calibration",
+    "q_ab_ttest",
+    "q_join_skew_probe",
+    "q_rank_biased_overlap",
 ]
 
 #: Round-7 (VERDICT r06 #6): all 22 TPC-H shapes as ONE frozen basket

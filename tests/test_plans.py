@@ -414,6 +414,10 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # bounded by the upstream top-k LIMIT regardless of corpus scale
     # (registry.py q_hybrid_rrf docstring)
     "q_hybrid_rrf",
+    # r07: RBO ranks two 20-row frames that each sit ABOVE a
+    # TakeOrderedAndProject limit — the window input is bounded by
+    # construction (same contract as q_hybrid_rrf)
+    "q_rank_biased_overlap",
     "q_benford_audit",
     "q_cumulative_distinct",
     "q_dense_ids",
@@ -524,6 +528,12 @@ _BNLJ_ALLOWLIST = {
     # r07: hard-negative mining broadcasts the 10-anchor frame into a
     # non-equi (label<>label) join — the audited ANN family shape
     "q_hard_negatives",
+    # r07: ECE attaches the 1-row anchor + 1-row N total + 1-row ECE sum
+    # via broadcast crossJoins — all bounded by contract
+    "q_ece_calibration",
+    # r07: RBO joins the 20-row depth spine against the ≤20-row prefix
+    # frame on a non-equi (m <= d) condition — 400 pairs max
+    "q_rank_biased_overlap",
     "q_psi_drift",
     "q_resample_hourly",
     "q_rich_quiet_customers",

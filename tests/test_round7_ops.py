@@ -210,6 +210,84 @@ def test_ngram_novelty_first_slice_and_conservation(spark, sf_dir):
         assert 0 < r["n_new"] <= r["n_shingles"]
 
 
+# --- q_ece_calibration -------------------------------------------------------
+
+
+def test_ece_bins_and_weighting(spark, sf_dir):
+    rows = _QUERIES["q_ece_calibration"](spark, sf_dir).collect()
+    assert rows and all(0 <= r["bin"] <= 9 for r in rows)
+    ece = {r["ece"] for r in rows}
+    assert len(ece) == 1  # same ECE on every row
+    # ECE is the N-weighted mean gap — recompute from the bins
+    n_tot = sum(r["n"] for r in rows)
+    manual = sum(
+        r["n"] / n_tot * abs(r["accuracy"] - r["confidence"]) for r in rows
+    )
+    assert abs(next(iter(ece)) - manual) < 1e-4
+    for r in rows:
+        assert 0.0 <= r["confidence"] <= 1.0 and 0.0 <= r["accuracy"] <= 1.0
+
+
+# --- q_ab_ttest --------------------------------------------------------------
+
+
+def test_ab_ttest_matches_scipy_free_reference(spark, sf_dir):
+    """Welch t against a driver-side reference computed with plain
+    Python floats from the raw values."""
+    from api_log_iceberg_test_spark.schema import load_table
+
+    vals = {"click": [], "view": []}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type IN ('click','view')")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals[r["event_type"]].append(r["value"])
+    import statistics
+
+    na, nb = len(vals["click"]), len(vals["view"])
+    ma, mb = statistics.fmean(vals["click"]), statistics.fmean(vals["view"])
+    va, vb = statistics.variance(vals["click"]), statistics.variance(vals["view"])
+    t_ref = (ma - mb) / math.sqrt(va / na + vb / nb)
+    r = _QUERIES["q_ab_ttest"](spark, sf_dir).collect()[0]
+    assert r["n_click"] == na and r["n_view"] == nb
+    assert abs(r["t_stat"] - t_ref) < 1e-3
+    assert r["df_welch"] > min(na, nb) - 1  # Welch df ≥ smaller-sample df
+
+
+# --- q_join_skew_probe -------------------------------------------------------
+
+
+def test_join_skew_probe_invariants(spark, sf_dir):
+    r = _QUERIES["q_join_skew_probe"](spark, sf_dir).collect()[0]
+    assert r["n_rows"] >= r["n_keys"] >= 1
+    assert r["max_freq"] >= r["p99_freq"] >= r["p50_freq"] >= 1
+    assert r["skew_ratio"] >= 1.0
+    assert abs(r["mean_freq"] - r["n_rows"] / r["n_keys"]) < 1e-4
+
+
+# --- q_rank_biased_overlap ---------------------------------------------------
+
+
+def test_rbo_bounds_and_self_agreement(spark, sf_dir, monkeypatch):
+    from pyspark.sql import functions as F
+
+    from api_log_iceberg_test_spark.operators import registry
+
+    r = _QUERIES["q_rank_biased_overlap"](spark, sf_dir).collect()[0]
+    assert 0 <= r["overlap_at_k"] <= 20
+    assert 0.0 <= r["rbo"] <= 1.0
+    # identical rankings (patch ranking B's score to ranking A's) →
+    # overlap d/d = 1 at every depth, so RBO@20 = (1-p)·Σ p^(d-1)
+    monkeypatch.setattr(registry.text, "token_count", lambda c: F.col("n_chars"))
+    same = registry.q_rank_biased_overlap(spark, sf_dir).collect()[0]
+    monkeypatch.undo()
+    expect = sum((1 - 0.9) * 0.9 ** (d - 1) for d in range(1, 21))
+    assert same["overlap_at_k"] == 20
+    assert abs(same["rbo"] - round(expect, 6)) < 1e-6
+
+
 # --- exact-grid accumulation (r07 sf1.0 sweep fix) ---------------------------
 
 
