@@ -4872,6 +4872,10 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").alias("sv"),
             F.count(F.lit(1)).alias("cn"),
         )
+        # a replica whose every multiplicity drew 0 has no mean — possible
+        # only for groups of a handful of rows (P ≈ 0.368^n); the oracle
+        # replays the same filter, and rr (not the constant R) feeds the
+        # variance so the statistic stays well-defined either way
         .filter(F.col("wn") > 0)
         .withColumn("mean_r", F.col("ws") / F.col("wn"))
     )
@@ -4949,6 +4953,13 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     table to |buckets| rows; the two 1-row totals (class totals, IV)
     attach back via audited broadcast crossJoins — bounded by contract,
     same pattern as q_important_stock's bloc total.
+
+    Degenerate-bucket contract: a bucket with ZERO positives or zero
+    negatives makes WOE unbounded (ln 0 / division) — standard WOE
+    practice smooths or merges such buckets; this entry targets the
+    orders feature, where every (priority, status) cell is populated at
+    every SF. Callers screening sparser features should Laplace-smooth
+    the counts first.
     """
     orders = load_table(spark, sf_dir, "orders")
     lab = (F.col("o_orderstatus") == "F").cast("int")
@@ -5263,9 +5274,10 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     diminishing-returns curve ("is the next 10 TB of this source still
     adding information?") that drives data-acquisition decisions.
 
-    Slice = integer decile of doc_id against the 1-row max (broadcast);
-    shingles are the same distinct word-trigram family as the dedup
-    tier. Scale: one shingle explode, one (slice, trigram) distinct,
+    Slice = integer decile of doc_id against the 1-row max (broadcast;
+    `div` truncation and DuckDB's `//` floor only agree on NON-NEGATIVE
+    ids — the doc_id ≥ 0 contract all testdata satisfies); shingles are
+    the same distinct word-trigram family as the dedup tier. Scale: one shingle explode, one (slice, trigram) distinct,
     then a trigram-keyed MIN aggregate — the same shuffle shape as the
     BPE/PMI text family; output is 10 rows at any corpus size.
     """

@@ -877,7 +877,7 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the same explicit floor quantization. The r07 sf1.0 sweep
     caught the fp version flipping 25 rounding boundaries (Spark's
     sequential running sum vs DuckDB's segment-tree association differ
-    by ulps; at 3.3M rows some cumsum always lands within an ulp of a
+    by ulps; at 1M rows some cumsum always lands within an ulp of a
     half boundary). Exactness is also the 100 TB property: an
     association-dependent running total isn't reproducible across
     repartitionings or resumes; the grid sum is.
@@ -2227,7 +2227,7 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_value accumulates on the exact 1e-6 decimal grid (same idiom
     as q_running_total — the r07 sf1.0 sweep caught the fp SUM flipping
     4 half-boundaries at 2dp: partial-merge association differs between
-    engines by ulps, and with ~300k sessions some sum always lands on a
+    engines by ulps, and with ~955k sessions some sum always lands on a
     boundary).
     """
     ev = load_table(spark, sf_dir, "events")

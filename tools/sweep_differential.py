@@ -90,7 +90,10 @@ def main() -> None:
     if only:
         names = [n for n in names if n in only]
     bad = []
-    with open(log_path, "w") as log:
+    # append, never truncate: a follow-up --only pass must not wipe the
+    # earlier passes' results (r07 lost a 39-query pass this way once —
+    # readers take the LAST record per query name)
+    with open(log_path, "a") as log:
         for i, name in enumerate(names):
             log.write(json.dumps({"q": name, "start": True, "i": i}) + "\n")
             log.flush()
