@@ -1,0 +1,104 @@
+"""Layout-invariance sweep: every oracled query run under two deliberately
+different PHYSICAL configurations (scan split size + shuffle partition
+count), results compared exactly.
+
+Why: the r07 sf1.0 sweep showed fp-sum ASSOCIATION differences flip
+ROUND boundaries across engines. The same class exists WITHIN one
+engine: a partial-aggregate merge tree depends on scan splits, shuffle
+partitions, and task completion order, so an association-dependent
+result can differ between cluster layouts — which would make the
+driver's value-hash gate flaky and, at 100 TB, make results depend on
+executor count. A query that passes this sweep is layout-stable at the
+tested data; one that fails needs the exact-grid treatment
+(COVERAGE.md r07) or an explicit non-determinism contract.
+
+Usage: python tools/sweep_layout.py <sf_dir> [--only n1,n2]
+Appends JSONL to layout_<tag>.jsonl next to this file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.sweep_differential import HEAVY  # same pair-quadratic denylist
+
+#: two layouts chosen to maximize physical-plan divergence: tiny scan
+#: splits + prime shuffle count vs big splits + default-ish count
+CONFIGS = [
+    {"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+     "spark.sql.shuffle.partitions": "7",
+     "spark.default.parallelism": "5"},
+    {"spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+     "spark.sql.shuffle.partitions": "64",
+     "spark.default.parallelism": "16"},
+]
+
+
+def _run_all(sf_dir: str, conf: dict, names: list[str]) -> dict:
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.master("local[8]")
+    for k, v in conf.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("FATAL")
+    import __spark_entry__ as em
+    from tests.oracle import _canon
+
+    qs = em.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            df = _canon(qs[name](spark, sf_dir).toPandas())
+            out[name] = {"rows": len(df), "repr": df.to_csv(index=False)}
+        except Exception as e:  # noqa: BLE001
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+        out[name]["sec"] = round(time.time() - t0, 2)
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+
+    import __spark_entry__ as em
+
+    qs, osql = em.queries(), em.oracle_sql()
+    names = [n for n in sorted(qs) if n in osql and n not in HEAVY]
+    if only:
+        names = [n for n in names if n in only]
+    print(f"layout sweep: {len(names)} queries x {len(CONFIGS)} configs", flush=True)
+    runs = [_run_all(sf_dir, conf, names) for conf in CONFIGS]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    log_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"layout_{tag}.jsonl"
+    )
+    bad = []
+    with open(log_path, "a") as log:
+        for name in names:
+            a, b = runs[0][name], runs[1][name]
+            ok = a.get("repr") == b.get("repr") and "error" not in a and "error" not in b
+            row = {"q": name, "stable": ok,
+                   "sec": [a["sec"], b["sec"]]}
+            if not ok:
+                row["detail"] = {
+                    "rows": [a.get("rows"), b.get("rows")],
+                    "errors": [a.get("error"), b.get("error")],
+                }
+                bad.append(name)
+                print("LAYOUT-UNSTABLE", name, row["detail"], flush=True)
+            log.write(json.dumps(row) + "\n")
+    print("LAYOUT SWEEP DONE", sf_dir, "queries:", len(names), "unstable:", bad)
+
+
+if __name__ == "__main__":
+    main()
