@@ -40,6 +40,9 @@ CONFIGS = [
 
 
 def _run_all(sf_dir: str, conf: dict, names: list[str]) -> dict:
+    # the py4j JVM is shared across sequential sessions, so driver heap
+    # must be fixed BEFORE the first session — sf1.0 OOMs the 1g default
+    os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 12g pyspark-shell")
     from pyspark.sql import SparkSession
 
     b = SparkSession.builder.master("local[8]")
@@ -60,7 +63,10 @@ def _run_all(sf_dir: str, conf: dict, names: list[str]) -> dict:
         except Exception as e:  # noqa: BLE001
             out[name] = {"error": f"{type(e).__name__}: {e}"}
         out[name]["sec"] = round(time.time() - t0, 2)
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 — a dead gateway must not mask results
+        pass
     return out
 
 
