@@ -5726,6 +5726,272 @@ ORACLE["q_rank_biased_overlap"] = f"""
 """
 
 
+def q_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-balance report for the corpus data card: per-source doc
+    share plus the corpus-level concentration statistics — Gini impurity
+    (1 − Σ share²), Shannon entropy, and the effective number of sources
+    (exp(entropy)) — the numbers that decide whether a training mix is
+    dangerously dominated by one source before reweighting
+    (q_source_mix_weights) is even considered.
+
+    One combinable agg to |sources| rows; the 1-row corpus stats attach
+    via audited broadcast crossJoin.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("nt"))
+    shares = per.join(F.broadcast(tot)).withColumn(
+        "share", F.col("n_docs") / F.col("nt")
+    )
+    stats = shares.agg(
+        (1 - F.sum(F.col("share") * F.col("share"))).alias("_gini"),
+        (-F.sum(F.col("share") * F.log("share"))).alias("_entropy"),
+    )
+    return (
+        shares.join(F.broadcast(stats))
+        .select(
+            "source",
+            "n_docs",
+            F.round("share", 6).alias("share"),
+            F.round("_gini", 6).alias("gini"),
+            F.round("_entropy", 6).alias("entropy"),
+            F.round(F.exp("_entropy"), 6).alias("effective_sources"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["q_source_balance"] = """
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    sh AS (
+        SELECT source, n_docs,
+               n_docs / (SELECT SUM(n_docs) FROM per) AS share
+        FROM per
+    ),
+    st AS (
+        SELECT 1 - SUM(share * share) AS gini,
+               -SUM(share * LN(share)) AS entropy
+        FROM sh
+    )
+    SELECT source, n_docs, ROUND(share, 6) AS share,
+           ROUND(gini, 6) AS gini, ROUND(entropy, 6) AS entropy,
+           ROUND(EXP(entropy), 6) AS effective_sources
+    FROM sh, st ORDER BY source
+"""
+
+
+def q_mi_feature_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between a categorical feature and a multiclass
+    label (o_orderpriority × o_orderstatus) — the model-free dependence
+    screen that generalizes q_woe_iv beyond binary labels and
+    complements q_chisq_lang_source's significance test with an
+    information-theoretic effect size.
+
+    MI = Σ_xy (n_xy/N)·ln(n_xy·N/(n_x·n_y)); per-cell pointwise terms
+    reported alongside. Cells collapse to |X|·|Y| rows in one agg;
+    marginals re-aggregate from the cells (NO second fact-table scan)
+    and attach by broadcast equi-joins; the 1-row N and MI totals by
+    audited broadcast crossJoin. All count products computed in DOUBLE
+    (SCALE.md §10: n_xy·N is BIGINT×BIGINT and wraps at ~3e9 rows).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    mx = cells.groupBy("o_orderpriority").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("o_orderstatus").agg(F.sum("n_xy").alias("n_y"))
+    nt = cells.agg(F.sum("n_xy").alias("nt"))
+    full = (
+        cells.join(F.broadcast(mx), "o_orderpriority")
+        .join(F.broadcast(my), "o_orderstatus")
+        .join(F.broadcast(nt))
+    )
+    pmi = F.log(
+        F.col("n_xy").cast("double")
+        * F.col("nt").cast("double")
+        / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+    )
+    terms = full.withColumn(
+        "_term", F.col("n_xy") / F.col("nt") * pmi
+    )
+    mi = terms.agg(F.sum("_term").alias("_mi"))
+    return (
+        terms.join(F.broadcast(mi))
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "n_xy",
+            F.round(pmi, 6).alias("pmi"),
+            F.round("_mi", 6).alias("mi"),
+        )
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
+ORACLE["q_mi_feature_label"] = """
+    WITH cells AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_xy
+        FROM orders GROUP BY 1, 2
+    ),
+    mx AS (SELECT o_orderpriority, SUM(n_xy) AS n_x FROM cells GROUP BY 1),
+    my AS (SELECT o_orderstatus, SUM(n_xy) AS n_y FROM cells GROUP BY 1),
+    nt AS (SELECT SUM(n_xy) AS nt FROM cells),
+    t AS (
+        SELECT c.o_orderpriority, c.o_orderstatus, n_xy,
+               LN(n_xy::DOUBLE * nt::DOUBLE / (n_x::DOUBLE * n_y::DOUBLE))
+                   AS pmi,
+               n_xy / nt
+               * LN(n_xy::DOUBLE * nt::DOUBLE / (n_x::DOUBLE * n_y::DOUBLE))
+                   AS term
+        FROM cells c
+        JOIN mx USING (o_orderpriority)
+        JOIN my USING (o_orderstatus)
+        CROSS JOIN nt
+    )
+    SELECT o_orderpriority, o_orderstatus, n_xy,
+           ROUND(pmi, 6) AS pmi,
+           ROUND((SELECT SUM(term) FROM t), 6) AS mi
+    FROM t ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+def q_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record assembly over exact-duplicate clusters (master-data
+    survivorship): for every normalized-text duplicate group with 2+
+    members, emit the surviving record under deterministic rules —
+    representative id = MIN(doc_id), canonical content = the LONGEST
+    member (doc_id tie-break), provenance = distinct source count. The
+    step after dedup DETECTION: deciding which copy a pipeline keeps.
+
+    The golden-record table has ONE row per content group whether or not
+    a merge happened — that is the materialized product a downstream
+    consumer reads instead of the raw table (`is_merged` marks actual
+    survivorship decisions; driver testdata has exact-dup clusters at
+    sf0.1+, and the per-entity contract keeps the entry non-vacuous at
+    every SF). The longest-member-min-id argmax uses an integer-packed
+    key, MIN((10^6 − n_chars)·10^10 + doc_id) — pure BIGINT arithmetic,
+    so ties are deterministic and both engines agree bit-for-bit (engine
+    arg_max/min_by tie behavior is undefined; the pack sidesteps it).
+    Bound: ≤ 10^16 « 2^63 under the doc_id < 10^10, n_chars < 10^6
+    contract. One (norm-text) shuffle; output = |content groups| rows,
+    the dedup output size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = (F.lit(1_000_000) - F.col("n_chars")) * F.lit(10_000_000_000) + F.col(
+        "doc_id"
+    )
+    return (
+        docs.groupBy(F.md5(text.norm_text("text")).alias("_grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("rep_id"),
+            F.pmod(F.min(key), F.lit(10_000_000_000)).alias("canonical_id"),
+            F.max("n_chars").alias("canonical_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .select(
+            "rep_id",
+            "canonical_id",
+            "n_members",
+            (F.col("n_members") >= 2).cast("int").alias("is_merged"),
+            "canonical_chars",
+            "n_sources",
+        )
+        .orderBy("rep_id")
+    )
+
+
+ORACLE["q_survivorship_golden"] = """
+    WITH g AS (
+        SELECT md5(regexp_replace(regexp_replace(lower(text),
+                   '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS grp,
+               doc_id, n_chars, source
+        FROM documents
+    )
+    SELECT MIN(doc_id) AS rep_id,
+           MIN((1000000 - n_chars) * 10000000000 + doc_id)
+               % 10000000000 AS canonical_id,
+           COUNT(*) AS n_members,
+           CASE WHEN COUNT(*) >= 2 THEN 1 ELSE 0 END AS is_merged,
+           MAX(n_chars) AS canonical_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM g GROUP BY grp ORDER BY rep_id
+"""
+
+
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis from the same Welch moments as q_ab_ttest: the
+    minimum detectable effect at the CURRENT sample sizes (α=0.05 two-
+    sided, power 0.8) and the per-arm n required to detect the OBSERVED
+    difference — the two numbers an experimentation review asks for
+    before trusting (or extending) a test.
+
+    MDE = (z_{α/2}+z_β)·√(s²_a/n_a + s²_b/n_b);
+    n_req = ⌈(z_{α/2}+z_β)²·(s²_a+s²_b)/Δ²⌉. Closed-form arithmetic over
+    ONE conditional-aggregate pass; z constants pinned to 6dp literals
+    identical in both engines. 1 output row at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    a = (F.col("event_type") == "click").cast("int")
+    v = F.col("value")
+    t = ev.agg(
+        F.sum(a).alias("n_a"),
+        F.sum(v * a).alias("s1_a"),
+        F.sum(v * v * a).alias("s2_a"),
+        F.sum(1 - a).alias("n_b"),
+        F.sum(v * (1 - a)).alias("s1_b"),
+        F.sum(v * v * (1 - a)).alias("s2_b"),
+    )
+    va = (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    vb = (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    z = F.lit(1.959964 + 0.841621)
+    delta = F.col("s1_a") / F.col("n_a") - F.col("s1_b") / F.col("n_b")
+    return t.select(
+        F.col("n_a").cast("long").alias("n_click"),
+        F.col("n_b").cast("long").alias("n_view"),
+        F.round(delta, 6).alias("observed_delta"),
+        F.round(z * F.sqrt(va / F.col("n_a") + vb / F.col("n_b")), 6).alias(
+            "mde"
+        ),
+        F.ceil(z * z * (va + vb) / (delta * delta)).cast("long").alias(
+            "n_required_per_arm"
+        ),
+    )
+
+
+ORACLE["q_power_analysis"] = """
+    WITH t AS (
+        SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS s1_a,
+               SUM(CASE WHEN event_type = 'click' THEN value * value ELSE 0 END) AS s2_a,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_b,
+               SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END) AS s1_b,
+               SUM(CASE WHEN event_type = 'view' THEN value * value ELSE 0 END) AS s2_b
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    m AS (
+        SELECT n_a, n_b, s1_a / n_a - s1_b / n_b AS delta,
+               (s2_a - s1_a * s1_a / n_a) / (n_a - 1) AS va,
+               (s2_b - s1_b * s1_b / n_b) / (n_b - 1) AS vb
+        FROM t
+    )
+    SELECT n_a::BIGINT AS n_click, n_b::BIGINT AS n_view,
+           ROUND(delta, 6) AS observed_delta,
+           ROUND((1.959964 + 0.841621) * SQRT(va / n_a + vb / n_b), 6) AS mde,
+           CEIL((1.959964 + 0.841621) * (1.959964 + 0.841621) * (va + vb)
+                / (delta * delta))::BIGINT AS n_required_per_arm
+    FROM m
+"""
+
+
 QUERIES_TAIL = {
     "q_hll_daily_users": q_hll_daily_users,
     "q_kmeans_clusters": q_kmeans_clusters,
@@ -5749,3 +6015,7 @@ QUERIES_LATE["q_ece_calibration"] = q_ece_calibration
 QUERIES_LATE["q_ab_ttest"] = q_ab_ttest
 QUERIES_LATE["q_join_skew_probe"] = q_join_skew_probe
 QUERIES_LATE["q_rank_biased_overlap"] = q_rank_biased_overlap
+QUERIES_LATE["q_source_balance"] = q_source_balance
+QUERIES_LATE["q_mi_feature_label"] = q_mi_feature_label
+QUERIES_LATE["q_survivorship_golden"] = q_survivorship_golden
+QUERIES_LATE["q_power_analysis"] = q_power_analysis

@@ -165,6 +165,10 @@ ROUND7 = [
     "q_ab_ttest",
     "q_join_skew_probe",
     "q_rank_biased_overlap",
+    "q_source_balance",
+    "q_mi_feature_label",
+    "q_survivorship_golden",
+    "q_power_analysis",
 ]
 
 #: Round-7 (VERDICT r06 #6): all 22 TPC-H shapes as ONE frozen basket

@@ -534,6 +534,12 @@ _BNLJ_ALLOWLIST = {
     # r07: RBO joins the 20-row depth spine against the ≤20-row prefix
     # frame on a non-equi (m <= d) condition — 400 pairs max
     "q_rank_biased_overlap",
+    # r07: source balance attaches its 1-row corpus total + 1-row
+    # concentration stats via broadcast crossJoins — bounded by contract
+    "q_source_balance",
+    # r07: MI attaches the 1-row N and 1-row MI totals via broadcast
+    # crossJoins over the |X|·|Y|-cell frame — bounded by contract
+    "q_mi_feature_label",
     "q_psi_drift",
     "q_resample_hourly",
     "q_rich_quiet_customers",

@@ -288,6 +288,99 @@ def test_rbo_bounds_and_self_agreement(spark, sf_dir, monkeypatch):
     assert abs(same["rbo"] - round(expect, 6)) < 1e-6
 
 
+# --- q_source_balance --------------------------------------------------------
+
+
+def test_source_balance_statistics(spark, sf_dir):
+    rows = _QUERIES["q_source_balance"](spark, sf_dir).collect()
+    shares = [r["share"] for r in rows]
+    assert abs(sum(shares) - 1.0) < 1e-4
+    k = len(rows)
+    g, e = rows[0]["gini"], rows[0]["entropy"]
+    assert all(r["gini"] == g and r["entropy"] == e for r in rows)
+    assert 0 <= g <= 1 - 1 / k + 1e-9  # Gini bounded by uniform case
+    assert 0 <= e <= math.log(k) + 1e-9
+    assert 1 <= rows[0]["effective_sources"] <= k + 1e-6
+    # uniform-ish corpus → effective count close to k
+    assert abs(rows[0]["effective_sources"] - math.exp(e)) < 1e-4
+
+
+# --- q_mi_feature_label ------------------------------------------------------
+
+
+def test_mi_matches_python_reference_and_independence_floor(spark, sf_dir):
+    from api_log_iceberg_test_spark.schema import load_table
+
+    cells = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .count()
+        .collect()
+    ):
+        cells[(r[0], r[1])] = r["count"]
+    n = sum(cells.values())
+    mx, my = {}, {}
+    for (x, y), c in cells.items():
+        mx[x] = mx.get(x, 0) + c
+        my[y] = my.get(y, 0) + c
+    mi_ref = sum(
+        c / n * math.log(c * n / (mx[x] * my[y])) for (x, y), c in cells.items()
+    )
+    rows = _QUERIES["q_mi_feature_label"](spark, sf_dir).collect()
+    assert len(rows) == len(cells)
+    assert abs(rows[0]["mi"] - mi_ref) < 1e-5
+    assert rows[0]["mi"] >= -1e-9  # MI is non-negative
+
+
+# --- q_survivorship_golden ---------------------------------------------------
+
+
+def test_survivorship_rules_on_planted_clusters(spark, monkeypatch):
+    """Planted duplicate cluster: canonical = longest member with min-id
+    tie-break; representative = min id; singletons flagged unmerged."""
+    from api_log_iceberg_test_spark.operators import registry
+
+    rows = [
+        # cluster A: same normalized text, lengths 30/50/50 → canonical
+        # is id 11 (first of the two 50s), rep is 10
+        (10, "  Hello   World  ", "en", "s1", 30),
+        (11, "hello world", "en", "s2", 50),
+        (12, "HELLO  WORLD", "en", "s1", 50),
+        # singleton
+        (20, "unique text here", "en", "s1", 16),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(registry, "load_table", lambda *_a, **_k: df)
+    out = {r["rep_id"]: r for r in registry.q_survivorship_golden(spark, "x").collect()}
+    monkeypatch.undo()
+    a = out[10]
+    assert a["n_members"] == 3 and a["is_merged"] == 1
+    assert a["canonical_id"] == 11 and a["canonical_chars"] == 50
+    assert a["n_sources"] == 2
+    s = out[20]
+    assert s["n_members"] == 1 and s["is_merged"] == 0 and s["canonical_id"] == 20
+
+
+# --- q_power_analysis --------------------------------------------------------
+
+
+def test_power_analysis_consistency_with_ttest(spark, sf_dir):
+    """MDE and the observed delta must be consistent with the t-test: if
+    |t| > z_total then the observed delta exceeds the MDE, and the
+    required-n grows as delta shrinks relative to the spread."""
+    t = _QUERIES["q_ab_ttest"](spark, sf_dir).collect()[0]
+    p = _QUERIES["q_power_analysis"](spark, sf_dir).collect()[0]
+    assert p["n_click"] == t["n_click"] and p["n_view"] == t["n_view"]
+    z_total = 1.959964 + 0.841621
+    # mde = z_total * se and t = delta / se  →  |delta| >= mde ⇔ |t| >= z
+    se = p["mde"] / z_total
+    assert abs(abs(t["t_stat"]) - abs(p["observed_delta"]) / se) < 0.01
+    assert p["n_required_per_arm"] >= 1
+
+
 # --- exact-grid accumulation (r07 sf1.0 sweep fix) ---------------------------
 
 
