@@ -808,11 +808,19 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI (NOT EXISTS): customers with no orders at all."""
+    """LEFT ANTI (NOT EXISTS): customers with no order above 300k — the
+    complement of q_semi_join's EXISTS shape.
+
+    r07: the original predicate ("no orders at all") was the empty set at
+    every driver SF — hash-green but vacuous (0 rows proves nothing, the
+    r06 `_usable_evidence_row` rule), which kept the entry permanently
+    dark-queued. The 300k threshold keeps the anti-join shape and is
+    non-empty at sf0.001/0.01/0.1 (3/30/308 rows).
+    """
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
 
@@ -935,11 +943,32 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT/EXCEPT: purchasers who never erred, via set ops."""
+    """EXCEPT ALL over (user, day) sets: purchase-days with no error by
+    the same user on the same day.
+
+    r07: the original user-grain version ("purchasers who never erred")
+    was the empty set at every driver SF — the user universe is dense, so
+    every purchaser also errs eventually. Day grain keeps the set-op
+    shape and is non-empty at sf0.001/0.01/0.1 (105/1018/10471 rows).
+    Both sides are DISTINCT projections, so EXCEPT ALL ≡ EXCEPT; the ALL
+    variant is kept to exercise Spark's exceptAll operator.
+    """
     ev = load_table(spark, sf_dir, "events")
-    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    erred = ev.filter(F.col("event_type") == "error").select("user_id")
-    return purchasers.distinct().exceptAll(erred.distinct()).orderBy("user_id")
+    pday = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    eday = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    # day serialized as yyyy-MM-dd text: DATE surfaces as python date in
+    # Spark vs datetime64 in DuckDB's fetchdf and the raw-value hash
+    # compares dtypes (driver-window-policy: scalar, engine-stable cols)
+    return (
+        pday.distinct()
+        .exceptAll(eday.distinct())
+        .select("user_id", F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .orderBy("user_id", "day")
+    )
 
 
 def q_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1410,7 +1439,8 @@ ORACLE: dict[str, str] = {
     """,
     "q_anti_join": """
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     """,
     "q_topn_per_group": """
         SELECT event_type, event_id, value, rn FROM (
@@ -1466,11 +1496,13 @@ ORACLE: dict[str, str] = {
         FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
     """,
     "q_set_ops": """
-        SELECT user_id FROM
-        (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day FROM
+        (SELECT DISTINCT user_id, ts::DATE AS day
+         FROM events WHERE event_type = 'purchase'
          EXCEPT ALL
-         SELECT DISTINCT user_id FROM events WHERE event_type = 'error') t
-        ORDER BY user_id
+         SELECT DISTINCT user_id, ts::DATE AS day
+         FROM events WHERE event_type = 'error') t
+        ORDER BY user_id, day
     """,
     "q_union_counts": """
         SELECT event_type, COUNT(*) AS cnt FROM (
