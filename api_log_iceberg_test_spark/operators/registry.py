@@ -5738,7 +5738,13 @@ def q_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     via audited broadcast crossJoin.
     """
     docs = load_table(spark, sf_dir, "documents")
-    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # |sources| rows; lazily checkpointed so the total/stat branches
+    # reuse ONE corpus scan instead of re-aggregating per consumer
+    per = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=False)
+    )
     tot = per.agg(F.sum("n_docs").alias("nt"))
     shares = per.join(F.broadcast(tot)).withColumn(
         "share", F.col("n_docs") / F.col("nt")
@@ -5797,8 +5803,12 @@ def q_mi_feature_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SCALE.md §10: n_xy·N is BIGINT×BIGINT and wraps at ~3e9 rows).
     """
     orders = load_table(spark, sf_dir, "orders")
-    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_xy")
+    # |X|·|Y| rows; lazily checkpointed — marginals, N, and the term
+    # frame all derive from it, so the fact table is scanned ONCE
+    cells = (
+        orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .localCheckpoint(eager=False)
     )
     mx = cells.groupBy("o_orderpriority").agg(F.sum("n_xy").alias("n_x"))
     my = cells.groupBy("o_orderstatus").agg(F.sum("n_xy").alias("n_y"))
