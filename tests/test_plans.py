@@ -431,10 +431,11 @@ _GLOBAL_WINDOW_ALLOWLIST = {
 
 
 @pytest.fixture(scope="module")
-def registry_plans(spark, sf_dir):
-    """One 'extended' explain per registered query (optimized logical +
-    physical sections), shared by every registry-wide guard below so the
-    registry-wide pass is paid once per suite run, not once per test.
+def registry_builds(spark, sf_dir):
+    """One build per registered query — 'extended' explain (optimized
+    logical + physical sections) plus the analyzed output schema — shared
+    by every registry-wide guard below so the registry-wide pass is paid
+    once per suite run, not once per test.
 
     The session cache is cleared before EACH query's build+explain:
     operators that .cache() internal frames (the partition-offset family)
@@ -449,12 +450,40 @@ def registry_plans(spark, sf_dir):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "extended"
     )
-    plans = {}
+    plans, schemas = {}, {}
     for name, fn in entrymod.queries().items():
         spark.catalog.clearCache()
-        plans[name] = fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        df = fn(spark, sf_dir)
+        plans[name] = df._jdf.queryExecution().explainString(mode)
+        schemas[name] = df.schema
     spark.catalog.clearCache()
-    return plans
+    return plans, schemas
+
+
+@pytest.fixture(scope="module")
+def registry_plans(registry_builds):
+    return registry_builds[0]
+
+
+def test_all_query_outputs_are_scalar(registry_builds):
+    """The driver's value-hash canonicalizer sorts and hashes raw pandas
+    cells; an array/map/struct output column crashes it with unhashable
+    list cells (this exact failure produced r04's two red driver rows —
+    COVERAGE.md round-4 notes). Guard the whole registry: every
+    queries() entry must emit scalar columns only; serialize collections
+    with array_join/concat_ws in BOTH engines before returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {
+        name: [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        for name, schema in registry_builds[1].items()
+    }
+    offenders = {k: v for k, v in offenders.items() if v}
+    assert not offenders, f"non-scalar output columns: {offenders}"
 
 
 def test_no_new_unpartitioned_windows_registry_wide(registry_plans):
