@@ -5527,6 +5527,78 @@ ORACLE["q_ece_calibration"] = """
 """
 
 
+def _welch_grid_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The six Welch moments for the click-vs-view A/B arms — n, Σv, Σv²
+    per arm — accumulated on the exact 1e-6 value grid (SCALE.md §11):
+    each value quantizes to integer units via floor(x·1e6+0.5)
+    (IEEE-identical in both engines), unit and squared-unit sums run
+    over DECIMAL(38,0) — exact integers, independent of summation order,
+    partitioning, and partial-merge association — and convert to DOUBLE
+    exactly once at the end (a correctly-rounded cast in both engines,
+    so downstream double arithmetic starts from bit-identical inputs).
+    A raw fp Σv² over millions of rows is the association class the
+    r07 sf1.0 sweep caught in q_running_total; moments that feed ROUND
+    and an uncushioned CEIL must not carry that layout dependence.
+
+    Shared by q_ab_ttest and q_power_analysis so the arm filter and
+    moment definitions cannot drift apart. Bound: units² < 1e38 holds
+    for |value| < ~3e12 (events.value is O(1e3)). ONE combinable
+    conditional-aggregate pass; 1 row out.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    a = (F.col("event_type") == "click").cast("int")
+    vu = F.floor(F.col("value") * 1e6 + F.lit(0.5))
+    vud = vu.cast("decimal(19,0)")
+    vu2 = vud * vud
+
+    def mom(side: F.Column, tag: str) -> list:
+        return [
+            F.sum(side).alias(f"n_{tag}"),
+            F.sum((vu * side).cast("decimal(38,0)")).alias(f"s1u_{tag}"),
+            F.sum(vu2 * side).alias(f"s2u_{tag}"),
+        ]
+
+    t = ev.agg(*mom(a, "a"), *mom(1 - a, "b"))
+    return t.select(
+        "n_a",
+        "n_b",
+        (F.col("s1u_a").cast("double") / 1e6).alias("s1_a"),
+        (F.col("s2u_a").cast("double") / 1e12).alias("s2_a"),
+        (F.col("s1u_b").cast("double") / 1e6).alias("s1_b"),
+        (F.col("s2u_b").cast("double") / 1e12).alias("s2_b"),
+    )
+
+
+# The oracle-side mirror of _welch_grid_moments — spliced into both A/B
+# oracles so the SQL moment definition is also a single definition.
+_WELCH_GRID_SQL = """
+    q AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT) AS vu
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    tu AS (
+        SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN event_type = 'click' THEN vu ELSE 0 END) AS s1u_a,
+               SUM(CASE WHEN event_type = 'click' THEN vu * vu ELSE 0 END) AS s2u_a,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_b,
+               SUM(CASE WHEN event_type = 'view' THEN vu ELSE 0 END) AS s1u_b,
+               SUM(CASE WHEN event_type = 'view' THEN vu * vu ELSE 0 END) AS s2u_b
+        FROM q
+    ),
+    t AS (
+        SELECT n_a, n_b,
+               CAST(s1u_a AS DOUBLE) / 1e6 AS s1_a,
+               CAST(s2u_a AS DOUBLE) / 1e12 AS s2_a,
+               CAST(s1u_b AS DOUBLE) / 1e6 AS s1_b,
+               CAST(s2u_b AS DOUBLE) / 1e12 AS s2_b
+        FROM tu
+    )
+"""
+
+
 def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's two-sample t-test between the 'click' and 'view' event
     populations' values — the A/B significance readout an experimentation
@@ -5535,23 +5607,11 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = (m̄_a − m̄_b)/√(s²_a/n_a + s²_b/n_b), Welch–Satterthwaite df —
     all from the explicit (s2 − s1²/n)/(n−1) moment form both engines
-    share. ONE conditional-aggregate pass (no join, no second scan);
-    1 output row at any scale.
+    share, over grid-exact moments (_welch_grid_moments) so the
+    statistic is layout- and association-independent. ONE conditional-
+    aggregate pass (no join, no second scan); 1 output row at any scale.
     """
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "view")
-    )
-    a = (F.col("event_type") == "click").cast("int")
-
-    def mom(side: F.Column, tag: str) -> list:
-        v = F.col("value") * side
-        return [
-            F.sum(side).alias(f"n_{tag}"),
-            F.sum(v).alias(f"s1_{tag}"),
-            F.sum(v * F.col("value")).alias(f"s2_{tag}"),
-        ]
-
-    t = ev.agg(*mom(a, "a"), *mom(1 - a, "b"))
+    t = _welch_grid_moments(spark, sf_dir)
     va = (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a")) / (
         F.col("n_a") - 1
     )
@@ -5573,16 +5633,8 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["q_ab_ttest"] = """
-    WITH t AS (
-        SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
-               SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS s1_a,
-               SUM(CASE WHEN event_type = 'click' THEN value * value ELSE 0 END) AS s2_a,
-               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_b,
-               SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END) AS s1_b,
-               SUM(CASE WHEN event_type = 'view' THEN value * value ELSE 0 END) AS s2_b
-        FROM events WHERE event_type IN ('click', 'view')
-    ),
+ORACLE["q_ab_ttest"] = f"""
+    WITH {_WELCH_GRID_SQL},
     m AS (
         SELECT n_a, n_b, s1_a / n_a AS ma, s1_b / n_b AS mb,
                ((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a AS sea,
@@ -5735,7 +5787,11 @@ def q_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_source_mix_weights) is even considered.
 
     One combinable agg to |sources| rows; the 1-row corpus stats attach
-    via audited broadcast crossJoin.
+    via audited broadcast crossJoin. The per-source terms (share²,
+    −share·ln share) are deterministic doubles derived from exact
+    counts, but their Σ is still a partial-merge fp sum — so each term
+    quantizes to exact 1e-12 units and the totals sum in DECIMAL(38,0)
+    (SCALE.md §11: hash-gated outputs must be order-independent).
     """
     docs = load_table(spark, sf_dir, "documents")
     # |sources| rows; lazily checkpointed so the total/stat branches
@@ -5749,9 +5805,15 @@ def q_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares = per.join(F.broadcast(tot)).withColumn(
         "share", F.col("n_docs") / F.col("nt")
     )
+    gini_u = F.floor(
+        F.col("share") * F.col("share") * 1e12 + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    ent_u = F.floor(
+        -(F.col("share") * F.log("share")) * 1e12 + F.lit(0.5)
+    ).cast("decimal(38,0)")
     stats = shares.agg(
-        (1 - F.sum(F.col("share") * F.col("share"))).alias("_gini"),
-        (-F.sum(F.col("share") * F.log("share"))).alias("_entropy"),
+        (1 - F.sum(gini_u).cast("double") / 1e12).alias("_gini"),
+        (F.sum(ent_u).cast("double") / 1e12).alias("_entropy"),
     )
     return (
         shares.join(F.broadcast(stats))
@@ -5777,8 +5839,10 @@ ORACLE["q_source_balance"] = """
         FROM per
     ),
     st AS (
-        SELECT 1 - SUM(share * share) AS gini,
-               -SUM(share * LN(share)) AS entropy
+        SELECT 1 - CAST(SUM(CAST(FLOOR(share * share * 1e12 + 0.5)
+                   AS HUGEINT)) AS DOUBLE) / 1e12 AS gini,
+               CAST(SUM(CAST(FLOOR(-(share * LN(share)) * 1e12 + 0.5)
+                   AS HUGEINT)) AS DOUBLE) / 1e12 AS entropy
         FROM sh
     )
     SELECT source, n_docs, ROUND(share, 6) AS share,
@@ -5801,6 +5865,10 @@ def q_mi_feature_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     and attach by broadcast equi-joins; the 1-row N and MI totals by
     audited broadcast crossJoin. All count products computed in DOUBLE
     (SCALE.md §10: n_xy·N is BIGINT×BIGINT and wraps at ~3e9 rows).
+    The per-cell terms are deterministic doubles from exact counts, but
+    the MI total is a partial-merge fp sum — each term quantizes to
+    exact 1e-12 units and the total sums in DECIMAL(38,0)
+    (SCALE.md §11 order-independence for hash-gated outputs).
     """
     orders = load_table(spark, sf_dir, "orders")
     # |X|·|Y| rows; lazily checkpointed — marginals, N, and the term
@@ -5824,9 +5892,12 @@ def q_mi_feature_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
     )
     terms = full.withColumn(
-        "_term", F.col("n_xy") / F.col("nt") * pmi
+        "_term_u",
+        F.floor(F.col("n_xy") / F.col("nt") * pmi * 1e12 + F.lit(0.5)).cast(
+            "decimal(38,0)"
+        ),
     )
-    mi = terms.agg(F.sum("_term").alias("_mi"))
+    mi = terms.agg((F.sum("_term_u").cast("double") / 1e12).alias("_mi"))
     return (
         terms.join(F.broadcast(mi))
         .select(
@@ -5852,9 +5923,10 @@ ORACLE["q_mi_feature_label"] = """
         SELECT c.o_orderpriority, c.o_orderstatus, n_xy,
                LN(n_xy::DOUBLE * nt::DOUBLE / (n_x::DOUBLE * n_y::DOUBLE))
                    AS pmi,
-               n_xy / nt
+               CAST(FLOOR(n_xy / nt
                * LN(n_xy::DOUBLE * nt::DOUBLE / (n_x::DOUBLE * n_y::DOUBLE))
-                   AS term
+               * 1e12 + 0.5) AS HUGEINT)
+                   AS term_u
         FROM cells c
         JOIN mx USING (o_orderpriority)
         JOIN my USING (o_orderstatus)
@@ -5862,7 +5934,7 @@ ORACLE["q_mi_feature_label"] = """
     )
     SELECT o_orderpriority, o_orderstatus, n_xy,
            ROUND(pmi, 6) AS pmi,
-           ROUND((SELECT SUM(term) FROM t), 6) AS mi
+           ROUND((SELECT CAST(SUM(term_u) AS DOUBLE) / 1e12 FROM t), 6) AS mi
     FROM t ORDER BY o_orderpriority, o_orderstatus
 """
 
@@ -5940,22 +6012,14 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     MDE = (z_{α/2}+z_β)·√(s²_a/n_a + s²_b/n_b);
     n_req = ⌈(z_{α/2}+z_β)²·(s²_a+s²_b)/Δ²⌉. Closed-form arithmetic over
-    ONE conditional-aggregate pass; z constants pinned to 6dp literals
-    identical in both engines. 1 output row at any scale.
+    ONE conditional-aggregate pass of grid-exact moments
+    (_welch_grid_moments — the uncushioned CEIL makes order-independent
+    inputs mandatory: an ulp of partial-sum association on the raw fp
+    path could flip n_required_per_arm across layouts or engines);
+    z constants pinned to 6dp literals identical in both engines.
+    1 output row at any scale.
     """
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "view")
-    )
-    a = (F.col("event_type") == "click").cast("int")
-    v = F.col("value")
-    t = ev.agg(
-        F.sum(a).alias("n_a"),
-        F.sum(v * a).alias("s1_a"),
-        F.sum(v * v * a).alias("s2_a"),
-        F.sum(1 - a).alias("n_b"),
-        F.sum(v * (1 - a)).alias("s1_b"),
-        F.sum(v * v * (1 - a)).alias("s2_b"),
-    )
+    t = _welch_grid_moments(spark, sf_dir)
     va = (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a")) / (
         F.col("n_a") - 1
     )
@@ -5977,16 +6041,8 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["q_power_analysis"] = """
-    WITH t AS (
-        SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
-               SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS s1_a,
-               SUM(CASE WHEN event_type = 'click' THEN value * value ELSE 0 END) AS s2_a,
-               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_b,
-               SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END) AS s1_b,
-               SUM(CASE WHEN event_type = 'view' THEN value * value ELSE 0 END) AS s2_b
-        FROM events WHERE event_type IN ('click', 'view')
-    ),
+ORACLE["q_power_analysis"] = f"""
+    WITH {_WELCH_GRID_SQL},
     m AS (
         SELECT n_a, n_b, s1_a / n_a - s1_b / n_b AS delta,
                (s2_a - s1_a * s1_a / n_a) / (n_a - 1) AS va,

@@ -91,8 +91,12 @@ def main() -> None:
         names = [n for n in names if n in only]
     bad = []
     # append, never truncate: a follow-up --only pass must not wipe the
-    # earlier passes' results (r07 lost a 39-query pass this way once —
-    # readers take the LAST record per query name)
+    # earlier passes' results (r07 lost a 39-query pass this way once).
+    # Reader convention: take the LAST record per query name that carries
+    # "done": true — pass ⇔ done-record with errs null. A trailing start
+    # record with no matching done-record means that query KILLED the
+    # process (DNF, not a pass); records for since-removed queries are
+    # stale and must be cross-checked against the current registry.
     with open(log_path, "a") as log:
         for i, name in enumerate(names):
             log.write(json.dumps({"q": name, "start": True, "i": i}) + "\n")
@@ -107,7 +111,14 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001 — record, keep sweeping
                 errs = [f"{name}: EXCEPTION {type(e).__name__}: {e}"]
             dt = round(time.time() - t0, 2)
-            row = {"q": name, "sec": dt, "errs": errs or None, "i": i, "n": len(names)}
+            row = {
+                "q": name,
+                "done": True,
+                "sec": dt,
+                "errs": errs or None,
+                "i": i,
+                "n": len(names),
+            }
             log.write(json.dumps(row) + "\n")
             log.flush()
             if errs:

@@ -39,7 +39,7 @@ CONFIGS = [
 ]
 
 
-def _run_all(sf_dir: str, conf: dict, names: list[str]) -> dict:
+def _run_all(sf_dir: str, conf: dict, names: list[str], scratch: str) -> dict:
     # the py4j JVM is shared across sequential sessions, so driver heap
     # must be fixed BEFORE the first session — sf1.0 OOMs the 1g default
     os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 12g pyspark-shell")
@@ -55,14 +55,20 @@ def _run_all(sf_dir: str, conf: dict, names: list[str]) -> dict:
 
     qs = em.queries()
     out = {}
-    for name in names:
-        t0 = time.time()
-        try:
-            df = _canon(qs[name](spark, sf_dir).toPandas())
-            out[name] = {"rows": len(df), "repr": df.to_csv(index=False)}
-        except Exception as e:  # noqa: BLE001
-            out[name] = {"error": f"{type(e).__name__}: {e}"}
-        out[name]["sec"] = round(time.time() - t0, 2)
+    # per-query append+flush to a per-config scratch file: a crash or OOM
+    # in a LATER query/config (the sf1.0 risk the heap note above
+    # documents) must not discard hours of already-finished results
+    with open(scratch, "a") as ckpt:
+        for name in names:
+            t0 = time.time()
+            try:
+                df = _canon(qs[name](spark, sf_dir).toPandas())
+                out[name] = {"rows": len(df), "repr": df.to_csv(index=False)}
+            except Exception as e:  # noqa: BLE001
+                out[name] = {"error": f"{type(e).__name__}: {e}"}
+            out[name]["sec"] = round(time.time() - t0, 2)
+            ckpt.write(json.dumps({"q": name, **out[name]}) + "\n")
+            ckpt.flush()
     try:
         spark.stop()
     except Exception:  # noqa: BLE001 — a dead gateway must not mask results
@@ -83,11 +89,13 @@ def main() -> None:
     if only:
         names = [n for n in names if n in only]
     print(f"layout sweep: {len(names)} queries x {len(CONFIGS)} configs", flush=True)
-    runs = [_run_all(sf_dir, conf, names) for conf in CONFIGS]
     tag = os.path.basename(sf_dir.rstrip("/"))
-    log_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), f"layout_{tag}.jsonl"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    runs = [
+        _run_all(sf_dir, conf, names, os.path.join(here, f"layout_{tag}.config{i}.scratch.jsonl"))
+        for i, conf in enumerate(CONFIGS)
+    ]
+    log_path = os.path.join(here, f"layout_{tag}.jsonl")
     bad = []
     with open(log_path, "a") as log:
         for name in names:
@@ -103,6 +111,10 @@ def main() -> None:
                 bad.append(name)
                 print("LAYOUT-UNSTABLE", name, row["detail"], flush=True)
             log.write(json.dumps(row) + "\n")
+    for i in range(len(CONFIGS)):  # scratch only matters if we died mid-sweep
+        scratch = os.path.join(here, f"layout_{tag}.config{i}.scratch.jsonl")
+        if os.path.exists(scratch):
+            os.remove(scratch)
     print("LAYOUT SWEEP DONE", sf_dir, "queries:", len(names), "unstable:", bad)
 
 
