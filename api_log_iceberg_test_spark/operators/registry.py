@@ -5548,6 +5548,14 @@ def _welch_grid_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
     )
+    return _welch_grid_moments_from(ev)
+
+
+def _welch_grid_moments_from(ev: DataFrame) -> DataFrame:
+    """The moment expressions behind _welch_grid_moments, over any
+    pre-filtered (event_type, value) frame — split out so tests can pin
+    layout invariance by driving the REAL production expressions over
+    synthetic frames under different repartitionings."""
     a = (F.col("event_type") == "click").cast("int")
     vu = F.floor(F.col("value") * 1e6 + F.lit(0.5))
     vud = vu.cast("decimal(19,0)")

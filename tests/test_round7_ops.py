@@ -423,6 +423,30 @@ def test_grid_accumulation_is_layout_invariant(spark):
     assert a == b == expect
 
 
+def test_welch_grid_moments_layout_invariant(spark):
+    """The shared A/B moment builder must return bit-identical doubles
+    whatever the physical layout — its outputs feed ROUND and
+    q_power_analysis's uncushioned CEIL, where one ulp of partial-sum
+    association would flip a hash-gated value. Drive the REAL production
+    expressions (_welch_grid_moments_from) over the same synthetic arm
+    data under maximally different repartitionings and require exact
+    equality of all six derived moments."""
+    from api_log_iceberg_test_spark.operators.registry import (
+        _welch_grid_moments_from,
+    )
+
+    # poor-binary-representation values across both arms
+    rows = [
+        ("click" if i % 3 == 0 else "view", 0.1 + (i % 997) * 0.0007)
+        for i in range(6000)
+    ]
+    base = spark.createDataFrame(rows, "event_type string, value double")
+    a = _welch_grid_moments_from(base.repartition(1)).collect()[0]
+    b = _welch_grid_moments_from(base.repartition(32, "value")).collect()[0]
+    c = _welch_grid_moments_from(base.repartition(7, "event_type")).collect()[0]
+    assert a == b == c  # exact float equality — bit-identical moments
+
+
 # --- q_hard_negatives --------------------------------------------------------
 
 
