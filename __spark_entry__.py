@@ -127,6 +127,23 @@ _DARK_PRIORITY = [
 ]
 
 
+# Evidence floors: a CORRECTNESS row from a round BEFORE the floor is not
+# usable evidence for that entry — the entry re-enters the window as dark
+# and gets re-certified ahead of the stale refill. Two legitimate causes
+# (COVERAGE.md round 8):
+#   * the query's OUTPUT changed at driver SF, so prior rows certify the
+#     OLD semantics (q_bootstrap_ci: the ADVICE r07 grid-moment + n_events
+#     fixes changed the sf0.01 hash — floor 8);
+#   * the ORACLE was upgraded after the entry's last driver row
+#     (q_cms_event_counts: its graduated hash oracle landed in r05 but the
+#     only driver row is the r04 rows-only check — floor 5).
+# Fixes whose output is bit-identical at driver SF (r08: q_ece_calibration,
+# q_ngram_novelty, q_seasonality_strength) are NOT floored — a driver
+# re-run would reproduce the same hash and add zero information; their
+# assurance tier is the sf0.1/sf1.0 sweep where the outputs DO differ.
+_EVIDENCE_FLOOR = {"q_bootstrap_ci": 8, "q_cms_event_counts": 5}
+
+
 def _usable_evidence_row(row: dict) -> bool:
     """A CORRECTNESS row counts as driver evidence iff it hash-matched, or
     it is a by-design rows-only row that actually produced rows."""
@@ -160,7 +177,9 @@ def _driver_evidence() -> dict[str, int]:
         for name, row in rows.items():
             if _usable_evidence_row(row):
                 latest[name] = max(latest.get(name, 0), rnd)
-    return latest
+    return {
+        n: r for n, r in latest.items() if r >= _EVIDENCE_FLOOR.get(n, 0)
+    }
 
 
 def _select_window(names: list[str], evidence: dict[str, int]) -> list[str]:

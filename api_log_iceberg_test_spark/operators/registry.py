@@ -4838,13 +4838,26 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the explode is a ×32 row amplification that collapses in the
     map-side partial aggregate — the shuffle carries |event_type|×32
     rows. Base stats come from the SAME frame (each row appears exactly
-    R times, so Σcount/R is exact), keeping the raw table at ONE scan.
+    R times, so Σcount/rr is exact), keeping the raw table at ONE scan.
+
+    All fp sums ride the exact 1e-6 grid (SCALE.md §11, ADVICE r07):
+    value quantizes to integer units, Σw·v and Σv accumulate in
+    DECIMAL(38,0), each replica mean re-quantizes to the grid from exact
+    inputs via one deterministic division, and the cross-replica s1/s2
+    are exact integer sums — layout- and association-independent.
+    n_events divides by the SURVIVING replica count rr (not the constant
+    R), so the emitted count stays exact even when a tiny group drops a
+    replica (ADVICE r07).
     """
     R = 32
-    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).alias("vu"),
+    )
     rep = ev.select(
         "event_type",
-        "value",
+        "vu",
         "event_id",
         F.explode(F.sequence(F.lit(0), F.lit(R - 1))).alias("r"),
     )
@@ -4867,9 +4880,11 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep.withColumn("w", w)
         .groupBy("event_type", "r")
         .agg(
-            F.sum(F.col("w") * F.col("value")).alias("ws"),
+            F.sum(
+                (F.col("w") * F.col("vu")).cast("decimal(38,0)")
+            ).alias("wsu"),
             F.sum("w").alias("wn"),
-            F.sum("value").alias("sv"),
+            F.sum(F.col("vu").cast("decimal(38,0)")).alias("svu"),
             F.count(F.lit(1)).alias("cn"),
         )
         # a replica whose every multiplicity drew 0 has no mean — possible
@@ -4877,23 +4892,32 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         # replays the same filter, and rr (not the constant R) feeds the
         # variance so the statistic stays well-defined either way
         .filter(F.col("wn") > 0)
-        .withColumn("mean_r", F.col("ws") / F.col("wn"))
+        # replica mean re-quantized to 1e-6 units: one deterministic
+        # division over exact integer inputs, identical in both engines
+        .withColumn(
+            "mu",
+            F.floor(
+                F.col("wsu").cast("double") / F.col("wn") + F.lit(0.5)
+            ),
+        )
     )
+    mud = F.col("mu").cast("decimal(19,0)")
     t = g.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("rr"),
-        F.sum("mean_r").alias("s1"),
-        F.sum(F.col("mean_r") * F.col("mean_r")).alias("s2"),
-        F.sum("sv").alias("svt"),
+        F.sum(mud).alias("s1u"),
+        F.sum(mud * mud).alias("s2u"),
+        F.sum("svu").alias("svtu"),
         F.sum("cn").alias("cnt"),
     )
+    s1 = F.col("s1u").cast("double") / 1e6
+    s2 = F.col("s2u").cast("double") / 1e12
     se = F.sqrt(
-        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("rr"))
-        / (F.col("rr") - 1)
+        (s2 - s1 * s1 / F.col("rr")) / (F.col("rr") - 1)
     )
-    mean = F.col("svt") / F.col("cnt")
+    mean = F.col("svtu").cast("double") / 1e6 / F.col("cnt")
     return t.select(
         "event_type",
-        (F.col("cnt") / R).cast("long").alias("n_events"),
+        F.floor(F.col("cnt") / F.col("rr")).cast("long").alias("n_events"),
         F.round(mean, 6).alias("mean_value"),
         F.round(se, 6).alias("boot_se"),
         F.round(mean - 1.96 * se, 6).alias("ci_lo"),
@@ -4903,13 +4927,13 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q_bootstrap_ci"] = """
     WITH rep AS (
-        SELECT event_type, value, r,
+        SELECT event_type, CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT) AS vu, r,
                ((event_id % 1000003) * (2654435761 + r * 40503)) % 1000003
                    AS h
         FROM events, (SELECT unnest(range(32)) AS r)
     ),
     wt AS (
-        SELECT event_type, value, r,
+        SELECT event_type, vu, r,
                CASE WHEN h / 1000003.0 < 0.367879 THEN 0
                     WHEN h / 1000003.0 < 0.735759 THEN 1
                     WHEN h / 1000003.0 < 0.919699 THEN 2
@@ -4918,20 +4942,25 @@ ORACLE["q_bootstrap_ci"] = """
         FROM rep
     ),
     g AS (
-        SELECT event_type, r, SUM(w * value) AS ws, SUM(w) AS wn,
-               SUM(value) AS sv, COUNT(*) AS cn
+        SELECT event_type, r, SUM(w * vu) AS wsu, SUM(w) AS wn,
+               SUM(vu) AS svu, COUNT(*) AS cn
         FROM wt GROUP BY 1, 2
     ),
     m AS (
-        SELECT event_type, ws / wn AS mean_r, sv, cn FROM g WHERE wn > 0
+        SELECT event_type,
+               CAST(FLOOR(CAST(wsu AS DOUBLE) / wn + 0.5) AS HUGEINT) AS mu,
+               svu, cn
+        FROM g WHERE wn > 0
     ),
     t AS (
-        SELECT event_type, COUNT(*) AS rr, SUM(mean_r) AS s1,
-               SUM(mean_r * mean_r) AS s2, SUM(sv) AS svt, SUM(cn) AS cnt
+        SELECT event_type, COUNT(*) AS rr,
+               CAST(SUM(mu) AS DOUBLE) / 1e6 AS s1,
+               CAST(SUM(mu * mu) AS DOUBLE) / 1e12 AS s2,
+               CAST(SUM(svu) AS DOUBLE) / 1e6 AS svt, SUM(cn) AS cnt
         FROM m GROUP BY 1
     )
     SELECT event_type,
-           (cnt // 32)::BIGINT AS n_events,
+           (cnt // rr)::BIGINT AS n_events,
            ROUND(svt / cnt, 6) AS mean_value,
            ROUND(SQRT((s2 - s1 * s1 / rr) / (rr - 1)), 6) AS boot_se,
            ROUND(svt / cnt - 1.96 * SQRT((s2 - s1 * s1 / rr) / (rr - 1)), 6)
@@ -5148,6 +5177,13 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     form — so the raw table is scanned ONCE (no profile-join second
     pass). Variances use the explicit (s2 − s1²/n)/(n−1) form. Shuffle:
     one exchange on the 168·|types| cell key, then a |types|-row merge.
+
+    All moment sums run on the exact 1e-6 grid (SCALE.md §11, ADVICE
+    r07): value quantizes to integer units (floor(v·1e6+0.5)), the cell
+    sum is an exact DECIMAL window sum, the residual re-quantizes to the
+    same grid from exact inputs via one deterministic division, and the
+    s1/s2 sums accumulate DECIMAL(38,0) integers — order-, layout- and
+    engine-association-independent, converted to DOUBLE exactly once.
     """
     from pyspark.sql import Window
 
@@ -5155,27 +5191,36 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.dayofweek("ts").alias("dow"),
         F.hour("ts").alias("hour"),
-        "value",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).alias("vu"),
     )
     w = Window.partitionBy("event_type", "dow", "hour")
+    # residual in 1e-6 units: vu − cellsum/n is a single deterministic
+    # double division over exact integer inputs, re-quantized to the grid
     cells = ev.select(
         "event_type",
-        "value",
-        (F.sum("value").over(w) / F.count(F.lit(1)).over(w)).alias("mu"),
-    ).withColumn("resid", F.col("value") - F.col("mu"))
+        "vu",
+        F.floor(
+            F.col("vu").cast("double")
+            - F.sum(F.col("vu").cast("decimal(19,0)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+            + F.lit(0.5)
+        ).alias("ru"),
+    )
+    vud = F.col("vu").cast("decimal(19,0)")
+    rud = F.col("ru").cast("decimal(19,0)")
     t = cells.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("s1v"),
-        F.sum(F.col("value") * F.col("value")).alias("s2v"),
-        F.sum("resid").alias("s1r"),
-        F.sum(F.col("resid") * F.col("resid")).alias("s2r"),
+        F.sum(vud).alias("s1vu"),
+        F.sum(vud * vud).alias("s2vu"),
+        F.sum(rud).alias("s1ru"),
+        F.sum(rud * rud).alias("s2ru"),
     )
-    var_t = (F.col("s2v") - F.col("s1v") * F.col("s1v") / F.col("n")) / (
-        F.col("n") - 1
-    )
-    var_r = (F.col("s2r") - F.col("s1r") * F.col("s1r") / F.col("n")) / (
-        F.col("n") - 1
-    )
+    s1v = F.col("s1vu").cast("double") / 1e6
+    s2v = F.col("s2vu").cast("double") / 1e12
+    s1r = F.col("s1ru").cast("double") / 1e6
+    s2r = F.col("s2ru").cast("double") / 1e12
+    var_t = (s2v - s1v * s1v / F.col("n")) / (F.col("n") - 1)
+    var_r = (s2r - s1r * s1r / F.col("n")) / (F.col("n") - 1)
     return t.select(
         "event_type",
         F.col("n").alias("n_events"),
@@ -5186,19 +5231,27 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_seasonality_strength"] = """
-    WITH cells AS (
-        SELECT event_type, value,
-               value - SUM(value) OVER (PARTITION BY event_type,
-                                        dayofweek(ts) + 1, hour(ts))
-                       / COUNT(*) OVER (PARTITION BY event_type,
-                                        dayofweek(ts) + 1, hour(ts))
-                   AS resid
+    WITH q AS (
+        SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+               CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT) AS vu
         FROM events
     ),
+    cells AS (
+        SELECT event_type, vu,
+               CAST(FLOOR(
+                   CAST(vu AS DOUBLE)
+                   - CAST(SUM(vu) OVER (PARTITION BY event_type, dow, hr)
+                          AS DOUBLE)
+                     / COUNT(*) OVER (PARTITION BY event_type, dow, hr)
+                   + 0.5) AS HUGEINT) AS ru
+        FROM q
+    ),
     t AS (
-        SELECT event_type, COUNT(*) AS n, SUM(value) AS s1v,
-               SUM(value * value) AS s2v, SUM(resid) AS s1r,
-               SUM(resid * resid) AS s2r
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(vu) AS DOUBLE) / 1e6 AS s1v,
+               CAST(SUM(vu * vu) AS DOUBLE) / 1e12 AS s2v,
+               CAST(SUM(ru) AS DOUBLE) / 1e6 AS s1r,
+               CAST(SUM(ru * ru) AS DOUBLE) / 1e12 AS s2r
         FROM cells GROUP BY 1
     )
     SELECT event_type, n::BIGINT AS n_events,
@@ -5305,15 +5358,21 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("slice")
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
+    # LEFT join from presence: a slice contributing ZERO new trigrams
+    # (full saturation — the exact diminishing-returns signal this curve
+    # exists to surface) must report new_frac = 0, not vanish from the
+    # output (ADVICE r07; latent on near-duplicate-heavy corpora).
     return (
-        present.join(first, "slice")
+        present.join(first, "slice", "left")
         .select(
             "slice",
             "n_shingles",
-            "n_new",
-            F.round(F.col("n_new") / F.col("n_shingles").cast("double"), 6).alias(
-                "new_frac"
-            ),
+            F.coalesce(F.col("n_new"), F.lit(0).cast("long")).alias("n_new"),
+            F.round(
+                F.coalesce(F.col("n_new"), F.lit(0).cast("long"))
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("new_frac"),
         )
         .orderBy("slice")
     )
@@ -5339,9 +5398,10 @@ ORACLE["q_ngram_novelty"] = f"""
         FROM (SELECT tri, MIN(slice) AS slice FROM sliced GROUP BY tri)
         GROUP BY slice
     )
-    SELECT p.slice::BIGINT AS slice, n_shingles, n_new,
-           ROUND(n_new / n_shingles::DOUBLE, 6) AS new_frac
-    FROM present p JOIN first f ON p.slice = f.slice
+    SELECT p.slice::BIGINT AS slice, n_shingles,
+           COALESCE(n_new, 0) AS n_new,
+           ROUND(COALESCE(n_new, 0) / n_shingles::DOUBLE, 6) AS new_frac
+    FROM present p LEFT JOIN first f ON p.slice = f.slice
     ORDER BY slice
 """
 
@@ -5437,6 +5497,13 @@ def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic a model-eval pipeline reports next to AUC (same scoring
     subtree as q_auc_eval, same 6dp-rounded score contract).
 
+    The anchor's OWN label rides the broadcast (``alabel``) so the
+    outcome y = (label == alabel) matches the docstring's definition of
+    p — ADVICE r07 caught the earlier hardcoded ``label == 0``, which
+    measured calibration against an unrelated class (anchor 7's label
+    is 9 in the driver testdata) while the oracle replicated the same
+    constant, so the hash gate could never see it.
+
     Scale: anchor broadcast, one corpus scan, 10-row bin agg; the 1-row
     N total attaches by audited broadcast crossJoin.
     """
@@ -5444,6 +5511,7 @@ def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 7).select(
         F.col("embedding").alias("q_vec"),
         similarity.norm(F.col("embedding")).alias("q_norm"),
+        F.col("label").alias("alabel"),
     )
     s = (
         emb.filter(F.col("vec_id") != 7)
@@ -5463,7 +5531,7 @@ def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 2,
                 6,
             ).alias("p"),
-            (F.col("label") == 0).cast("int").alias("y"),
+            (F.col("label") == F.col("alabel")).cast("int").alias("y"),
         )
     )
     bins = (
@@ -5505,10 +5573,10 @@ def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q_ece_calibration"] = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-    q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+    q AS (SELECT v AS qv, label AS alabel FROM e WHERE vec_id = 7),
     s AS (
         SELECT ROUND((list_cosine_similarity(e.v, q.qv) + 1) / 2, 6) AS p,
-               CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS y
+               CASE WHEN e.label = q.alabel THEN 1 ELSE 0 END AS y
         FROM e CROSS JOIN q WHERE e.vec_id <> 7
     ),
     bins AS (

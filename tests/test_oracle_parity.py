@@ -205,6 +205,33 @@ def test_window_selection_policy_scenarios():
     assert len(w6) == 50 and w6[:9] == entrymod._PINNED
 
 
+def test_window_budget_respects_drain(*_):
+    """VERDICT r07 #5: the drain must not silently stall. Dark entries
+    (new operators plus _EVIDENCE_FLOOR-forced re-certs) consume window
+    slots BEFORE the stale refill, so every dark entry beyond the slack
+    (window − pinned − stalest-cohort size) leaves one stalest-cohort
+    entry unre-certified for another round. This tripwire FAILS a round
+    that registers more dark entries than the slack allows — exceeding
+    it must be an explicit, test-visible decision, not an accident."""
+    names = list(_QUERIES)
+    ev = entrymod._driver_evidence()
+    nonpinned = [n for n in names if n not in entrymod._PINNED]
+    dark = [n for n in nonpinned if n not in ev]
+    with_ev = [n for n in nonpinned if n in ev]
+    if not with_ev:  # nothing to drain yet (fresh repo state)
+        return
+    stalest = min(ev[n] for n in with_ev)
+    cohort = sum(1 for n in with_ev if ev[n] == stalest)
+    slack = 50 - len(entrymod._PINNED) - cohort
+    assert len(dark) <= max(slack, 0), (
+        f"{len(dark)} dark entries exceed the drain budget "
+        f"({max(slack, 0)} = 41 − {cohort}-entry r{stalest:02d} cohort): "
+        f"the stalest cohort would straggle. Either register fewer new "
+        f"ops this round or explicitly raise the budget here with a "
+        f"COVERAGE.md justification."
+    )
+
+
 def test_derived_partsupp_structure(spark, sf_dir):
     """Round 6: the observed-pair partsupp must be a valid TPC-H-shaped
     relation at every SF — one row per DISTINCT (l_partkey, l_suppkey)
