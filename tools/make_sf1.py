@@ -26,7 +26,28 @@ Correctness of the sweep does NOT depend on matching the driver's
 distribution: both engines read the SAME derived files, so any
 divergence is a real cross-engine arithmetic difference.
 
-Usage: python tools/make_sf1.py [out_dir]   (default .localdata/sf1.0)
+--decorrelate mode (VERDICT r07 #2): the default text derivation makes
+every replica a near-duplicate of its source doc (a trailing
+" replica{k}" token barely moves Jaccard), so every doc sits in a
+10-member near-dup cluster and EXACT pair oracles go quadratic in
+cluster size — that is why the HEAVY pair/graph families were denylisted
+from the sf1.0 differential. Decorrelation replaces the trailing token
+with a per-token replica suffix (token → token + "xk"): a BIJECTIVE
+token mapping, so within one replica every pairwise Jaccard is EXACTLY
+the sf0.1 value (shingle sets map 1:1), while across replicas shingle
+sets are disjoint (different suffixes) — the pair graph becomes 10
+independent copies of sf0.1's, i.e. pairs scale LINEARLY with SF.
+Embeddings get a per-replica dimension permutation + sign flips: an
+orthogonal transform, so within-replica cosines are preserved (the same
+component products, reordered) while cross-replica cosines collapse to
+noise (E=0, sd≈1/√64) far below every near-dup threshold. All other
+tables derive exactly as the default mode. Output lands in
+.localdata/sf1.0dx so both derivations coexist; sweep records tag as
+sweep_sf1.0dx.jsonl.
+
+Usage: python tools/make_sf1.py [out_dir] [--decorrelate]
+       (default out_dir .localdata/sf1.0, or .localdata/sf1.0dx
+        under --decorrelate)
 Deterministic — rerunning reproduces byte-identical tables.
 """
 
@@ -130,10 +151,12 @@ def _scaled(table: str, cols: dict[str, np.ndarray], k: int, key: str) -> dict:
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    decorrelate = "--decorrelate" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_dir = args[0] if args else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".localdata",
-        "sf1.0",
+        "sf1.0dx" if decorrelate else "sf1.0",
     )
     os.makedirs(out_dir, exist_ok=True)
 
@@ -180,6 +203,13 @@ def main() -> None:
     for k in range(K):
         if k == 0:
             t2, id2 = txt, ids
+        elif decorrelate:
+            # bijective per-token suffix: within-replica Jaccard is
+            # EXACTLY sf0.1's, cross-replica shingle overlap is zero —
+            # the pair graph scales linearly instead of quadratically
+            suf = f"x{k}"
+            t2 = [" ".join(w + suf for w in s.split()) for s in txt]
+            id2 = ids + np.int64(k * STRIDE)
         else:
             t2 = [s + f" replica{k}" for s in txt]
             id2 = ids + np.int64(k * STRIDE)
@@ -210,6 +240,29 @@ def main() -> None:
     for k in range(K):
         if k == 0:
             v2, id2 = vecs, ids
+        elif decorrelate:
+            # orthogonal per-replica transform (dimension permutation +
+            # sign flips): within-replica cosines preserved exactly —
+            # the same component products, reordered — cross-replica
+            # cosines collapse to noise (E=0, sd≈1/√dim)
+            dim = vecs.shape[1]
+            hp = _mix(
+                np.arange(dim, dtype=np.int64),
+                np.full(dim, k * 7919 + 13, np.int64),
+            )
+            perm = np.argsort(hp)
+            signs = np.where(
+                _mix(
+                    np.arange(dim, dtype=np.int64),
+                    np.full(dim, k * 104729 + 29, np.int64),
+                )
+                % np.uint64(2)
+                == 0,
+                np.float32(1.0),
+                np.float32(-1.0),
+            )
+            v2 = (vecs[:, perm] * signs[None, :]).astype(np.float32)
+            id2 = ids + np.int64(k * STRIDE)
         else:
             jit = _unit(
                 _mix(
