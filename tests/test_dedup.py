@@ -393,7 +393,10 @@ def test_lsh_param_sweep_sample_is_deterministic_hash_subset(spark, sf_dir):
     deterministic doc subset in every tier: the sweep at the default
     equals the full-corpus sweep run on a manually hash-filtered frame
     (the q_token_budget_sample multiplicative idiom, xxhash64-prefixed).
-    No RNG state — rerunning reproduces the identical report."""
+    No RNG state — rerunning reproduces the identical report. The manual
+    side runs at sample_fraction=1.0 (sampled-mode semantics, no filter)
+    so both sides share the exhaustive truth tier and the ONLY difference
+    under test is who applies the doc filter."""
     from pyspark.sql import functions as F
 
     corpus = load_table(spark, sf_dir, "documents")
@@ -410,10 +413,58 @@ def test_lsh_param_sweep_sample_is_deterministic_hash_subset(spark, sf_dir):
     b = [
         r.asDict()
         for r in dedup.lsh_param_sweep(
-            manual, threshold=0.5, sample_fraction=None
+            manual, threshold=0.5, sample_fraction=1.0
         ).collect()
     ]
     assert a == b
+
+
+def test_exhaustive_tier_catches_pair_blocking_misses(spark):
+    """VERDICT r07 #3: the exhaustive prefix-filtered tier must find
+    qualifying pairs the 3-smallest-shingle blocking heuristic misses.
+    Fixture: two docs sharing a long common core (J = 8/14 ≈ 0.571 ≥ 0.5)
+    whose three lexicographically smallest shingles are each doc's OWN
+    unique prefix tokens — no shared blocking key, so the blocked tier
+    drops the pair while the exhaustive tier captures it (exhaustive
+    n_true strictly greater than blocked n_true on this fixture)."""
+    core = " ".join(f"m{i}" for i in range(1, 11))
+    df = spark.createDataFrame(
+        [(1, f"aa1 aa2 aa3 {core}"), (2, f"bb1 bb2 bb3 {core}")],
+        "doc_id long, text string",
+    )
+    blocked = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    exhaustive = dedup.exhaustive_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(exhaustive) > len(blocked), (blocked, exhaustive)
+    assert len(blocked) == 0 and len(exhaustive) == 1
+    assert abs(exhaustive[0]["jaccard"] - round(8 / 14, 6)) < 1e-9
+
+
+def test_exhaustive_tier_matches_bruteforce(spark, sf_dir):
+    """Recall-1 property: on real testdata the exhaustive tier's pair set
+    must equal the all-pairs python reference EXACTLY (same pairs, same
+    6dp jaccard values) — no prefix-filter false negatives, no extras."""
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    rows = docs.select("doc_id", "text").collect()
+
+    def shingles(text: str) -> frozenset:
+        w = text.lower().split()
+        if len(w) < 3:
+            return frozenset([" ".join(w)])
+        return frozenset(" ".join(w[i : i + 3]) for i in range(len(w) - 2))
+
+    sh = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            if round(j, 6) >= 0.5:
+                want[(a, b)] = round(j, 6)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.exhaustive_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == want
 
 
 def test_lsh_param_sweep_rejects_bad_fraction(spark, docs):

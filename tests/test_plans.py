@@ -792,8 +792,17 @@ def test_lsh_param_sweep_sample_filter_below_shingle_explode(
         assert "Filter" in lines[i - 1] and "2654435761" in lines[i - 1], (
             f"scan at line {i} not sample-filtered: {lines[i - 1]}"
         )
-    # and the filter count matches the scan count: no tier escapes
-    assert sum("2654435761" in ln for ln in lines) == len(rels), opt
+    # and the Filter-node count matches the scan count: no tier escapes,
+    # and no tier re-filters already-sampled rows. Catalyst's constraint
+    # propagation may additionally copy the predicate into Join CONDITIONS
+    # (seen above the exhaustive truth tier's least/greatest candidate
+    # join) — redundant but sound; only non-Filter non-Join occurrences
+    # would indicate a real contract drift.
+    occurrences = [ln for ln in lines if "2654435761" in ln]
+    filters = [ln for ln in occurrences if "Filter" in ln]
+    others = [ln for ln in occurrences if "Filter" not in ln]
+    assert len(filters) == len(rels), opt
+    assert all("Join" in ln for ln in others), others
 
 
 def test_ngram_novelty_single_shingle_materialization(spark, sf_dir):
