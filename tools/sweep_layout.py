@@ -85,9 +85,13 @@ def main() -> None:
     import __spark_entry__ as em
 
     qs, osql = em.queries(), em.oracle_sql()
-    names = [n for n in sorted(qs) if n in osql and n not in HEAVY]
     if only:
-        names = [n for n in names if n in only]
+        # explicit --only overrides the HEAVY denylist: the caller opts in
+        # knowingly (e.g. pair families on the decorrelated sf1.0dx tier,
+        # where their cost is linear)
+        names = [n for n in sorted(qs) if n in osql and n in only]
+    else:
+        names = [n for n in sorted(qs) if n in osql and n not in HEAVY]
     print(f"layout sweep: {len(names)} queries x {len(CONFIGS)} configs", flush=True)
     tag = os.path.basename(sf_dir.rstrip("/"))
     here = os.path.dirname(os.path.abspath(__file__))
