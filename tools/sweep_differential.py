@@ -13,6 +13,21 @@ of those families are in the numeric-risk taxonomy (rounded doubles, fp
 aggregates joined against themselves, modular checksums, quantiles).
 They remain covered by the sf0.1 sweep.
 
+Round 8: the --decorrelate derivation (make_sf1.py, .localdata/sf1.0dx)
+makes pair growth LINEAR, and 19 of the 22 HEAVY entries now have
+sf1.0-scale cross-engine records in sweep_sf1.0dx.jsonl (all MATCH; the
+range-join entry needed its oracle banded first — see its docstring).
+The three that remain denylisted at sf1.0, each with a measured
+justification in that jsonl:
+  * q_embedding_neardup — intrinsically all-pairs at threshold 0.42
+    (eps = sqrt(2-2t) ~ 1.08 disables the projection pruning; the LSH
+    twin is the scale path by design); DNF at the 20-min box.
+  * q_pagerank_parts, q_label_propagation — the DUCKDB recursive-CTE
+    oracles spill >79 GB of temp disk at 1M events and die on IO
+    (913s/866s); the Spark sides complete and are layout-checked at
+    sf1.0dx instead (layout_sf1.0dx.jsonl). q_pagerank itself passes
+    (17s), so the graph family has a cross-engine sf1.0 anchor.
+
 Usage:
     python tools/sweep_differential.py <sf_dir> [--skip-heavy] [--only n1,n2]
 Writes JSONL progress to sweep_<tag>.jsonl next to this file.
