@@ -2597,14 +2597,18 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One map-side-combinable pass computes N_h and σ_h (sum/sumsq form);
     the |strata|-row result is windowed only post-agg. Sample-variance
-    (n−1) with the explicit guard for single-row strata."""
+    (n−1) with the explicit guard for single-row strata. The moment sums
+    accumulate integer n_chars / n_chars² in DECIMAL(38,0) (SCALE.md
+    §11, r08 fp-sum audit) — losslessly exact at any scale, where the
+    old double sums lose exactness past 2^53 total."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    ncd = F.col("n_chars").cast("decimal(19,0)")
     per = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("n_chars").cast("double")).alias("_s"),
-        F.sum(F.pow(F.col("n_chars").cast("double"), 2)).alias("_s2"),
+        F.sum(ncd).cast("double").alias("_s"),
+        F.sum(ncd * ncd).cast("double").alias("_s2"),
     )
     n = F.col("n_docs").cast("double")
     var = F.when(
@@ -2612,8 +2616,17 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_s2") - F.pow(F.col("_s"), 2) / n) / (n - 1),
     ).otherwise(F.lit(0.0))
     w = Window.partitionBy()
-    weighted = per.withColumn("_nh_sh", n * F.sqrt(var))
-    alloc = F.col("_nh_sh") / F.sum("_nh_sh").over(w)
+    # N_h·σ_h on the 1e-6 grid (coarser than the 1e-12 idiom because the
+    # weight is O(N_h·chars) and a 1e-12 floor would overflow LONG at
+    # sf1.0 already); the share is a ratio of same-grid units, so the
+    # |strata|-row window sum is exact and order-independent
+    weighted = per.withColumn(
+        "_nh_sh_u",
+        F.floor(n * F.sqrt(var) * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
+    )
+    alloc = F.col("_nh_sh_u").cast("double") / F.sum("_nh_sh_u").over(w).cast(
+        "double"
+    )
     return weighted.select(
         "lang",
         "n_docs",
@@ -2626,7 +2639,8 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_neyman_allocation"] = """
     WITH per AS (
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(n_chars::DOUBLE) AS s, SUM(POW(n_chars::DOUBLE, 2)) AS s2
+               CAST(SUM(n_chars::HUGEINT) AS DOUBLE) AS s,
+               CAST(SUM(n_chars::HUGEINT * n_chars::HUGEINT) AS DOUBLE) AS s2
         FROM documents GROUP BY lang
     ),
     v AS (
@@ -2638,13 +2652,17 @@ ORACLE["q_neyman_allocation"] = """
     ),
     wtd AS (
         SELECT lang, n_docs, SQRT(var) AS sd,
-               n_docs * SQRT(var) AS nh_sh
+               CAST(FLOOR(n_docs * SQRT(var) * 1e6 + 0.5) AS HUGEINT)
+                   AS nh_sh_u
         FROM v
     )
     SELECT lang, n_docs,
            ROUND(sd, 4) AS stddev_chars,
-           ROUND(nh_sh / SUM(nh_sh) OVER (), 6) AS alloc_share,
-           ROUND(nh_sh / SUM(nh_sh) OVER () * 100, 2) AS alloc_k100
+           ROUND(CAST(nh_sh_u AS DOUBLE)
+                 / CAST(SUM(nh_sh_u) OVER () AS DOUBLE), 6) AS alloc_share,
+           ROUND(CAST(nh_sh_u AS DOUBLE)
+                 / CAST(SUM(nh_sh_u) OVER () AS DOUBLE) * 100, 2)
+               AS alloc_k100
     FROM wtd ORDER BY lang
 """
 
@@ -3524,20 +3542,27 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Low entropy = repetitive/templated text, high = diverse vocabulary;
     curation pipelines threshold both tails. One explode + two combinable
-    aggs; the shuffle carries (doc, term) then (doc) rows only.
+    aggs; the shuffle carries (doc, term) then (doc) rows only. The
+    Σc·ln(c) term sum rides the exact 1e-12 grid (SCALE.md §11, r08
+    fp-sum audit): each c·ln(c) is deterministic per row (c is an exact
+    integer count), quantized to integer units and summed in
+    DECIMAL(38,0) — association-independent across layouts and engines.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(text.tokens("text")).alias("term")
     ).filter(F.col("term") != "")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    clnc_u = F.floor(
+        F.col("c") * F.log(F.col("c").cast("double")) * 1e12 + F.lit(0.5)
+    ).cast("decimal(38,0)")
     return (
         tf.groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_tokens"),
             F.round(
                 F.log(F.sum("c").cast("double"))
-                - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+                - F.sum(clnc_u).cast("double") / 1e12
                 / F.sum("c").cast("double"),
                 4,
             ).alias("entropy"),
@@ -3555,7 +3580,9 @@ ORACLE["q_token_entropy"] = f"""
     tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term)
     SELECT doc_id,
            SUM(c)::BIGINT AS n_tokens,
-           ROUND(LN(SUM(c)::DOUBLE) - SUM(c * LN(c::DOUBLE)) / SUM(c)::DOUBLE, 4)
+           ROUND(LN(SUM(c)::DOUBLE)
+                 - CAST(SUM(CAST(FLOOR(c * LN(c::DOUBLE) * 1e12 + 0.5)
+                       AS HUGEINT)) AS DOUBLE) / 1e12 / SUM(c)::DOUBLE, 4)
                AS entropy
     FROM tf GROUP BY doc_id ORDER BY doc_id
 """
@@ -3922,13 +3949,18 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("ref_cnt") + 0.5) / (F.col("ref_tot") + 5.0)).alias("p_ref"),
         ((F.col("cur_cnt") + 0.5) / (F.col("cur_tot") + 5.0)).alias("p_cur"),
     )
+    # each PSI term is deterministic per bucket row (derived from exact
+    # counts); quantize to 1e-12 units and sum exactly (SCALE.md §11)
+    psi_u = F.floor(
+        (F.col("p_cur") - F.col("p_ref"))
+        * F.log(F.col("p_cur") / F.col("p_ref"))
+        * 1e12
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
     return (
         p.groupBy("event_type")
         .agg(
-            F.round(
-                F.sum((F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))),
-                6,
-            ).alias("psi")
+            F.round(F.sum(psi_u).cast("double") / 1e12, 6).alias("psi")
         )
         .orderBy("event_type")
     )
@@ -3968,7 +4000,8 @@ ORACLE["q_psi_drift"] = """
         FROM full_grid f JOIN tot t ON f.event_type = t.event_type
     )
     SELECT event_type,
-           ROUND(SUM((p_cur - p_ref) * LN(p_cur / p_ref)), 6) AS psi
+           ROUND(CAST(SUM(CAST(FLOOR((p_cur - p_ref) * LN(p_cur / p_ref)
+                     * 1e12 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e12, 6) AS psi
     FROM p GROUP BY event_type ORDER BY event_type
 """
 
@@ -4451,6 +4484,12 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable sum/sumsq partials. The epoch math uses unix_micros over a
     cast-to-LTZ (the NTZ armor documented at analytics.py:724) —
     sample stddev via the explicit n/(n-1) form both engines share.
+
+    The moment sums run on the native microsecond grid (SCALE.md §11,
+    r08 fp-sum audit): gaps are EXACT integer µs, so Σgap and Σgap²
+    accumulate in DECIMAL(38,0) with zero quantization loss — order-,
+    layout- and engine-association-independent, one DOUBLE conversion
+    at the end.
     """
     from pyspark.sql import Window
 
@@ -4459,16 +4498,19 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     gaps = (
         ev.select("user_id", "event_type", "ts", "event_id", us.alias("t_us"))
-        .withColumn("gap_s", (F.col("t_us") - F.lag("t_us").over(w)) / 1e6)
-        .filter(F.col("gap_s").isNotNull())
+        .withColumn("gap_us", F.col("t_us") - F.lag("t_us").over(w))
+        .filter(F.col("gap_us").isNotNull())
     )
+    gud = F.col("gap_us").cast("decimal(19,0)")
     agg = gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.sum("gap_s").alias("s1"),
-        F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+        F.sum(gud).alias("s1u"),
+        F.sum(gud * gud).alias("s2u"),
     )
-    mean = F.col("s1") / F.col("n_gaps")
-    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_gaps")) / (
+    s1 = F.col("s1u").cast("double") / 1e6
+    s2 = F.col("s2u").cast("double") / 1e12
+    mean = s1 / F.col("n_gaps")
+    var = (s2 - s1 * s1 / F.col("n_gaps")) / (
         F.col("n_gaps") - 1
     )
     return agg.select(
@@ -4485,13 +4527,14 @@ ORACLE["q_interarrival_stats"] = """
         SELECT event_type,
                (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                    PARTITION BY user_id, event_type ORDER BY ts, event_id
-               )) / 1e6 AS gap_s
+               ))::HUGEINT AS gap_us
         FROM events WHERE event_type IS NOT NULL
     ),
     agg AS (
         SELECT event_type, COUNT(*) AS n_gaps,
-               SUM(gap_s) AS s1, SUM(gap_s * gap_s) AS s2
-        FROM gaps WHERE gap_s IS NOT NULL GROUP BY event_type
+               CAST(SUM(gap_us) AS DOUBLE) / 1e6 AS s1,
+               CAST(SUM(gap_us * gap_us) AS DOUBLE) / 1e12 AS s2
+        FROM gaps WHERE gap_us IS NOT NULL GROUP BY event_type
     )
     SELECT event_type, n_gaps,
            ROUND(s1 / n_gaps, 4) AS mean_gap_s,
@@ -5021,11 +5064,16 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + F.col("neg")).alias("n_orders"),
         F.col("pos").alias("n_pos"),
         woe.alias("_woe"),
-        ((F.col("pos") / F.col("pt") - F.col("neg") / F.col("nt")) * woe).alias(
-            "_contrib"
-        ),
+        # IV contribution quantized to 1e-12 units (SCALE.md §11, r08
+        # fp-sum audit): deterministic per-bucket term, exact sum
+        F.floor(
+            (F.col("pos") / F.col("pt") - F.col("neg") / F.col("nt"))
+            * woe
+            * 1e12
+            + F.lit(0.5)
+        ).cast("decimal(38,0)").alias("_contrib_u"),
     )
-    iv = b.agg(F.sum("_contrib").alias("_iv"))
+    iv = b.agg((F.sum("_contrib_u").cast("double") / 1e12).alias("_iv"))
     return (
         b.join(F.broadcast(iv))
         .select(
@@ -5050,13 +5098,16 @@ ORACLE["q_woe_iv"] = """
     b AS (
         SELECT o_orderpriority, pos + neg AS n_orders, pos AS n_pos,
                LN((pos / pt) / (neg / nt)) AS woe,
-               (pos / pt - neg / nt) * LN((pos / pt) / (neg / nt)) AS contrib
+               CAST(FLOOR((pos / pt - neg / nt)
+                    * LN((pos / pt) / (neg / nt)) * 1e12 + 0.5)
+                    AS HUGEINT) AS contrib_u
         FROM g, t
     )
     SELECT o_orderpriority, n_orders::BIGINT AS n_orders,
            n_pos::BIGINT AS n_pos,
            ROUND(woe, 6) AS woe,
-           ROUND((SELECT SUM(contrib) FROM b), 6) AS iv
+           ROUND((SELECT CAST(SUM(contrib_u) AS DOUBLE) / 1e12 FROM b), 6)
+               AS iv
     FROM b ORDER BY o_orderpriority
 """
 
@@ -5550,30 +5601,38 @@ def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("alabel")).cast("int").alias("y"),
         )
     )
+    # p is already 6dp-rounded, so floor(p·1e6+0.5) recovers its exact
+    # grid units: the corpus-sized Σp accumulates in DECIMAL (SCALE.md
+    # §11, r08 fp-sum audit) instead of an association-dependent fp sum
     bins = (
         s.select(
             F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin"),
-            "p",
+            F.floor(F.col("p") * 1e6 + F.lit(0.5)).cast("decimal(38,0)").alias(
+                "pu"
+            ),
             "y",
         )
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("p").alias("sp"),
+            F.sum("pu").alias("spu"),
             F.sum("y").alias("sy"),
         )
     )
     tot = bins.agg(F.sum("n").alias("nt"))
+    conf = F.col("spu").cast("double") / 1e6 / F.col("n")
+    acc = F.col("sy") / F.col("n")
     b = bins.join(F.broadcast(tot)).select(
         "bin",
         "n",
-        (F.col("sp") / F.col("n")).alias("_conf"),
-        (F.col("sy") / F.col("n")).alias("_acc"),
-        (
-            F.col("n") / F.col("nt") * F.abs(F.col("sy") / F.col("n") - F.col("sp") / F.col("n"))
-        ).alias("_w"),
+        conf.alias("_conf"),
+        acc.alias("_acc"),
+        # per-bin ECE weight on the 1e-12 grid: 10-term exact sum
+        F.floor(
+            F.col("n") / F.col("nt") * F.abs(acc - conf) * 1e12 + F.lit(0.5)
+        ).cast("decimal(38,0)").alias("_wu"),
     )
-    ece = b.agg(F.sum("_w").alias("_ece"))
+    ece = b.agg((F.sum("_wu").cast("double") / 1e12).alias("_ece"))
     return (
         b.join(F.broadcast(ece))
         .select(
@@ -5597,16 +5656,20 @@ ORACLE["q_ece_calibration"] = """
     ),
     bins AS (
         SELECT LEAST(FLOOR(p * 10), 9)::INT AS bin, COUNT(*) AS n,
-               SUM(p) AS sp, SUM(y) AS sy
+               SUM(CAST(FLOOR(p * 1e6 + 0.5) AS HUGEINT)) AS spu,
+               SUM(y) AS sy
         FROM s GROUP BY 1
     ),
     b AS (
-        SELECT bin, n, sp / n AS conf, sy / n AS acc,
-               n / (SELECT SUM(n) FROM bins) * ABS(sy / n - sp / n) AS w
+        SELECT bin, n,
+               CAST(spu AS DOUBLE) / 1e6 / n AS conf, sy / n AS acc,
+               CAST(FLOOR(n / (SELECT SUM(n) FROM bins)
+                    * ABS(sy / n - CAST(spu AS DOUBLE) / 1e6 / n)
+                    * 1e12 + 0.5) AS HUGEINT) AS wu
         FROM bins
     )
     SELECT bin, n, ROUND(conf, 6) AS confidence, ROUND(acc, 6) AS accuracy,
-           ROUND((SELECT SUM(w) FROM b), 6) AS ece
+           ROUND((SELECT CAST(SUM(wu) AS DOUBLE) / 1e12 FROM b), 6) AS ece
     FROM b ORDER BY bin
 """
 
@@ -5835,11 +5898,16 @@ def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("m").alias("x_d"))
     )
     wgt = F.lit(1 - p) * F.pow(F.lit(p), F.col("d") - 1)
+    # per-depth RBO term quantized to 1e-12 units (SCALE.md §11, r08
+    # fp-sum audit): deterministic per row, exact 20-term sum
+    rbo_u = F.floor(
+        wgt * F.col("x_d") / F.col("d") * 1e12 + F.lit(0.5)
+    ).cast("decimal(38,0)")
     return overlap.agg(
         F.max(F.when(F.col("d") == k, F.col("x_d"))).cast("long").alias(
             "overlap_at_k"
         ),
-        F.round(F.sum(wgt * F.col("x_d") / F.col("d")), 6).alias("rbo"),
+        F.round(F.sum(rbo_u).cast("double") / 1e12, 6).alias("rbo"),
     )
 
 
@@ -5865,7 +5933,9 @@ ORACLE["q_rank_biased_overlap"] = f"""
         GROUP BY d
     )
     SELECT MAX(CASE WHEN d = 20 THEN x_d END)::BIGINT AS overlap_at_k,
-           ROUND(SUM((1 - 0.9) * POWER(0.9, d - 1) * x_d / d), 6) AS rbo
+           ROUND(CAST(SUM(CAST(FLOOR((1 - 0.9) * POWER(0.9, d - 1)
+                 * x_d / d * 1e12 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e12, 6)
+               AS rbo
     FROM overlap
 """
 

@@ -486,6 +486,27 @@ def test_all_query_outputs_are_scalar(registry_builds):
     assert not offenders, f"non-scalar output columns: {offenders}"
 
 
+def test_no_unallowlisted_fp_sums_registry_wide(spark, sf_dir):
+    """SCALE.md §11 enforced statically (r08): a SUM over DoubleType in a
+    hash-gated query is summation-association-dependent — its low bits
+    vary with partial-merge order across layouts and engines, and a
+    ROUND near a half boundary then flips the driver hash (the exact
+    failure class of q_running_total at sf1.0 and ADVICE r07's
+    q_seasonality_strength / q_bootstrap_ci findings). Every registered
+    query's analyzed plan is walked for raw double Sums; each hit must
+    either be grid-accumulated (DECIMAL units) or carry an explicit
+    justification in tools/audit_fp_sums.ALLOW (exact-in-double summands,
+    reference-SQL semantics, or a bounded frame — all measured stable).
+    A new operator with an unjustified fp sum fails here."""
+    from tools.audit_fp_sums import audit
+
+    findings = audit(spark, sf_dir)
+    assert not findings, (
+        "hash-gated queries with un-allowlisted raw double sums "
+        f"(grid them per SCALE.md §11 or justify in ALLOW): {findings}"
+    )
+
+
 def test_no_new_unpartitioned_windows_registry_wide(registry_plans):
     """Exhaustive global-window ban (SCALE.md §3): scan EVERY registered
     query's optimized plan for Window nodes with an empty partition spec.
