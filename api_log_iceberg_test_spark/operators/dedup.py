@@ -278,7 +278,12 @@ def exhaustive_jaccard_pairs(
         ).alias("hv"),
     )
     m = F.size("hv")
-    plen = (m - F.ceil(F.lit(threshold) * m) + 1).cast("int")
+    # ⌈t·m⌉ with a 1e-9 cushion BELOW: if the fp product lands 1 ulp
+    # ABOVE an exact integer (e.g. 0.7·10), a raw ceil would overcount
+    # the bound and shorten the prefix — a FALSE-NEGATIVE direction.
+    # The cushion can only lengthen the prefix (superset of candidates),
+    # which costs a little and never misses. Exact for t = 0.5 either way.
+    plen = (m - F.ceil(F.lit(threshold) * m - F.lit(1e-9)) + 1).cast("int")
     pref = hashed.select(
         F.col("id").alias("id_p"), F.explode(F.slice("hv", F.lit(1), plen)).alias("h")
     )

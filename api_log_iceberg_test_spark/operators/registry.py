@@ -2616,13 +2616,15 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_s2") - F.pow(F.col("_s"), 2) / n) / (n - 1),
     ).otherwise(F.lit(0.0))
     w = Window.partitionBy()
-    # N_h·σ_h on the 1e-6 grid (coarser than the 1e-12 idiom because the
-    # weight is O(N_h·chars) and a 1e-12 floor would overflow LONG at
-    # sf1.0 already); the share is a ratio of same-grid units, so the
-    # |strata|-row window sum is exact and order-independent
+    # N_h·σ_h as an exact DECIMAL product of the integer stratum count
+    # and the 1e-6-quantized σ (floor() yields LONG, so only σ·1e6 must
+    # stay < 2^63 — σ < ~9e12 chars, unreachable; the N_h multiply then
+    # happens in DECIMAL where no scale overflows). The share is a ratio
+    # of same-grid units: the |strata|-row window sum is exact and
+    # order-independent.
+    sd_u = F.floor(F.sqrt(var) * 1e6 + F.lit(0.5)).cast("decimal(19,0)")
     weighted = per.withColumn(
-        "_nh_sh_u",
-        F.floor(n * F.sqrt(var) * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
+        "_nh_sh_u", F.col("n_docs").cast("decimal(19,0)") * sd_u
     )
     alloc = F.col("_nh_sh_u").cast("double") / F.sum("_nh_sh_u").over(w).cast(
         "double"
@@ -2652,7 +2654,8 @@ ORACLE["q_neyman_allocation"] = """
     ),
     wtd AS (
         SELECT lang, n_docs, SQRT(var) AS sd,
-               CAST(FLOOR(n_docs * SQRT(var) * 1e6 + 0.5) AS HUGEINT)
+               n_docs::HUGEINT
+                   * CAST(FLOOR(SQRT(var) * 1e6 + 0.5) AS HUGEINT)
                    AS nh_sh_u
         FROM v
     )
@@ -3543,10 +3546,14 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Low entropy = repetitive/templated text, high = diverse vocabulary;
     curation pipelines threshold both tails. One explode + two combinable
     aggs; the shuffle carries (doc, term) then (doc) rows only. The
-    Σc·ln(c) term sum rides the exact 1e-12 grid (SCALE.md §11, r08
+    Σc·ln(c) term sum rides an exact 1e-9 grid (SCALE.md §11, r08
     fp-sum audit): each c·ln(c) is deterministic per row (c is an exact
     integer count), quantized to integer units and summed in
     DECIMAL(38,0) — association-independent across layouts and engines.
+    Grid bound: floor() yields LONG, so c·ln(c)·1e9 must stay < 2^63 —
+    holds for per-doc-per-term counts c < ~4.3e8 (a 430M-repeat single
+    token; far past any real document). Entropy is 4dp-rounded, and the
+    1e-9 grid error is ≤ 5e-10·(terms/n) per doc — invisible at 4dp.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -3554,7 +3561,7 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("term") != "")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
     clnc_u = F.floor(
-        F.col("c") * F.log(F.col("c").cast("double")) * 1e12 + F.lit(0.5)
+        F.col("c") * F.log(F.col("c").cast("double")) * 1e9 + F.lit(0.5)
     ).cast("decimal(38,0)")
     return (
         tf.groupBy("doc_id")
@@ -3562,7 +3569,7 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").alias("n_tokens"),
             F.round(
                 F.log(F.sum("c").cast("double"))
-                - F.sum(clnc_u).cast("double") / 1e12
+                - F.sum(clnc_u).cast("double") / 1e9
                 / F.sum("c").cast("double"),
                 4,
             ).alias("entropy"),
@@ -3581,8 +3588,8 @@ ORACLE["q_token_entropy"] = f"""
     SELECT doc_id,
            SUM(c)::BIGINT AS n_tokens,
            ROUND(LN(SUM(c)::DOUBLE)
-                 - CAST(SUM(CAST(FLOOR(c * LN(c::DOUBLE) * 1e12 + 0.5)
-                       AS HUGEINT)) AS DOUBLE) / 1e12 / SUM(c)::DOUBLE, 4)
+                 - CAST(SUM(CAST(FLOOR(c * LN(c::DOUBLE) * 1e9 + 0.5)
+                       AS HUGEINT)) AS DOUBLE) / 1e9 / SUM(c)::DOUBLE, 4)
                AS entropy
     FROM tf GROUP BY doc_id ORDER BY doc_id
 """

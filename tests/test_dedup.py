@@ -439,10 +439,14 @@ def test_exhaustive_tier_catches_pair_blocking_misses(spark):
     assert abs(exhaustive[0]["jaccard"] - round(8 / 14, 6)) < 1e-9
 
 
-def test_exhaustive_tier_matches_bruteforce(spark, sf_dir):
+@pytest.mark.parametrize("threshold", [0.5, 0.7])
+def test_exhaustive_tier_matches_bruteforce(spark, sf_dir, threshold):
     """Recall-1 property: on real testdata the exhaustive tier's pair set
     must equal the all-pairs python reference EXACTLY (same pairs, same
-    6dp jaccard values) — no prefix-filter false negatives, no extras."""
+    6dp jaccard values) — no prefix-filter false negatives, no extras.
+    t=0.7 exercises the ceil cushion: 0.7·m computes 1 ulp above the
+    exact integer for some m, and a raw ceil would shorten the prefix
+    into the false-negative direction."""
     docs = load_table(spark, sf_dir, "documents").limit(300)
     rows = docs.select("doc_id", "text").collect()
 
@@ -458,11 +462,13 @@ def test_exhaustive_tier_matches_bruteforce(spark, sf_dir):
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
             j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
-            if round(j, 6) >= 0.5:
+            if round(j, 6) >= threshold:
                 want[(a, b)] = round(j, 6)
     got = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in dedup.exhaustive_jaccard_pairs(docs, threshold=0.5).collect()
+        for r in dedup.exhaustive_jaccard_pairs(
+            docs, threshold=threshold
+        ).collect()
     }
     assert got == want
 
