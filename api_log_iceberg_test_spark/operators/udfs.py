@@ -148,8 +148,22 @@ def ks_two_sample_cogrouped(
 
     def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         key = (left[key_col].iloc[0] if len(left) else right[key_col].iloc[0])
-        a = np.sort(left[value_col].to_numpy(dtype="float64")) if len(left) else None
-        b = np.sort(right[value_col].to_numpy(dtype="float64")) if len(right) else None
+        # Catalyst prunes the cogroup inputs to the grouping key alone
+        # when the UDF's OUTPUT values are unobservable (a bare count()
+        # crashed here with KeyError — r08 vacuousness audit). The row
+        # count per cogroup is 1 in every branch below, so emitting the
+        # null-stat row for a pruned input is exact for such consumers;
+        # any consumer that reads the stats forces the full input.
+        a = (
+            np.sort(left[value_col].to_numpy(dtype="float64"))
+            if len(left) and value_col in left.columns
+            else None
+        )
+        b = (
+            np.sort(right[value_col].to_numpy(dtype="float64"))
+            if len(right) and value_col in right.columns
+            else None
+        )
         if a is None or b is None or len(a) == 0 or len(b) == 0:
             return pd.DataFrame(
                 {key_col: [key], "n_ref": [0 if a is None else len(a)],

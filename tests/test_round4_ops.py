@@ -855,6 +855,17 @@ def test_ks_cogroup_reference_and_edges(spark):
     assert got["only_ref"] == (1, 0, None)
 
 
+def test_ks_cogroup_survives_count_only_consumers(spark, sf_dir):
+    """A bare count() prunes the cogroup inputs to the grouping key, and
+    the UDF used to crash the worker with KeyError on the value column
+    (r08 vacuousness audit). Row counts must match the collected result
+    — one row per key — for count-only and key-projected consumers."""
+    df = _QUERIES["q_ks_drift"](spark, "/root/testdata/sf0.01")
+    full = df.collect()
+    assert df.count() == len(full) > 0
+    assert df.select("event_type").count() == len(full)
+
+
 def test_audience_overlap_jaccard_reference(spark, sf_dir):
     """Jaccard values match a driver-side set computation exactly and the
     pair fanout stays upper-triangular."""
