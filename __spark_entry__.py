@@ -138,10 +138,19 @@ _DARK_PRIORITY = [
 #     (q_cms_event_counts: its graduated hash oracle landed in r05 but the
 #     only driver row is the r04 rows-only check — floor 5).
 # Fixes whose output is bit-identical at driver SF (r08: q_ece_calibration,
-# q_ngram_novelty, q_seasonality_strength) are NOT floored — a driver
-# re-run would reproduce the same hash and add zero information; their
-# assurance tier is the sf0.1/sf1.0 sweep where the outputs DO differ.
-_EVIDENCE_FLOOR = {"q_bootstrap_ci": 8, "q_cms_event_counts": 5}
+# q_ngram_novelty, q_seasonality_strength, q_hourofweek_profile, the seven
+# grid-accumulation moves) are NOT floored — a driver re-run would
+# reproduce the same hash and add zero information; their assurance tier
+# is the sf0.1/sf1.0 sweep where the outputs DO differ.
+# q_value_histogram's empty-bin fix DOES change the sf0.01 output (3 of
+# 12 buckets were silently dropped at that SF) — floored at 8, accepting
+# one r03-cohort straggler this round (budget note in
+# tests/test_oracle_parity.py::test_window_budget_respects_drain).
+_EVIDENCE_FLOOR = {
+    "q_bootstrap_ci": 8,
+    "q_cms_event_counts": 5,
+    "q_value_histogram": 8,
+}
 
 
 def _usable_evidence_row(row: dict) -> bool:

@@ -1657,9 +1657,18 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-bin value histogram via width_bucket — the profiling query a
     pipeline runs before choosing quality/filter thresholds. One
-    map-side-combinable agg; bins = O(1) rows."""
+    map-side-combinable agg; bins = O(1) rows.
+
+    EVERY bucket of the fixed grid reports, including empty ones (cnt=0)
+    — a gap bin is the most informative feature of a profile (bimodal
+    values, a dead underflow/overflow range) and a bare GROUP BY silently
+    drops it: the pre-r08 version lost 3 of 12 buckets at the driver SF
+    (the q_ngram_novelty saturation class, found by self-review). The
+    12-row spine (0 = underflow, 1-10 = bins, 11 = overflow) left-joins
+    the observed counts; join cost is O(12) against an O(1)-row agg.
+    """
     ev = load_table(spark, sf_dir, "events")
-    return (
+    obs = (
         ev.select(
             F.width_bucket(F.col("value"), F.lit(0.0), F.lit(500.0), F.lit(10)).alias(
                 "bucket"
@@ -1667,6 +1676,14 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = spark.range(12).select(F.col("id").alias("bucket"))
+    return (
+        spine.join(obs, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+        )
         .orderBy("bucket")
     )
 
@@ -1693,11 +1710,17 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_value_histogram"] = """
-    SELECT (CASE WHEN value < 0.0 THEN 0
-                 WHEN value >= 500.0 THEN 11
-                 ELSE floor(value / 50.0)::BIGINT + 1 END) AS bucket,
-           COUNT(*) AS cnt
-    FROM events GROUP BY bucket ORDER BY bucket
+    WITH obs AS (
+        SELECT (CASE WHEN value < 0.0 THEN 0
+                     WHEN value >= 500.0 THEN 11
+                     ELSE floor(value / 50.0)::BIGINT + 1 END) AS bucket,
+               COUNT(*) AS cnt
+        FROM events GROUP BY bucket
+    )
+    SELECT s.bucket, COALESCE(o.cnt, 0) AS cnt
+    FROM (SELECT unnest(range(12)) AS bucket) s
+    LEFT JOIN obs o ON s.bucket = o.bucket
+    ORDER BY s.bucket
 """
 
 ORACLE["q_corr_stats"] = """
@@ -3825,29 +3848,55 @@ def q_hourofweek_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     capacity planning and anomaly baselines (unlike q_hourly_rollup's
     linear timeline, this folds time onto its cycle).
 
-    One combinable agg; 168 output rows at any scale. dayofweek is pinned
+    One combinable agg; 168 output rows at any scale — GUARANTEED by a
+    7×24 spine left-joining the observed cells, so a DEAD hour reports
+    cnt=0 / avg NULL instead of silently vanishing (an unstaffed-capacity
+    hour is exactly the anomaly the heatmap exists to surface; the bare
+    GROUP BY dropped one cell at sf0.001 — the q_ngram_novelty
+    saturation class, found by self-review in r08). dayofweek is pinned
     to the 1=Sunday..7=Saturday convention both engines share via their
     respective functions (Spark dayofweek ≡ DuckDB dayofweek + 1).
     """
     ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    spine = (
+        spark.range(1, 8)
+        .select(F.col("id").cast("int").alias("dow"))
+        .crossJoin(spark.range(24).select(F.col("id").cast("int").alias("hour")))
+    )
     return (
-        ev.groupBy(
-            F.dayofweek("ts").alias("dow"),
-            F.hour("ts").alias("hour"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+        spine.join(obs, ["dow", "hour"], "left")
+        .select(
+            "dow",
+            "hour",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+            "avg_value",
         )
         .orderBy("dow", "hour")
     )
 
 
 ORACLE["q_hourofweek_profile"] = """
-    SELECT (dayofweek(ts) + 1)::INT AS dow, hour(ts)::INT AS hour,
-           COUNT(*) AS cnt,
-           ROUND(AVG(value), 4) AS avg_value
-    FROM events GROUP BY 1, 2 ORDER BY dow, hour
+    WITH obs AS (
+        SELECT (dayofweek(ts) + 1)::INT AS dow, hour(ts)::INT AS hour,
+               COUNT(*) AS cnt,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT d.d::INT AS dow, h.h::INT AS hour
+        FROM (SELECT unnest(range(1, 8)) AS d) d
+        CROSS JOIN (SELECT unnest(range(24)) AS h) h
+    )
+    SELECT s.dow, s.hour, COALESCE(o.cnt, 0) AS cnt, o.avg_value
+    FROM spine s LEFT JOIN obs o ON s.dow = o.dow AND s.hour = o.hour
+    ORDER BY s.dow, s.hour
 """
 
 

@@ -866,6 +866,25 @@ def test_ks_cogroup_survives_count_only_consumers(spark, sf_dir):
     assert df.select("event_type").count() == len(full)
 
 
+def test_profile_spines_report_empty_cells(spark, sf_dir):
+    """The ngram-saturation class (r08 self-review): a fixed-grid profile
+    must report its EMPTY cells, not silently drop them. The histogram
+    always emits all 12 buckets (underflow, 10 bins, overflow) and the
+    hour-of-week heatmap all 168 cells — with cnt=0 where no data lands
+    (3-5 histogram buckets ARE empty at every test SF, so this pins
+    real zero rows, not a vacuous schema property)."""
+    hist = _QUERIES["q_value_histogram"](spark, sf_dir).collect()
+    assert [r["bucket"] for r in hist] == list(range(12))
+    assert any(r["cnt"] == 0 for r in hist)  # empty bins exist and report
+    how = _QUERIES["q_hourofweek_profile"](spark, sf_dir).collect()
+    assert len(how) == 168
+    assert [(r["dow"], r["hour"]) for r in how] == [
+        (d, h) for d in range(1, 8) for h in range(24)
+    ]
+    for r in how:
+        assert (r["cnt"] == 0) == (r["avg_value"] is None)
+
+
 def test_audience_overlap_jaccard_reference(spark, sf_dir):
     """Jaccard values match a driver-side set computation exactly and the
     pair fanout stays upper-triangular."""
