@@ -558,6 +558,10 @@ _BNLJ_ALLOWLIST = {
     "q_bm25_topk",
     "q_chisq_lang_source",
     "q_equiheight_histogram",
+    # r08: the 7x24 heatmap spine is a crossJoin of two tiny ranges
+    # (168 rows total, both sides bounded constants) — the empty-cell
+    # reporting fix; the observed agg then broadcast-joins onto it
+    "q_hourofweek_profile",
     "q_hybrid_rrf",
     "q_interpolate_gaps",
     "q_lm_quality",
