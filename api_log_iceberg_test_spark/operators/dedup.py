@@ -268,6 +268,12 @@ def exhaustive_jaccard_pairs(
     arrays as the blocked tier, so the computed jaccard values are
     identical for pairs both tiers emit.
     """
+    if not 0.0 < threshold <= 1.0:
+        # same parameter-guard idiom as lsh_param_sweep's sample_fraction
+        # (ADVICE r08): threshold > 1 makes plen negative and F.slice
+        # fails mid-job; threshold <= 0 degenerates the prefix to the
+        # whole array (a full O(n^2) cross join). Fail at call time.
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     docs = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
     ).repartition(F.col("id"))

@@ -1666,8 +1666,16 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q_ngram_novelty saturation class, found by self-review). The
     12-row spine (0 = underflow, 1-10 = bins, 11 = overflow) left-joins
     the observed counts; join cost is O(12) against an O(1)-row agg.
+
+    NULL values are EXCLUDED by an explicit filter, mirrored in the
+    oracle (ADVICE r08): width_bucket(NULL, …) groups to a NULL bucket
+    the fixed spine would silently drop on both engines — declaring the
+    drop keeps the semantics intentional rather than incidental. The
+    driver data has no NULL values, so the output is unchanged; a
+    profile over a nullable column should count NULLs as a 13th row
+    upstream if it needs them.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     obs = (
         ev.select(
             F.width_bucket(F.col("value"), F.lit(0.0), F.lit(500.0), F.lit(10)).alias(
@@ -1715,7 +1723,7 @@ ORACLE["q_value_histogram"] = """
                      WHEN value >= 500.0 THEN 11
                      ELSE floor(value / 50.0)::BIGINT + 1 END) AS bucket,
                COUNT(*) AS cnt
-        FROM events GROUP BY bucket
+        FROM events WHERE value IS NOT NULL GROUP BY bucket
     )
     SELECT s.bucket, COALESCE(o.cnt, 0) AS cnt
     FROM (SELECT unnest(range(12)) AS bucket) s

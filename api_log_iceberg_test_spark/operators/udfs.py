@@ -152,8 +152,13 @@ def ks_two_sample_cogrouped(
         # when the UDF's OUTPUT values are unobservable (a bare count()
         # crashed here with KeyError — r08 vacuousness audit). The row
         # count per cogroup is 1 in every branch below, so emitting the
-        # null-stat row for a pruned input is exact for such consumers;
-        # any consumer that reads the stats forces the full input.
+        # null-stat row for a pruned input is exact for such consumers.
+        # Pruned-side contract (ADVICE r08): n_ref/n_cur are ALWAYS the
+        # true group sizes — len() works on the key-only frame — so only
+        # the statistic degrades to NULL; "pruned input" is never
+        # conflated with "empty side". (Unobservable today: a consumer
+        # that reads the counts forces the full input; the contract is
+        # declared so any future pruning shape stays truthful.)
         a = (
             np.sort(left[value_col].to_numpy(dtype="float64"))
             if len(left) and value_col in left.columns
@@ -166,8 +171,8 @@ def ks_two_sample_cogrouped(
         )
         if a is None or b is None or len(a) == 0 or len(b) == 0:
             return pd.DataFrame(
-                {key_col: [key], "n_ref": [0 if a is None else len(a)],
-                 "n_cur": [0 if b is None else len(b)], "ks": [None]}
+                {key_col: [key], "n_ref": [len(left)],
+                 "n_cur": [len(right)], "ks": [None]}
             )
         pooled = np.concatenate([a, b])
         cdf_a = np.searchsorted(a, pooled, side="right") / len(a)

@@ -479,6 +479,18 @@ def test_lsh_param_sweep_rejects_bad_fraction(spark, docs):
             dedup.lsh_param_sweep(docs, sample_fraction=bad)
 
 
+def test_exhaustive_tier_rejects_bad_threshold(spark, docs):
+    """ADVICE r08: threshold > 1 made plen negative (F.slice fails
+    mid-job) and threshold <= 0 degenerated the prefix filter to a full
+    O(n^2) cross join — both now fail fast at call time, matching the
+    sweep's sample_fraction guard idiom."""
+    for bad in (0.0, -0.5, 1.0001, 2.0):
+        with pytest.raises(ValueError, match="threshold"):
+            dedup.exhaustive_jaccard_pairs(docs, threshold=bad)
+    # boundary values stay legal: 1.0 (exact-duplicate pairs only)
+    dedup.exhaustive_jaccard_pairs(docs, threshold=1.0)
+
+
 def test_lsh_param_sweep_emits_all_configs_without_candidates(spark):
     """r06 review: a config whose banding produces ZERO candidate pairs
     must still appear in the report (n_candidates=0, recall 0/NULL-free
