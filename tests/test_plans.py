@@ -487,17 +487,22 @@ def test_all_query_outputs_are_scalar(registry_builds):
 
 
 def test_no_unallowlisted_fp_sums_registry_wide(spark, sf_dir):
-    """SCALE.md §11 enforced statically (r08): a SUM over DoubleType in a
-    hash-gated query is summation-association-dependent — its low bits
-    vary with partial-merge order across layouts and engines, and a
-    ROUND near a half boundary then flips the driver hash (the exact
-    failure class of q_running_total at sf1.0 and ADVICE r07's
-    q_seasonality_strength / q_bootstrap_ci findings). Every registered
-    query's analyzed plan is walked for raw double Sums; each hit must
-    either be grid-accumulated (DECIMAL units) or carry an explicit
-    justification in tools/audit_fp_sums.ALLOW (exact-in-double summands,
-    reference-SQL semantics, or a bounded frame — all measured stable).
-    A new operator with an unjustified fp sum fails here."""
+    """SCALE.md §11 enforced statically (r08, widened r09 per ADVICE):
+    a SUM over DoubleType in a hash-gated query is summation-
+    association-dependent — its low bits vary with partial-merge order
+    across layouts and engines, and a ROUND near a half boundary then
+    flips the driver hash (the exact failure class of q_running_total
+    at sf1.0 and ADVICE r07's q_seasonality_strength / q_bootstrap_ci
+    findings). AVG and the central-moment family (stddev/var/covar/
+    corr) run the identical double partial-merge reduction, so the
+    audit matches those too (superclass-chain match in
+    tools/audit_fp_sums._FP_AGG_BASES). Every registered query's
+    analyzed plan is walked; each hit must either be grid-accumulated
+    (DECIMAL units) or carry an explicit justification in
+    tools/audit_fp_sums.ALLOW (exact-in-double summands, reference-SQL
+    semantics, ANSI moment-aggregate contract, or a bounded frame — all
+    measured stable). A new operator with an unjustified fp aggregate
+    fails here."""
     from tools.audit_fp_sums import audit
 
     findings = audit(spark, sf_dir)

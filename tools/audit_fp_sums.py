@@ -1,5 +1,6 @@
-"""Static audit: hash-gated queries whose plans still contain a raw
-floating-point SUM — the summation-association class of SCALE.md §11.
+"""Static audit: hash-gated queries whose plans contain a raw
+floating-point aggregate — the summation-association class of SCALE.md
+§11.
 
 A SUM over DoubleType is order-dependent in IEEE arithmetic: its low
 bits depend on partial-aggregate merge order, which varies with scan
@@ -8,16 +9,21 @@ ROUND(…, k) that lands within 1 ulp of a half boundary, the driver's
 value hash flips across layouts/engines (observed: q_running_total and
 q_session_window_batch at sf1.0 in round 7; q_seasonality_strength and
 q_bootstrap_ci gridded in round 8 after ADVICE r07 flagged them).
+AVG and the central-moment family (stddev/variance/skewness/kurtosis/
+covar/corr) carry the IDENTICAL reduction — a double partial sum or a
+Chan-style moment merge — so round 9 (ADVICE r08) extends the matcher
+from Sum alone to every aggregate whose superclass chain hits Sum,
+Average, CentralMomentAgg, Covariance, or PearsonCorrelation with a
+double/float child.
 
 This tool walks every oracled query's ANALYZED logical plan through the
-JVM expression trees and reports each Sum (aggregate or window) whose
-child is DoubleType/FloatType, so the doctrine ("order-independent or
-grid-accumulated, or an explicit contract") is enforced statically
-instead of one ADVICE finding at a time. ALLOW lists the audited
-acceptable cases with their justification — a double sum is exact (and
-therefore associative) when every reachable partial sum is exactly
-representable, e.g. summands that are integers or integer+half values
-far below 2^53.
+JVM expression trees and reports each matching aggregate (grouped or
+windowed), so the doctrine ("order-independent or grid-accumulated, or
+an explicit contract") is enforced statically instead of one ADVICE
+finding at a time. ALLOW lists the audited acceptable cases with their
+justification — a double sum is exact (and therefore associative) when
+every reachable partial sum is exactly representable, e.g. summands
+that are integers or integer+half values far below 2^53.
 
 Usage: python tools/audit_fp_sums.py  (exit 1 on un-allowlisted finds)
 """
@@ -50,6 +56,19 @@ _REF_SQL = (
 _BOUNDED = (
     "BOUNDED: frame bounded by construction; deterministic per-row "
     "terms; measured layout- and distribution-stable"
+)
+#: AVG/STDDEV/CORR/COVAR over a double measure (ADVICE r08 extension):
+#: the double-precision moment aggregate IS the ANSI semantics both
+#: engines implement, the emitted value rounds at 4-6dp (orders of
+#: magnitude above merge-order noise for these magnitudes), and every
+#: entry below is measured stable across the four assurance tiers
+#: (driver sf0.01 hash, sf0.1 sweep, sf1.0/sf1.0dx sweeps, 196-query
+#: layout invariance at sf1.0dx). Gridding a moment aggregate would
+#: change the public contract the oracles replay.
+_REF_STAT = (
+    "REF-STAT: ANSI double moment aggregate (avg/stddev/corr/covar) is "
+    "the public contract; rounded 4-6dp; measured layout- and "
+    "distribution-stable across all four assurance tiers"
 )
 ALLOW: dict[str, str] = {
     "q_auc_eval": (
@@ -91,6 +110,20 @@ ALLOW: dict[str, str] = {
     "q_benford_audit": _BOUNDED + " (9 digit rows; chi2 terms O(corpus) apart)",
     "q_bm25_topk": _BOUNDED + " (per-doc frame <= matched query terms)",
     "q_hybrid_rrf": _BOUNDED + " (<= 2 rank-list terms per doc)",
+    # --- ANSI moment aggregates (Average/CentralMomentAgg/Covariance/
+    # Corr over doubles) — ADVICE r08 extension hits, each rounded and
+    # tier-measured; window-framed ones are additionally BOUNDED ---
+    "q_corpus_datacard": _REF_STAT + " (per-lang avg of 0..1 quality scores)",
+    "q_corr_stats": _REF_STAT + " (corr/covar_samp/stddev_samp/avg suite)",
+    "q_hourly_rollup": _REF_STAT + " (avg(value) per hour bucket)",
+    "q_hourofweek_profile": _REF_STAT + " (avg(value) per 168-cell grid)",
+    "q_interpolate_gaps": _REF_STAT + " (avg(value) per present hour)",
+    "q_lm_quality": _REF_STAT + " (mean token log-prob; ln terms O(1) apart)",
+    "q_moving_avg": _REF_STAT + "; also BOUNDED (7-row ROWS frame)",
+    "q_regression_trend": _REF_STAT + " (corr + stddev slope/intercept)",
+    "q_source_similarity": _REF_STAT + " (per-source mean of unit vectors)",
+    "q_sql_scalar_subquery": _REF_STAT + " (verbatim-SQL AVG(value) anchor)",
+    "q_winsorized_stats": _REF_STAT + " (avg/stddev over clamped values)",
 }
 
 
@@ -110,18 +143,49 @@ def _walk_plan(plan, hits: list) -> None:
             stack.append(inner.apply(i))
 
 
+#: aggregate base classes with an association-dependent double partial-
+#: merge reduction (ADVICE r08 extended the audit past Sum): Average
+#: carries the same double partial sum; CentralMomentAgg (stddev/var/
+#: skew/kurtosis) and Covariance/PearsonCorrelation (covar/corr) merge
+#: per-partition central moments with Chan-style updates whose low bits
+#: likewise depend on merge order. Matching walks the SUPERCLASS chain,
+#: so every concrete subclass (StddevSamp, CovSample, Corr, ...) is caught.
+_FP_AGG_BASES = {
+    "Sum",
+    "Average",
+    "CentralMomentAgg",
+    "Covariance",
+    "PearsonCorrelation",
+    "Corr",
+}
+
+
+def _fp_agg_kind(x) -> str | None:
+    cls = x.getClass()
+    while cls is not None:
+        name = cls.getSimpleName()
+        if name in _FP_AGG_BASES:
+            return name
+        cls = cls.getSuperclass()
+    return None
+
+
 def _walk_expr(e, hits: list) -> None:
     stack = [e]
     while stack:
         x = stack.pop()
-        if x.getClass().getSimpleName() == "Sum":
-            child = x.children().apply(0)
-            dt = child.dataType().simpleString()
-            if dt in ("double", "float"):
-                try:
-                    hits.append(child.sql())
-                except Exception:  # noqa: BLE001 — unresolved expr repr
-                    hits.append(str(child))
+        kind = _fp_agg_kind(x)
+        if kind is not None:
+            kids = x.children()
+            for i in range(kids.size()):
+                child = kids.apply(i)
+                dt = child.dataType().simpleString()
+                if dt in ("double", "float"):
+                    try:
+                        hits.append(f"{kind}({child.sql()})")
+                    except Exception:  # noqa: BLE001 — unresolved repr
+                        hits.append(f"{kind}({child})")
+                    break  # one record per aggregate call is enough
         kids = x.children()
         for i in range(kids.size()):
             stack.append(kids.apply(i))
@@ -161,9 +225,9 @@ def main() -> None:
     for name, hits in sorted(findings.items()):
         print(f"{name}:")
         for h in hits:
-            print(f"  sum({h[:110]})")
+            print(f"  {h[:120]}")
     print(
-        f"{len(findings)} queries with un-allowlisted raw double sums "
+        f"{len(findings)} queries with un-allowlisted fp aggregates "
         f"({len(ALLOW)} allowlisted)"
     )
     spark.stop()
