@@ -4964,13 +4964,29 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     R times, so Σcount/rr is exact), keeping the raw table at ONE scan.
 
     All fp sums ride the exact 1e-6 grid (SCALE.md §11, ADVICE r07):
-    value quantizes to integer units, Σw·v and Σv accumulate in
-    DECIMAL(38,0), each replica mean re-quantizes to the grid from exact
-    inputs via one deterministic division, and the cross-replica s1/s2
-    are exact integer sums — layout- and association-independent.
+    value quantizes to integer units, Σw·v and Σv accumulate EXACTLY,
+    each replica mean re-quantizes to the grid from exact inputs via one
+    deterministic division, and the cross-replica s1/s2 are exact
+    integer sums — layout- and association-independent.
     n_events divides by the SURVIVING replica count rr (not the constant
     R), so the emitted count stays exact even when a tiny group drops a
     replica (ADVICE r07).
+
+    Accumulator widths (VERDICT r08 #4 — recovering the r08 3x decimal
+    cost): the HOT sums — the ones the ×32 explode amplifies — run in
+    LONG, which is exact while they fit: per (event_type, r) group,
+    Σw·vu ≤ 4·n·vu_max and Σvu ≤ n·vu_max with vu_max = 1e6·max|value|.
+    At sf1.0 (n ≤ 1e6 rows/type, max value ≈ 560 → vu_max ≈ 5.61e8)
+    Σw·vu ≤ 2.3e15 — 4100x inside LONG's 9.22e18; the binding bound is
+    n·max|value| < 2.3e12, i.e. ≥2.3e9 rows per event_type at values
+    ≤ 1000 (≈ sf2300) before LONG saturates. The session runs ANSI
+    mode, so crossing the bound THROWS (never silently wraps) — above
+    it, widen these two sums back to DECIMAL(38,0); outputs are
+    bit-identical either way below the bound (verified by hash at
+    sf0.001/0.01/0.1/1.0dx). The COLD sums (s1u/s2u/svtu — ≤32 rows per
+    type after the map-side collapse) stay DECIMAL: mu² alone can reach
+    3e17, 32 of them overflow LONG at values ≥ ~950, and their frame is
+    too small for decimal width to cost anything.
     """
     R = 32
     ev = load_table(spark, sf_dir, "events").select(
@@ -5003,11 +5019,9 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep.withColumn("w", w)
         .groupBy("event_type", "r")
         .agg(
-            F.sum(
-                (F.col("w") * F.col("vu")).cast("decimal(38,0)")
-            ).alias("wsu"),
+            F.sum(F.col("w") * F.col("vu")).alias("wsu"),
             F.sum("w").alias("wn"),
-            F.sum(F.col("vu").cast("decimal(38,0)")).alias("svu"),
+            F.sum("vu").alias("svu"),
             F.count(F.lit(1)).alias("cn"),
         )
         # a replica whose every multiplicity drew 0 has no mean — possible
@@ -5029,7 +5043,9 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("rr"),
         F.sum(mud).alias("s1u"),
         F.sum(mud * mud).alias("s2u"),
-        F.sum("svu").alias("svtu"),
+        # decimal: ≤32 rows/type, and Σ_r svu_r is 32x the per-replica
+        # bound — LONG here would halve the documented safety margin
+        F.sum(F.col("svu").cast("decimal(38,0)")).alias("svtu"),
         F.sum("cn").alias("cnt"),
     )
     s1 = F.col("s1u").cast("double") / 1e6
