@@ -659,6 +659,29 @@ def test_join_and_python_boundary_shapes_registry_wide(registry_plans):
     )
 
 
+def test_arrow_python_queries_survive_count_only_consumers(spark, sf_dir):
+    """The KS crash class as permanent CI (VERDICT r08 #5): under a bare
+    count() — or a partial projection — Catalyst prunes an Arrow UDF's
+    INPUT columns to whatever the consumer observes, and a UDF that
+    assumes its full input schema crashes the worker (q_ks_drift died
+    with KeyError in r08; found then by a one-off audit, enforced here
+    since). Every pinned Arrow-Python query must produce the same
+    cardinality under count(), a first-column-only projection count,
+    and a full collect()."""
+    from __spark_entry__ import queries
+
+    qs = queries()
+    bad = {}
+    for name in sorted(_ARROW_PYTHON_ALLOWLIST):
+        df = qs[name](spark, sf_dir)
+        full = len(df.collect())
+        counted = df.count()
+        projected = df.select(df.columns[0]).count()
+        if not (counted == projected == full):
+            bad[name] = (counted, projected, full)
+    assert not bad, f"count/projection/collect cardinality drift: {bad}"
+
+
 # --- plan-fingerprint regression harness (VERDICT r06 #3) -------------------
 #
 # The targeted guards above catch KNOWN anti-patterns; they cannot catch
