@@ -373,3 +373,25 @@ def test_epoch_shuffle_decorrelates_residue_classes(spark, tmp_path):
     assert stuck / pairs < 0.10, (
         f"{stuck}/{pairs} same-residue pairs share a shard in every epoch"
     )
+
+
+def test_graph_stepwise_oracle_matches_cte_form(sf_dir):
+    """The sf1.0 sweep verifies the two iterative-graph queries against
+    the stepwise-materialized oracle (tools/graph_stepwise_oracle.py)
+    because the single-statement CTE chain spills >79 GB in DuckDB at
+    1M events (VERDICT r08 #2). The stepwise form claims to be the SAME
+    computation with materialization barriers — this pins it: both
+    forms must return frame-identical results on the driver testdata."""
+    import __spark_entry__ as em
+    from tests.oracle import duckdb_conn
+    from tools.graph_stepwise_oracle import STEPWISE_ORACLES
+
+    osql = em.oracle_sql()
+    con = duckdb_conn(sf_dir)
+    for name, fn in STEPWISE_ORACLES.items():
+        cte = con.execute(osql[name]).fetchdf()
+        stepwise = fn(con)
+        assert cte.equals(stepwise), (
+            f"{name}: stepwise oracle diverged from the CTE form\n"
+            f"CTE:\n{cte}\nstepwise:\n{stepwise}"
+        )

@@ -14,19 +14,25 @@ aggregates joined against themselves, modular checksums, quantiles).
 They remain covered by the sf0.1 sweep.
 
 Round 8: the --decorrelate derivation (make_sf1.py, .localdata/sf1.0dx)
-makes pair growth LINEAR, and 19 of the 22 HEAVY entries now have
-sf1.0-scale cross-engine records in sweep_sf1.0dx.jsonl (all MATCH; the
-range-join entry needed its oracle banded first — see its docstring).
-The three that remain denylisted at sf1.0, each with a measured
-justification in that jsonl:
+makes pair growth LINEAR, and 19 of the 22 HEAVY entries got sf1.0-scale
+cross-engine records in sweep_sf1.0dx.jsonl (all MATCH; the range-join
+entry needed its oracle banded first — see its docstring).
+
+Round 9 closed the last three holdouts (VERDICT r08 #2/#3) — the sf1.0
+denylist is now EMPTY:
+  * q_pagerank_parts, q_label_propagation — the single-statement
+    unrolled-CTE oracles spilled >79 GB in DuckDB at 1M events and died
+    on IO (913s/866s, recorded); the sweep now runs their
+    stepwise-materialized twins (tools/graph_stepwise_oracle.py —
+    identical per-round SQL text, temp-table barriers) and both MATCH
+    at sf1.0dx in 48s/89s.
   * q_embedding_neardup — intrinsically all-pairs at threshold 0.42
-    (eps = sqrt(2-2t) ~ 1.08 disables the projection pruning; the LSH
-    twin is the scale path by design); DNF at the 20-min box.
-  * q_pagerank_parts, q_label_propagation — the DUCKDB recursive-CTE
-    oracles spill >79 GB of temp disk at 1M events and die on IO
-    (913s/866s); the Spark sides complete and are layout-checked at
-    sf1.0dx instead (layout_sf1.0dx.jsonl). q_pagerank itself passes
-    (17s), so the graph family has a cross-engine sf1.0 anchor.
+    (eps = sqrt(2-2t) ~ 1.08 disables the projection pruning), DNF on
+    the full 20k-vector corpus; the sweep runs its bounded
+    sampled-exact tier at sf1.0* (tools/sampled_tiers.py — 20% of
+    originals with all replicas, exact 0.42 semantics, ~2000 pairs),
+    recorded with a "tier" tag. The LSH twin remains the recall-traded
+    100 TB path.
 
 Usage:
     python tools/sweep_differential.py <sf_dir> [--skip-heavy] [--only n1,n2]
@@ -94,6 +100,8 @@ def main() -> None:
 
     import __spark_entry__ as em
     from tests.oracle import compare, duckdb_conn
+    from tools.graph_stepwise_oracle import STEPWISE_ORACLES
+    from tools.sampled_tiers import SAMPLED_TIERS
 
     qs, osql = em.queries(), em.oracle_sql()
     con = duckdb_conn(sf_dir)
@@ -117,12 +125,27 @@ def main() -> None:
             log.write(json.dumps({"q": name, "start": True, "i": i}) + "\n")
             log.flush()
             t0 = time.time()
+            tier = None
             try:
-                errs = compare(
-                    qs[name](spark, sf_dir),
-                    con.execute(osql[name]).fetchdf(),
-                    name,
-                )
+                # the iterative-graph pair runs the stepwise-materialized
+                # twin of its CTE oracle (identical per-round SQL text;
+                # tools/graph_stepwise_oracle.py) — the CTE form spills
+                # >79 GB and dies at sf1.0 (VERDICT r08 #2)
+                if name in STEPWISE_ORACLES:
+                    odf = STEPWISE_ORACLES[name](con)
+                    sdf = qs[name](spark, sf_dir)
+                elif name in SAMPLED_TIERS and tag.startswith("sf1.0"):
+                    # all-pairs families run their bounded sampled-exact
+                    # tier at sf1.0 (tools/sampled_tiers.py) — the full
+                    # corpus DNFs the 20-min box (VERDICT r08 #3)
+                    t = SAMPLED_TIERS[name]
+                    tier = t["tier"]
+                    odf = con.execute(t["oracle"]).fetchdf()
+                    sdf = t["spark"](spark, sf_dir)
+                else:
+                    odf = con.execute(osql[name]).fetchdf()
+                    sdf = qs[name](spark, sf_dir)
+                errs = compare(sdf, odf, name)
             except Exception as e:  # noqa: BLE001 — record, keep sweeping
                 errs = [f"{name}: EXCEPTION {type(e).__name__}: {e}"]
             dt = round(time.time() - t0, 2)
@@ -134,6 +157,8 @@ def main() -> None:
                 "i": i,
                 "n": len(names),
             }
+            if tier:
+                row["tier"] = tier
             log.write(json.dumps(row) + "\n")
             log.flush()
             if errs:
