@@ -3864,8 +3864,15 @@ def q_hourofweek_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     saturation class, found by self-review in r08). dayofweek is pinned
     to the 1=Sunday..7=Saturday convention both engines share via their
     respective functions (Spark dayofweek ≡ DuckDB dayofweek + 1).
+
+    NULL timestamps are EXCLUDED by an explicit filter mirrored in the
+    oracle (the q_value_histogram NULL-bucket class, ADVICE r08
+    generalized by self-review in r09): dayofweek(NULL)/hour(NULL)
+    group to a (NULL, NULL) cell the fixed spine silently drops on
+    both engines — the drop is now declared. Driver data has no NULL
+    ts, so output is unchanged at every SF.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     obs = ev.groupBy(
         F.dayofweek("ts").alias("dow"),
         F.hour("ts").alias("hour"),
@@ -3895,7 +3902,7 @@ ORACLE["q_hourofweek_profile"] = """
         SELECT (dayofweek(ts) + 1)::INT AS dow, hour(ts)::INT AS hour,
                COUNT(*) AS cnt,
                ROUND(AVG(value), 4) AS avg_value
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     spine AS (
         SELECT d.d::INT AS dow, h.h::INT AS hour
@@ -3983,8 +3990,19 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one combinable agg over the events scan (conditional counts per
     period), grid join broadcast; output |types| rows at any data size.
+
+    NULL values/timestamps are EXCLUDED by explicit filters mirrored in
+    the oracle (the q_value_histogram NULL-bucket class, generalized by
+    self-review in r09): a NULL value binned to a NULL bucket would be
+    dropped by the fixed grid, and a NULL ts lands in NEITHER period's
+    count — both silently, identically, on both engines. The drops are
+    now declared. Driver data has neither, so output is unchanged.
     """
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
     split = F.lit("2024-01-16").cast("timestamp")
     binned = ev.select(
         "event_type",
@@ -4035,7 +4053,9 @@ ORACLE["q_psi_drift"] = """
         SELECT event_type,
                LEAST(FLOOR(value / 50.0), 9)::INT AS bucket,
                (ts < TIMESTAMP '2024-01-16')::INT AS is_ref
-        FROM events WHERE event_type IS NOT NULL
+        FROM events
+        WHERE event_type IS NOT NULL
+          AND value IS NOT NULL AND ts IS NOT NULL
     ),
     cnt AS (
         SELECT event_type, bucket,
