@@ -395,3 +395,22 @@ def test_graph_stepwise_oracle_matches_cte_form(sf_dir):
             f"{name}: stepwise oracle diverged from the CTE form\n"
             f"CTE:\n{cte}\nstepwise:\n{stepwise}"
         )
+
+
+def test_sweep_special_tiers_reference_live_registry_entries():
+    """The sweep's special oracle hooks (stepwise-materialized graph
+    twins, bounded sampled-exact tiers) key on QUERY NAMES — a rename
+    in the registry would silently un-wire them and the sweep would
+    fall back to the oracle form that's known to DNF at sf1.0. Pin the
+    keys to the live registry, and pin the sampled tier's Spark side
+    to the registered output schema so compare() stays meaningful."""
+    import __spark_entry__ as em
+    from tools.graph_stepwise_oracle import STEPWISE_ORACLES
+    from tools.sampled_tiers import SAMPLED_TIERS
+
+    qs, osql = em.queries(), em.oracle_sql()
+    for name in STEPWISE_ORACLES:
+        assert name in qs and name in osql, f"stepwise hook unwired: {name}"
+    for name, tier in SAMPLED_TIERS.items():
+        assert name in qs and name in osql, f"sampled hook unwired: {name}"
+        assert {"spark", "oracle", "tier"} <= tier.keys()
