@@ -4997,11 +4997,20 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     LONG, which is exact while they fit: per (event_type, r) group,
     Σw·vu ≤ 4·n·vu_max and Σvu ≤ n·vu_max with vu_max = 1e6·max|value|.
     At sf1.0 (n ≤ 1e6 rows/type, max value ≈ 560 → vu_max ≈ 5.61e8)
-    Σw·vu ≤ 2.3e15 — 4100x inside LONG's 9.22e18; the binding bound is
-    n·max|value| < 2.3e12, i.e. ≥2.3e9 rows per event_type at values
-    ≤ 1000 (≈ sf2300) before LONG saturates. The session runs ANSI
-    mode, so crossing the bound THROWS (never silently wraps) — above
-    it, widen these two sums back to DECIMAL(38,0); outputs are
+    Σw·vu ≤ 2.3e15 — 4100x inside LONG's 9.22e18. Two distinct bounds
+    govern (ADVICE r09): the EXACTNESS bound is 2^53 ≈ 9.0e15 on the
+    wsu→double cast that feeds the replica-mean re-quantization (mu =
+    floor(wsu/wn + 0.5) computes in double; integer wsu above 2^53
+    loses ulps — deterministically and identically in DuckDB, whose
+    HUGEINT→DOUBLE uses the same IEEE rounding, so cross-engine
+    equality survives but the "exact grid" claim does not). That bound
+    predates the LONG recovery — the DECIMAL form cast through double
+    too — and binds at n·max|value| ≈ 2.25e9, i.e. ≈2.3e6 rows per
+    event_type at values ≤ 1000 (≈ sf2.3 — 1000x before the overflow
+    bound). The OVERFLOW-THROW bound is LONG's
+    9.22e18 (n·max|value| < 2.3e12, ≈ sf2300): the session runs ANSI
+    mode, so crossing it THROWS (never silently wraps) — above it,
+    widen these two sums back to DECIMAL(38,0); outputs are
     bit-identical either way below the bound (verified by hash at
     sf0.001/0.01/0.1/1.0dx). The COLD sums (s1u/s2u/svtu — ≤32 rows per
     type after the map-side collapse) stay DECIMAL: mu² alone can reach

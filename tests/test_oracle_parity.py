@@ -397,13 +397,16 @@ def test_graph_stepwise_oracle_matches_cte_form(sf_dir):
         )
 
 
-def test_sweep_special_tiers_reference_live_registry_entries():
+def test_sweep_special_tiers_reference_live_registry_entries(spark, sf_dir):
     """The sweep's special oracle hooks (stepwise-materialized graph
     twins, bounded sampled-exact tiers) key on QUERY NAMES — a rename
     in the registry would silently un-wire them and the sweep would
     fall back to the oracle form that's known to DNF at sf1.0. Pin the
     keys to the live registry, and pin the sampled tier's Spark side
-    to the registered output schema so compare() stays meaningful."""
+    to the registered output schema so compare() stays meaningful
+    (ADVICE r09 #4: the schema claim is ASSERTED, not just stated —
+    the tier frame is built against the live session and its schema
+    must equal the registered query's schema field-for-field)."""
     import __spark_entry__ as em
     from tools.graph_stepwise_oracle import STEPWISE_ORACLES
     from tools.sampled_tiers import SAMPLED_TIERS
@@ -414,3 +417,10 @@ def test_sweep_special_tiers_reference_live_registry_entries():
     for name, tier in SAMPLED_TIERS.items():
         assert name in qs and name in osql, f"sampled hook unwired: {name}"
         assert {"spark", "oracle", "tier"} <= tier.keys()
+        tier_schema = tier["spark"](spark, sf_dir).schema
+        reg_schema = qs[name](spark, sf_dir).schema
+        assert tier_schema == reg_schema, (
+            f"{name}: sampled-tier Spark schema diverged from the "
+            f"registered query's schema\n tier: {tier_schema}\n "
+            f"registered: {reg_schema}"
+        )

@@ -502,13 +502,29 @@ def test_no_unallowlisted_fp_sums_registry_wide(spark, sf_dir):
     tools/audit_fp_sums.ALLOW (exact-in-double summands, reference-SQL
     semantics, ANSI moment-aggregate contract, or a bounded frame — all
     measured stable). A new operator with an unjustified fp aggregate
-    fails here."""
+    fails here. The INT-EXACT side channel (ADVICE r09 #2: Average/
+    moment aggregates over INTEGRAL children still carry a DoubleType
+    partial sum) is collected too and pinned to the known-accepted set
+    — a new integral avg/moment shows up here deliberately instead of
+    silently, and the author must confirm its group sums stay below
+    the 2^53 exactness bound (tools/audit_fp_sums._INTEGRAL_TYPES doc
+    block) before extending the set."""
     from tools.audit_fp_sums import audit
 
-    findings = audit(spark, sf_dir)
+    int_exact: dict = {}
+    findings = audit(spark, sf_dir, int_exact=int_exact)
     assert not findings, (
         "hash-gated queries with un-allowlisted raw double sums "
         f"(grid them per SCALE.md §11 or justify in ALLOW): {findings}"
+    )
+    # audited INT-EXACT members: q_chunk_embed_pool mean-pools int8
+    # quantized bucket values (|b| <= 127) over <= corpus-chunk-count
+    # rows — group sums orders of magnitude below 2^53
+    known_int_exact = {"q_chunk_embed_pool"}
+    assert set(int_exact) <= known_int_exact, (
+        "new integral avg/moment aggregate (DoubleType partial sum — "
+        "verify its group sums stay < 2^53 and extend known_int_exact "
+        f"with a comment): { {k: v for k, v in int_exact.items() if k not in known_int_exact} }"
     )
 
 

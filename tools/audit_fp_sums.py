@@ -127,13 +127,13 @@ ALLOW: dict[str, str] = {
 }
 
 
-def _walk_plan(plan, hits: list) -> None:
+def _walk_plan(plan, hits: list, int_hits: list | None = None) -> None:
     stack = [plan]
     while stack:
         node = stack.pop()
         exprs = node.expressions()
         for i in range(exprs.size()):
-            _walk_expr(exprs.apply(i), hits)
+            _walk_expr(exprs.apply(i), hits, int_hits)
         kids = node.children()
         for i in range(kids.size()):
             stack.append(kids.apply(i))
@@ -170,7 +170,27 @@ def _fp_agg_kind(x) -> str | None:
     return None
 
 
-def _walk_expr(e, hits: list) -> None:
+#: Integral children of the NON-Sum aggregates are a distinct,
+#: DELIBERATELY-ACCEPTED class (ADVICE r09 #2): Spark's Average over a
+#: non-decimal integral column still accumulates a DoubleType partial
+#: sum (Average.sumDataType is DoubleType), and the moment family
+#: always computes in double — so avg(bigint) carries the same
+#: merge-order-dependent reduction as avg(double) IN PRINCIPLE. It is
+#: exempt because integer summands are exactly representable in a
+#: double and adding them stays EXACT while the running sum < 2^53, so
+#: the reduction is associative there; the exemption's bound is
+#: Σ|child| < 2^53 ≈ 9.0e15 per group. The registry's integral avg/
+#: moment children are counts, 1e6-unit grids, token counts and ids
+#: whose per-group totals at sf1.0 are ≤ ~1e12 — ≥4000x inside the
+#: bound. Sum over integral is excluded outright: it accumulates in
+#: LONG/DECIMAL (exact; ANSI throws on overflow), never double. The
+#: audit still REPORTS these hits (main() prints them as INT-EXACT) so
+#: the class stays visible instead of being a matcher blind spot; a
+#: 100 TB deployment whose group sums approach 2^53 must grid them.
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _walk_expr(e, hits: list, int_hits: list | None = None) -> None:
     stack = [e]
     while stack:
         x = stack.pop()
@@ -180,20 +200,36 @@ def _walk_expr(e, hits: list) -> None:
             for i in range(kids.size()):
                 child = kids.apply(i)
                 dt = child.dataType().simpleString()
+                try:
+                    rep = f"{kind}({child.sql()})"
+                except Exception:  # noqa: BLE001 — unresolved repr
+                    rep = f"{kind}({child})"
                 if dt in ("double", "float"):
-                    try:
-                        hits.append(f"{kind}({child.sql()})")
-                    except Exception:  # noqa: BLE001 — unresolved repr
-                        hits.append(f"{kind}({child})")
+                    hits.append(rep)
                     break  # one record per aggregate call is enough
+                if (
+                    int_hits is not None
+                    and kind != "Sum"
+                    and dt in _INTEGRAL_TYPES
+                ):
+                    int_hits.append(rep)
+                    break
         kids = x.children()
         for i in range(kids.size()):
             stack.append(kids.apply(i))
 
 
-def audit(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict[str, list[str]]:
+def audit(
+    spark,
+    sf_dir: str = "/root/testdata/sf0.001",
+    int_exact: dict[str, list[str]] | None = None,
+) -> dict[str, list[str]]:
     """Return {query: [double-sum exprs]} for every hash-gated query not
-    covered by ALLOW. Empty dict = the registry satisfies the doctrine."""
+    covered by ALLOW. Empty dict = the registry satisfies the doctrine.
+    If `int_exact` is passed, it is filled with the INT-EXACT hits
+    (Average/moment aggregates over integral children — accepted, see
+    the _INTEGRAL_TYPES doc block) so callers can keep the class
+    visible without failing on it."""
     import __spark_entry__ as em
 
     qs, osql = em.queries(), em.oracle_sql()
@@ -202,13 +238,16 @@ def audit(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict[str, list[str]]
         if name not in osql:
             continue  # rows-only entries are not hash-gated
         hits: list[str] = []
+        int_hits: list[str] = []
         try:
             df = qs[name](spark, sf_dir)
-            _walk_plan(df._jdf.queryExecution().analyzed(), hits)
+            _walk_plan(df._jdf.queryExecution().analyzed(), hits, int_hits)
         except Exception as e:  # noqa: BLE001 — report, keep auditing
             hits.append(f"AUDIT ERROR: {type(e).__name__}: {e}")
         if hits and name not in ALLOW:
             findings[name] = sorted(set(hits))
+        if int_hits and int_exact is not None:
+            int_exact[name] = sorted(set(int_hits))
     return findings
 
 
@@ -221,14 +260,19 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    findings = audit(spark)
+    int_exact: dict[str, list[str]] = {}
+    findings = audit(spark, int_exact=int_exact)
     for name, hits in sorted(findings.items()):
         print(f"{name}:")
         for h in hits:
             print(f"  {h[:120]}")
+    for name, hits in sorted(int_exact.items()):
+        for h in hits:
+            print(f"INT-EXACT {name}: {h[:110]}")
     print(
         f"{len(findings)} queries with un-allowlisted fp aggregates "
-        f"({len(ALLOW)} allowlisted)"
+        f"({len(ALLOW)} allowlisted; {len(int_exact)} queries with "
+        f"accepted INT-EXACT integral avg/moment hits)"
     )
     spark.stop()
     sys.exit(1 if findings else 0)

@@ -106,6 +106,12 @@ def main() -> None:
     qs, osql = em.queries(), em.oracle_sql()
     con = duckdb_conn(sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/"))
+    # tier gating must survive symlink spellings: .localdata/dx-sf1.0 is a
+    # symlink to sf1.0dx (bench.py's SF parser needs the dirname to END in
+    # the number), so gate on the RESOLVED basename — otherwise a sweep run
+    # through dx-sf1.0 would silently skip the sampled tier and fall back
+    # to the all-pairs oracle that DNFs the 20-min box (ADVICE r09 #1)
+    real_tag = os.path.basename(os.path.realpath(sf_dir.rstrip("/")))
     log_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), f"sweep_{tag}.jsonl")
     names = [n for n in sorted(qs) if n in osql]
     if skip_heavy:
@@ -134,7 +140,7 @@ def main() -> None:
                 if name in STEPWISE_ORACLES:
                     odf = STEPWISE_ORACLES[name](con)
                     sdf = qs[name](spark, sf_dir)
-                elif name in SAMPLED_TIERS and tag.startswith("sf1.0"):
+                elif name in SAMPLED_TIERS and real_tag.startswith("sf1.0"):
                     # all-pairs families run their bounded sampled-exact
                     # tier at sf1.0 (tools/sampled_tiers.py) — the full
                     # corpus DNFs the 20-min box (VERDICT r08 #3)
