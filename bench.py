@@ -203,6 +203,12 @@ TPCH = [
     "q_rich_quiet_customers",  # Q22
 ]
 
+#: Round-10 additions, timed as their own basket (total_r10_basket) so
+#: earlier baskets stay comparable across rounds (basket discipline).
+ROUND10 = [
+    "q_range_join_nearby_counts",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -283,6 +289,7 @@ def main() -> None:
     r7_total = 0.0
     timed = HEADLINE + ["q_ann_cosine_topk"] + EXTENSION + ROUND4 + ROUND6 + ROUND7
     timed += [n for n in TPCH if n not in timed]
+    timed += [n for n in ROUND10 if n not in timed]
     for name in timed:
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -336,6 +343,7 @@ def main() -> None:
         "total_r6_basket": round(r6_total, 3),
         "total_r7_basket": round(r7_total, 3),
         "total_tpch_basket": round(sum(results[n] for n in TPCH), 3),
+        "total_r10_basket": round(sum(results[n] for n in ROUND10), 3),
         "headline_total_sec": round(total, 3),
     }
     line = json.dumps(payload)
