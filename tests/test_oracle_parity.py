@@ -411,9 +411,21 @@ def test_sweep_special_tiers_reference_live_registry_entries(spark, sf_dir):
     from tools.graph_stepwise_oracle import STEPWISE_ORACLES
     from tools.sampled_tiers import SAMPLED_TIERS
 
+    from tools.replay_tiers import REPLAY_TIERS
+
     qs, osql = em.queries(), em.oracle_sql()
     for name in STEPWISE_ORACLES:
         assert name in qs and name in osql, f"stepwise hook unwired: {name}"
+    for name, tier in REPLAY_TIERS.items():
+        # replay tiers serve rows-only entries: registered query, NO
+        # driver oracle (the driver can't register UDFs) — both facts
+        # are the hook's contract
+        assert name in qs, f"replay hook unwired: {name}"
+        assert name not in osql, (
+            f"{name} gained a driver oracle — retire its replay tier "
+            "or the sweep would double-verify with diverging forms"
+        )
+        assert {"oracle", "tier"} <= tier.keys()
     for name, tier in SAMPLED_TIERS.items():
         assert name in qs and name in osql, f"sampled hook unwired: {name}"
         assert {"spark", "oracle", "tier"} <= tier.keys()
@@ -424,3 +436,63 @@ def test_sweep_special_tiers_reference_live_registry_entries(spark, sf_dir):
             f"registered query's schema\n tier: {tier_schema}\n "
             f"registered: {reg_schema}"
         )
+
+
+def test_python_xxh64_matches_spark(spark):
+    """tools/spark_xxh64.py is the cross-engine keystone of the replay
+    tiers: if a Spark upgrade ever changed the xxhash64 expression (or
+    the pure-Python port has a block-boundary bug), this — not a silent
+    sweep divergence — must fail. Covers all three chaining forms the
+    tiers use, across empty/unicode/32-byte-block-boundary strings plus
+    real corpus shingles."""
+    from pyspark.sql import functions as F
+
+    from tools.spark_xxh64 import (
+        spark_xxhash64_int_str,
+        spark_xxhash64_str,
+        spark_xxhash64_str_int,
+    )
+
+    cases = [
+        "",
+        "a",
+        "hello world",
+        "naïve ünïcode ☃ ψ",
+        "x" * 31,
+        "y" * 32,
+        "z" * 33,
+        "0123456789abcdef" * 5,
+        "-42,17,2147483646,0",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], ["i", "s"])
+    rows = df.select(
+        "s",
+        F.xxhash64("s").alias("h_str"),
+        F.xxhash64(F.lit(3), F.col("s")).alias("h_int_str"),
+        F.xxhash64(F.col("s"), F.lit(11)).alias("h_str_int"),
+    ).collect()
+    for r in rows:
+        assert spark_xxhash64_str(r.s) == r.h_str, r.s
+        assert spark_xxhash64_int_str(3, r.s) == r.h_int_str, r.s
+        assert spark_xxhash64_str_int(r.s, 11) == r.h_str_int, r.s
+
+
+def test_replay_tiers_match_at_sf0001(spark, sf_dir):
+    """The replay tiers' full-pipeline cross-engine equality at test SF:
+    every rows-only LSH entry's DuckDB replay (python-xxh64 UDFs /
+    shared hyperplane signatures, tools/replay_tiers.py) must reproduce
+    the registered Spark output exactly — the same compare() the sweep
+    records at sf0.1/sf1.0dx. For the shared-sig tier this is also the
+    signature-parity pin: a divergent signature changes the candidate
+    set and the pair list with it."""
+    import __spark_entry__ as em
+    from tests.oracle import compare, duckdb_conn
+    from tools.replay_tiers import REPLAY_TIERS
+
+    qs = em.queries()
+    con = duckdb_conn(sf_dir)
+    for name, t in REPLAY_TIERS.items():
+        odf = t["oracle"](con)
+        errs = compare(qs[name](spark, sf_dir), odf, name)
+        assert not errs, errs
+        assert len(odf) > 0, f"{name}: vacuous replay (0 rows proves nothing)"

@@ -101,6 +101,7 @@ def main() -> None:
     import __spark_entry__ as em
     from tests.oracle import compare, duckdb_conn
     from tools.graph_stepwise_oracle import STEPWISE_ORACLES
+    from tools.replay_tiers import REPLAY_TIERS
     from tools.sampled_tiers import SAMPLED_TIERS
 
     qs, osql = em.queries(), em.oracle_sql()
@@ -113,7 +114,9 @@ def main() -> None:
     # to the all-pairs oracle that DNFs the 20-min box (ADVICE r09 #1)
     real_tag = os.path.basename(os.path.realpath(sf_dir.rstrip("/")))
     log_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), f"sweep_{tag}.jsonl")
-    names = [n for n in sorted(qs) if n in osql]
+    # rows-only entries with a cross-engine replay oracle (python-xxh64
+    # or shared-sig — tools/replay_tiers.py) sweep too, tier-tagged
+    names = [n for n in sorted(qs) if n in osql or n in REPLAY_TIERS]
     if skip_heavy:
         names = [n for n in names if n not in HEAVY]
     if only:
@@ -148,6 +151,15 @@ def main() -> None:
                     tier = t["tier"]
                     odf = con.execute(t["oracle"]).fetchdf()
                     sdf = t["spark"](spark, sf_dir)
+                elif name in REPLAY_TIERS:
+                    # rows-only entries upgraded to cross-engine evidence:
+                    # the oracle callable registers its python-xxh64 UDFs
+                    # or shared-sig table on the connection, then replays
+                    # the full pipeline in DuckDB (tools/replay_tiers.py)
+                    t = REPLAY_TIERS[name]
+                    tier = t["tier"]
+                    odf = t["oracle"](con)
+                    sdf = qs[name](spark, sf_dir)
                 else:
                     odf = con.execute(osql[name]).fetchdf()
                     sdf = qs[name](spark, sf_dir)
