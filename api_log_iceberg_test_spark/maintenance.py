@@ -55,21 +55,66 @@ def remove_orphan_files(spark: SparkSession, table: str) -> None:
     spark.sql(f"CALL {catalog}.system.remove_orphan_files(table => '{table}')")
 
 
+def read_compacted_table(spark: SparkSession, path: str):
+    """Open a (possibly version-symlinked) parquet table PINNED to the
+    version live at call time.
+
+    This is the reader half of :func:`compact_parquet_table`'s commit
+    protocol — the parquet-fallback analogue of a table format's snapshot
+    pin. Resolving the symlink BEFORE listing means the scan's file paths
+    go through the immutable versioned directory, so a swap that lands
+    mid-query repoints ``path`` without touching the files this reader
+    already listed (they survive for ``retain_seconds``). Reading through
+    the un-resolved symlink instead would re-resolve per file open and
+    rug-pull the scan — the failure mode the concurrency test provokes.
+    """
+    return spark.read.parquet(os.path.realpath(path))
+
+
 def compact_parquet_table(
     spark: SparkSession,
     path: str,
     target_file_size_bytes: int = 128 * 1024 * 1024,
     partition_subdir: str | None = None,
+    retain_seconds: float = 60.0,
 ) -> int:
-    """Compact a Parquet directory to ~target-sized files.
+    """Compact a Parquet directory to ~target-sized files, atomically
+    under concurrent readers.
 
-    Reads the (sub)directory, coalesces to ceil(bytes/target) files, writes
-    to a temp dir, then swaps atomically (rename). Returns the new file
-    count. For partitioned tables pass ``partition_subdir`` to compact one
-    partition per run (the incremental pattern).
+    Reads the (sub)directory, coalesces to ceil(bytes/target) files, and
+    commits by SYMLINK SWAP: data lives in versioned sibling directories
+    (``<root>__v<uuid>``) and ``root`` is a symlink whose replacement —
+    ``os.rename`` of one symlink over another — is a single atomic
+    syscall. The pre-r10 form renamed the directory itself, which left a
+    window where ``root`` did not exist (reader: path-not-found) and
+    deleted the old files immediately (reader that had already listed
+    them: file-not-found mid-scan). Now a reader that pins the version at
+    open time (:func:`read_compacted_table`) sees the OLD version or the
+    NEW version, never a gap — proven under a concurrent reader/compactor
+    loop in tests/test_storage.py.
+
+    Retention is TIME-based, like ``expire_snapshots``'s ``older_than``:
+    a superseded version survives at least ``retain_seconds`` after its
+    last modification (and the just-replaced version always survives this
+    call), so any reader shorter than ``retain_seconds`` is safe no
+    matter how many swaps land mid-scan. Pass ``retain_seconds=0`` during
+    a read quiesce to shrink to the live + just-replaced pair.
+
+    First call on a plain directory migrates it to the versioned layout —
+    that one-time step is rename+symlink (two syscalls, not atomic; run
+    it before opening the table to readers). Concurrent WRITERS are out
+    of scope (files appended between the read and the swap would be
+    dropped) — that is what the Iceberg path's metadata-transactional
+    ``rewrite_data_files`` is for; on plain parquet, compact closed
+    partitions only (``partition_subdir``).
+
+    Returns the new file count.
     """
+    import time
+
     root = os.path.join(path, partition_subdir) if partition_subdir else path
-    df = spark.read.parquet(root)
+    current = os.path.realpath(root) if os.path.islink(root) else None
+    df = spark.read.parquet(os.path.realpath(root))
     size = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(root)
@@ -77,12 +122,34 @@ def compact_parquet_table(
         if f.endswith(".parquet")
     )
     n_files = max(1, -(-size // target_file_size_bytes))
-    tmp = f"{root}__compact_{uuid.uuid4().hex[:8]}"
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    old = f"{root}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(root, old)
-    os.rename(tmp, root)
-    shutil.rmtree(old)
+    new_version = f"{root}__v{uuid.uuid4().hex[:8]}"
+    df.coalesce(n_files).write.mode("overwrite").parquet(new_version)
+    if current is None:
+        # one-time migration: plain dir → versioned layout. rename+symlink
+        # is the only non-atomic commit this function ever performs.
+        current = f"{root}__v{uuid.uuid4().hex[:8]}"
+        os.rename(root, current)
+        os.symlink(os.path.basename(current), root)
+    # atomic commit: rename a prepared symlink over the live one
+    swap = f"{root}__swap_{uuid.uuid4().hex[:8]}"
+    os.symlink(os.path.basename(new_version), swap)
+    os.rename(swap, root)
+    # expire: keep the live version, the just-replaced one (in-flight
+    # readers may hold its file list), and anything younger than the
+    # retention window; drop the rest
+    prefix = os.path.basename(root) + "__v"
+    parent = os.path.dirname(root) or "."
+    keep = {os.path.realpath(current), os.path.realpath(new_version)}
+    cutoff = time.time() - retain_seconds
+    for entry in os.listdir(parent):
+        full = os.path.join(parent, entry)
+        if (
+            entry.startswith(prefix)
+            and os.path.realpath(full) not in keep
+            and os.path.isdir(full)
+            and os.path.getmtime(full) < cutoff
+        ):
+            shutil.rmtree(full)
     return n_files
 
 
