@@ -17,6 +17,11 @@ load-attributable slowdown).
 Usage: python tools/scaling_report.py [sf01_idx sf10_idx]
        (bench_history.jsonl indices; defaults: latest sf=0.1 and
         latest sf=1.0 records)
+       python tools/scaling_report.py --compare-sf 1.0
+       (same-SF cross-ROUND comparison: the two most recent records at
+        that SF, per-query ratios judged against the probe envelope —
+        turns the one-off sf1.0 measurement into a standing cadence
+        with a variance band, VERDICT r09 #2)
 
 Measured (r09, sf1.0dx via the dx-sf1.0 symlink, quiet host, repeats=2):
 139 queries, 10x-data ratio p10/median/p90 = 1.05/1.91/5.60 — fixed
@@ -40,12 +45,63 @@ import statistics
 import sys
 
 
+def compare_same_sf(rows: list[dict], sf: float) -> None:
+    """Cross-round, same-SF comparison of the two latest records.
+
+    The probe-factor rule (tools/probe_normalize.py) applied pairwise:
+    a per-query ratio between two runs is load-attributable while it
+    stays inside the runs' probe-factor ratio envelope; ratios past the
+    envelope (with margin) name real tree changes. repeats=1 records
+    are noisier — prefer repeats>=2 for reference levels.
+    """
+    at = [r for r in rows if r.get("sf") == sf and r.get("repeats", 1) >= 2]
+    if len(at) < 2:
+        print(f"need >=2 records at sf={sf} with repeats>=2; have {len(at)}")
+        return
+    a, b = at[-2], at[-1]
+    probe_ratio = b["calib_probe_sec"] / a["calib_probe_sec"]
+    print(
+        f"sf={sf} prev: headline {a['value']}s loadavg {a['loadavg_1m']} "
+        f"probe {a['calib_probe_sec']}s | latest: headline {b['value']}s "
+        f"loadavg {b['loadavg_1m']} probe {b['calib_probe_sec']}s | "
+        f"probe envelope {probe_ratio:.2f}x"
+    )
+    ratios = {
+        q: b["queries"][q] / t
+        for q, t in a["queries"].items()
+        if q in b["queries"] and t >= 0.1
+    }
+    vals = sorted(ratios.values())
+    print(
+        f"{len(vals)} queries; latest/prev ratio "
+        f"p10 {vals[int(0.1 * len(vals))]:.2f} / "
+        f"median {statistics.median(vals):.2f} / "
+        f"p90 {vals[int(0.9 * len(vals)) - 1]:.2f}"
+    )
+    # 1.25 margin over the envelope before a delta names a real change
+    # (sub-second queries carry scheduling noise the probe can't see)
+    flag = max(probe_ratio, 1 / probe_ratio) * 1.25
+    over = {
+        q: round(r, 2) for q, r in ratios.items() if r > flag and b["queries"][q] > 1.0
+    }
+    print(
+        f"past the envelope (> {flag:.2f}x and >1s at {sf}):",
+        dict(sorted(over.items(), key=lambda kv: -kv[1])) or "none",
+    )
+    baskets = sorted(k for k in b if k.startswith("total_") and k in a)
+    for k in baskets:
+        print(f"  {k}: {a[k]} -> {b[k]}")
+
+
 def main() -> None:
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "bench_history.jsonl",
     )
     rows = [json.loads(x) for x in open(path) if x.strip()]
+    if "--compare-sf" in sys.argv:
+        compare_same_sf(rows, float(sys.argv[sys.argv.index("--compare-sf") + 1]))
+        return
     if len(sys.argv) > 2:
         a, b = rows[int(sys.argv[1])], rows[int(sys.argv[2])]
     else:
