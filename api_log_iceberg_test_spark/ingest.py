@@ -25,8 +25,34 @@ is the same code with ``use_iceberg_table`` set.
 
 Config knobs mirror the reference env vars (docker-compose.yaml:31-36):
 flush_count ↔ PARQUET_FLUSH_COUNT, flush_interval ↔ PARQUET_FLUSH_INTERVAL,
-commit_interval ↔ ICEBERG_COMMIT_INTERVAL (only meaningful for the staged
-two-phase mode, which Iceberg makes unnecessary — see SURVEY.md §2.1 S6).
+commit_interval ↔ ICEBERG_COMMIT_INTERVAL.
+
+The reference's DUAL-cadence shape — flush every minute, leader commits
+every three (README.md:200-212: staged Parquet + 0-byte index markers,
+then a scheduled atomic publish) — is reproduced by the staged mode
+(r10, closing the SURVEY §2.1 S5/S6 staging gap at the parquet level):
+
+- :func:`start_staged_ingest` flushes each micro-batch to
+  ``<target>__staging/batch-<epoch>/`` on the FLUSH cadence; the batch
+  directory's ``_SUCCESS`` file is the index-marker analogue (a flushed
+  batch is commit-eligible iff it exists), and checkpoint + per-epoch
+  overwrite make replayed flushes idempotent;
+- :func:`commit_staged` runs on the COMMIT cadence (or from
+  :class:`StagedCommitter`): it builds a new table VERSION — hardlinks
+  of the current version's files plus the staged batches' files (names
+  prefixed per-batch, so a crash between publish and staging cleanup
+  re-links to already-present names and skips: exactly-once) — and
+  publishes it with ``maintenance.publish_version``'s atomic symlink
+  swap. Readers pin a version via ``maintenance.read_compacted_table``
+  and never observe a partial commit; between commits, flushed-but-
+  uncommitted data is invisible, exactly like the reference's staged
+  files before the leader's Iceberg commit.
+
+Single-cadence ``start_ingest`` remains the recommended shape (one
+micro-batch = one atomic visible commit, strictly lower latency for the
+same durability — SURVEY §7); the staged mode exists for cadence-fidelity
+with the reference and for deployments that want fewer, larger commit
+points than flushes.
 """
 
 from __future__ import annotations
@@ -43,6 +69,7 @@ class IngestConfig:
 
     flush_count: int = 50_000  # PARQUET_FLUSH_COUNT production default
     flush_interval: str = "60 seconds"  # PARQUET_FLUSH_INTERVAL (test: 1m)
+    commit_interval: str = "180 seconds"  # ICEBERG_COMMIT_INTERVAL (staged mode)
     #: None (default) derives a PER-TARGET checkpoint; a fixed shared
     #: default would make two default-config queries share streaming
     #: offsets — the second would silently write nothing (review finding).
@@ -104,6 +131,161 @@ def start_ingest(
     if config.partition_by_day and "_day" in df.columns:
         writer = writer.partitionBy("_day")
     return writer.format("parquet").option("path", target).start()
+
+
+def interval_seconds(interval: str) -> float:
+    """'180 seconds' / '3 minutes' / '45' → seconds (Spark trigger syntax)."""
+    parts = interval.strip().split()
+    value = float(parts[0])
+    unit = parts[1].lower().rstrip("s") if len(parts) > 1 else "second"
+    return value * {"second": 1, "minute": 60, "hour": 3600}[unit]
+
+
+def staging_dir(target: str) -> str:
+    return target.rstrip("/") + "__staging"
+
+
+def start_staged_ingest(
+    stream_df: DataFrame,
+    target: str,
+    config: IngestConfig | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """FLUSH half of the dual-cadence shape: micro-batches land in
+    ``<target>__staging/batch-<epoch>/`` and stay INVISIBLE to table
+    readers until :func:`commit_staged` publishes them.
+
+    Exactly-once staging: the checkpoint pins epoch ids, and a replayed
+    epoch overwrites its own batch directory; ``_SUCCESS`` (written last
+    by the parquet committer) marks a batch commit-eligible, so a
+    half-written replay is never published.
+    """
+    config = config or IngestConfig()
+    from pyspark.sql import functions as F
+
+    df = stream_df
+    if config.partition_by_day and "time" in df.columns:
+        df = df.withColumn("_day", F.to_date("time"))
+    stage_root = staging_dir(target)
+
+    def flush(batch_df: DataFrame, epoch_id: int) -> None:
+        w = batch_df.write.mode("overwrite").option(
+            "maxRecordsPerFile", config.flush_count
+        )
+        if config.partition_by_day and "_day" in batch_df.columns:
+            w = w.partitionBy("_day")
+        w.parquet(f"{stage_root}/batch-{epoch_id}")
+
+    writer = (
+        df.writeStream.outputMode("append")
+        .option("checkpointLocation", config.checkpoint_for(target))
+        .foreachBatch(flush)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=config.flush_interval)
+    return writer.start()
+
+
+def commit_staged(target: str, retain_seconds: float = 60.0) -> int:
+    """COMMIT half of the dual-cadence shape: atomically publish every
+    commit-eligible staged batch into the versioned table at ``target``.
+
+    Builds the next table version as HARDLINKS — the current version's
+    files under their existing names plus each staged batch's parquet
+    files under ``b<epoch>-``-prefixed names (partition subdirs
+    preserved) — then swaps the table symlink via
+    ``maintenance.publish_version`` and clears the published staging
+    dirs. Hardlinking makes a version O(#files) metadata, not a data
+    copy — the manifest-less analogue of an Iceberg snapshot.
+
+    Idempotent across crashes: a batch re-committed after a
+    publish-then-crash finds its prefixed names already present and
+    skips them (never duplicates rows); an unpublished orphan version
+    dir is expired by a later publish's retention pass. Returns the
+    number of batches published (0 = nothing eligible, no new version).
+    """
+    import os
+    import shutil
+    import uuid
+
+    from api_log_iceberg_test_spark.maintenance import publish_version
+
+    stage_root = staging_dir(target)
+    batches = sorted(
+        (
+            d
+            for d in (os.listdir(stage_root) if os.path.isdir(stage_root) else [])
+            if d.startswith("batch-")
+            and os.path.exists(os.path.join(stage_root, d, "_SUCCESS"))
+        ),
+        key=lambda d: int(d.split("-", 1)[1]),
+    )
+    if not batches:
+        return 0
+
+    def _link_tree(src_root: str, dst_root: str, prefix: str = "") -> None:
+        for dp, _, fs in os.walk(src_root):
+            rel = os.path.relpath(dp, src_root)
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                dst_dir = os.path.join(dst_root, rel) if rel != "." else dst_root
+                os.makedirs(dst_dir, exist_ok=True)
+                dst = os.path.join(dst_dir, prefix + f)
+                if not os.path.exists(dst):
+                    os.link(os.path.join(dp, f), dst)
+
+    new_version = f"{target.rstrip('/')}__v{uuid.uuid4().hex[:8]}"
+    os.makedirs(new_version)
+    if os.path.exists(target):
+        _link_tree(os.path.realpath(target), new_version)
+    for b in batches:
+        epoch = b.split("-", 1)[1]
+        _link_tree(os.path.join(stage_root, b), new_version, prefix=f"b{epoch}-")
+    publish_version(target, new_version, retain_seconds)
+    for b in batches:
+        shutil.rmtree(os.path.join(stage_root, b))
+    return len(batches)
+
+
+class StagedCommitter:
+    """Scheduled commit loop — the leader of the reference's marker+commit
+    protocol, minus the lock election (one committer per table by
+    construction; concurrent committers on one table would need the
+    Iceberg path's optimistic catalog commit)."""
+
+    def __init__(
+        self,
+        target: str,
+        interval: str | float = "180 seconds",
+        retain_seconds: float = 60.0,
+    ) -> None:
+        import threading
+
+        self.target = target
+        self.retain_seconds = retain_seconds
+        self._interval = (
+            float(interval) if isinstance(interval, (int, float))
+            else interval_seconds(interval)
+        )
+        self._stop = threading.Event()
+        self.commits = 0
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop.wait(self._interval):
+            self.commits += commit_staged(self.target, self.retain_seconds)
+
+    def stop(self, final_commit: bool = True) -> int:
+        """Stop the loop; by default drain staging with one last commit."""
+        self._stop.set()
+        self._thread.join()
+        if final_commit:
+            self.commits += commit_staged(self.target, self.retain_seconds)
+        return self.commits
 
 
 def ingest_batch(df: DataFrame, target: str, config: IngestConfig | None = None) -> None:

@@ -55,6 +55,59 @@ def remove_orphan_files(spark: SparkSession, table: str) -> None:
     spark.sql(f"CALL {catalog}.system.remove_orphan_files(table => '{table}')")
 
 
+def publish_version(
+    root: str, new_version: str, retain_seconds: float = 60.0
+) -> None:
+    """Atomically publish ``new_version`` as the live contents of ``root``.
+
+    The commit primitive shared by :func:`compact_parquet_table` and
+    ``ingest.commit_staged`` (the dual-cadence staged-commit path): data
+    lives in versioned sibling directories (``<root>__v<uuid>``), ``root``
+    is a symlink, and the commit is ``os.rename`` of a prepared symlink
+    over the live one — a single atomic syscall. Handles the three root
+    states: absent (first publish just links), plain directory (one-time
+    migration to the versioned layout — rename+symlink, the only
+    non-atomic step this layout ever performs), symlink (atomic swap).
+
+    Superseded versions survive at least ``retain_seconds`` (and the
+    just-replaced version always survives this call) so readers that
+    pinned a version at open time (:func:`read_compacted_table`) finish
+    cleanly — the parquet-fallback analogue of ``expire_snapshots``.
+    """
+    import time
+
+    current = None
+    if os.path.islink(root):
+        current = os.path.realpath(root)
+    elif os.path.exists(root):
+        # one-time migration: plain dir → versioned layout
+        current = f"{root}__v{uuid.uuid4().hex[:8]}"
+        os.rename(root, current)
+        os.symlink(os.path.basename(current), root)
+    if current is None:
+        os.symlink(os.path.basename(new_version), root)
+        return
+    swap = f"{root}__swap_{uuid.uuid4().hex[:8]}"
+    os.symlink(os.path.basename(new_version), swap)
+    os.rename(swap, root)
+    # expire: keep the live version, the just-replaced one (in-flight
+    # readers may hold its file list), and anything younger than the
+    # retention window; drop the rest
+    prefix = os.path.basename(root) + "__v"
+    parent = os.path.dirname(root) or "."
+    keep = {os.path.realpath(current), os.path.realpath(new_version)}
+    cutoff = time.time() - retain_seconds
+    for entry in os.listdir(parent):
+        full = os.path.join(parent, entry)
+        if (
+            entry.startswith(prefix)
+            and os.path.realpath(full) not in keep
+            and os.path.isdir(full)
+            and os.path.getmtime(full) < cutoff
+        ):
+            shutil.rmtree(full)
+
+
 def read_compacted_table(spark: SparkSession, path: str):
     """Open a (possibly version-symlinked) parquet table PINNED to the
     version live at call time.
@@ -110,10 +163,7 @@ def compact_parquet_table(
 
     Returns the new file count.
     """
-    import time
-
     root = os.path.join(path, partition_subdir) if partition_subdir else path
-    current = os.path.realpath(root) if os.path.islink(root) else None
     df = spark.read.parquet(os.path.realpath(root))
     size = sum(
         os.path.getsize(os.path.join(dp, f))
@@ -124,32 +174,7 @@ def compact_parquet_table(
     n_files = max(1, -(-size // target_file_size_bytes))
     new_version = f"{root}__v{uuid.uuid4().hex[:8]}"
     df.coalesce(n_files).write.mode("overwrite").parquet(new_version)
-    if current is None:
-        # one-time migration: plain dir → versioned layout. rename+symlink
-        # is the only non-atomic commit this function ever performs.
-        current = f"{root}__v{uuid.uuid4().hex[:8]}"
-        os.rename(root, current)
-        os.symlink(os.path.basename(current), root)
-    # atomic commit: rename a prepared symlink over the live one
-    swap = f"{root}__swap_{uuid.uuid4().hex[:8]}"
-    os.symlink(os.path.basename(new_version), swap)
-    os.rename(swap, root)
-    # expire: keep the live version, the just-replaced one (in-flight
-    # readers may hold its file list), and anything younger than the
-    # retention window; drop the rest
-    prefix = os.path.basename(root) + "__v"
-    parent = os.path.dirname(root) or "."
-    keep = {os.path.realpath(current), os.path.realpath(new_version)}
-    cutoff = time.time() - retain_seconds
-    for entry in os.listdir(parent):
-        full = os.path.join(parent, entry)
-        if (
-            entry.startswith(prefix)
-            and os.path.realpath(full) not in keep
-            and os.path.isdir(full)
-            and os.path.getmtime(full) < cutoff
-        ):
-            shutil.rmtree(full)
+    publish_version(root, new_version, retain_seconds)
     return n_files
 
 

@@ -113,3 +113,92 @@ def test_multimodal_audio_features(spark):
         assert 0.0 <= r["rms"] <= 1.0
     again = multimodal.extract_audio_features(media).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_staged_ingest_dual_cadence(spark, tmp_path):
+    """The reference's flush-vs-commit staging (README.md:200-212: flush
+    1m to staged parquet + marker, leader publishes every 3m) at the
+    parquet level: flushed batches are INVISIBLE until commit_staged
+    publishes them atomically; a crash between publish and staging
+    cleanup never duplicates rows; later flushes commit incrementally."""
+    import shutil
+
+    from api_log_iceberg_test_spark.ingest import commit_staged, start_staged_ingest
+    from api_log_iceberg_test_spark.ingest import staging_dir as _staging
+    from api_log_iceberg_test_spark.maintenance import read_compacted_table
+
+    n = 1000
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    generate_api_logs(spark, n, seed=21).write.parquet(src)
+
+    q = start_staged_ingest(
+        spark.readStream.schema(API_LOG_SCHEMA).parquet(src),
+        tgt,
+        IngestConfig(flush_count=100, checkpoint_dir=ckpt),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    stage = _staging(tgt)
+    staged = [d for d in os.listdir(stage) if d.startswith("batch-")]
+    assert staged, "flush produced no staged batches"
+    # dual cadence: flushed-but-uncommitted data is not in the table
+    assert not os.path.exists(tgt)
+
+    # simulate a crash AFTER publish, BEFORE staging cleanup: keep a copy
+    backup = str(tmp_path / "staging_backup")
+    shutil.copytree(stage, backup)
+    assert commit_staged(tgt) == len(staged)
+    assert read_compacted_table(spark, tgt).count() == n
+    # replay the staged batches (crash recovery path) — prefixed names
+    # already exist in the live version, so nothing duplicates
+    for b in staged:
+        shutil.copytree(os.path.join(backup, b), os.path.join(stage, b))
+    assert commit_staged(tgt) == len(staged)
+    assert read_compacted_table(spark, tgt).count() == n
+
+    # a later flush cycle commits incrementally on the same checkpoint
+    n2 = 300
+    generate_api_logs(spark, n2, seed=22).write.mode("append").parquet(src)
+    q2 = start_staged_ingest(
+        spark.readStream.schema(API_LOG_SCHEMA).parquet(src),
+        tgt,
+        IngestConfig(flush_count=100, checkpoint_dir=ckpt),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert commit_staged(tgt) >= 1
+    assert read_compacted_table(spark, tgt).count() == n + n2
+    # staging drained; exactly the live + predecessor versions retained
+    assert not [d for d in os.listdir(stage) if d.startswith("batch-")]
+
+
+def test_staged_committer_schedules_commits(spark, tmp_path):
+    """StagedCommitter is the leader-loop analogue: flushed batches become
+    visible within a commit interval without a manual commit call."""
+    import time
+
+    from api_log_iceberg_test_spark.ingest import StagedCommitter, start_staged_ingest
+    from api_log_iceberg_test_spark.maintenance import read_compacted_table
+
+    n = 500
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "table")
+    generate_api_logs(spark, n, seed=23).write.parquet(src)
+    committer = StagedCommitter(tgt, interval=0.5)
+    try:
+        q = start_staged_ingest(
+            spark.readStream.schema(API_LOG_SCHEMA).parquet(src),
+            tgt,
+            IngestConfig(flush_count=100, checkpoint_dir=str(tmp_path / "ckpt")),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        deadline = time.time() + 30
+        while time.time() < deadline and not os.path.exists(tgt):
+            time.sleep(0.2)
+    finally:
+        committer.stop(final_commit=True)
+    assert committer.commits >= 1
+    assert read_compacted_table(spark, tgt).count() == n
