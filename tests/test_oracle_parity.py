@@ -449,6 +449,7 @@ def test_python_xxh64_matches_spark(spark):
 
     from tools.spark_xxh64 import (
         spark_xxhash64_int_str,
+        spark_xxhash64_long,
         spark_xxhash64_str,
         spark_xxhash64_str_int,
     )
@@ -475,6 +476,11 @@ def test_python_xxh64_matches_spark(spark):
         assert spark_xxhash64_str(r.s) == r.h_str, r.s
         assert spark_xxhash64_int_str(3, r.s) == r.h_int_str, r.s
         assert spark_xxhash64_str_int(r.s, 11) == r.h_str_int, r.s
+    # LongType path (the q_lsh_param_sweep sample predicate hashes ids)
+    longs = [0, 1, -1, 42, 2**62, -(2**62), 999_999_999_999]
+    ldf = spark.createDataFrame([(v,) for v in longs], "v long")
+    for r in ldf.select("v", F.xxhash64("v").alias("h")).collect():
+        assert spark_xxhash64_long(r.v) == r.h, r.v
 
 
 def test_replay_tiers_match_at_sf0001(spark, sf_dir):

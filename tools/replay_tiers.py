@@ -44,6 +44,7 @@ from api_log_iceberg_test_spark.operators.dedup import _MERSENNE31, minhash_ab
 from api_log_iceberg_test_spark.operators.registry import _SHINGLES, _TOKENS
 from tools.spark_xxh64 import (
     spark_xxhash64_int_str,
+    spark_xxhash64_long,
     spark_xxhash64_str,
     spark_xxhash64_str_int,
 )
@@ -64,6 +65,7 @@ def _register_udfs(con) -> None:
 
     for name, fn, args, ret in [
         ("spark_xxh64_str", spark_xxhash64_str, [VARCHAR], BIGINT),
+        ("spark_xxh64_long", spark_xxhash64_long, [BIGINT], BIGINT),
         ("spark_xxh64_band", spark_xxhash64_int_str, [INTEGER, VARCHAR], BIGINT),
         ("spark_xxh64_simhash_u", _xxh64_simhash_u, [VARCHAR], UBIGINT),
     ]:
@@ -173,6 +175,191 @@ def _simhash_sql() -> str:
     """
 
 
+#: q_lsh_param_sweep registered parameters (dedup.lsh_param_sweep
+#: defaults at threshold 0.5, sample_fraction 0.5)
+_SWEEP_GRID = (4, 8, 16, 32)
+_SWEEP_SAMPLE_CUT = int(0.5 * 1_000_003)
+
+
+def _sweep_sql() -> str:
+    """Full replay of q_lsh_param_sweep: deterministic xxh64(doc_id)
+    half-sample → MinHash signatures → banding for every config in the
+    grid → candidate self-joins → ABSOLUTE truth tier → per-config
+    recall/precision report.
+
+    The truth tier re-derivation: the registered operator uses the
+    prefix-filtered exhaustive tier (recall 1 by construction); here the
+    complete candidate set comes from a shared-shingle-hash self-join —
+    also recall 1 for J ≥ t > 0, because a qualifying pair's
+    intersection is non-empty, so it shares at least one shingle hash.
+    Two different complete candidate generators + the identical exact
+    verify ⇒ the identical truth pair set, which is the point of a
+    cross-engine differential.
+    """
+    ab = minhash_ab(_SEED, _NUM_PERM)
+    mins = ",\n           ".join(
+        f"MIN(({a} * hp + {b}) % {_P}) AS m{i}" for i, (a, b) in enumerate(ab)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT {bands} AS bands, id, {j} AS band, "
+        "spark_xxh64_band({j}, {concat}) AS bhash FROM sig".format(
+            bands=bands,
+            j=j,
+            concat=" || ',' || ".join(
+                f"m{j * (_NUM_PERM // bands) + r}::VARCHAR"
+                for r in range(_NUM_PERM // bands)
+            ),
+        )
+        for bands in _SWEEP_GRID
+        for j in range(bands)
+    )
+    expected = " ".join(
+        f"WHEN {bands} THEN {round(1 - (1 - _THRESHOLD ** (_NUM_PERM // bands)) ** bands, 6)!r}"
+        for bands in _SWEEP_GRID
+    )
+    jac = (
+        "len(list_intersect(ha.hv, hb.hv))::DOUBLE / "
+        "(len(ha.hv) + len(hb.hv) - len(list_intersect(ha.hv, hb.hv)))::DOUBLE"
+    )
+    return f"""
+    WITH sampled AS (
+        SELECT doc_id, text FROM documents
+        WHERE ((((spark_xxh64_long(doc_id) % 1000003) + 1000003) % 1000003)
+               * 2654435761) % 1000003 < {_SWEEP_SAMPLE_CUT}
+    ), sh AS (
+        SELECT doc_id AS id, {_SHINGLES} AS sh
+        FROM (SELECT doc_id, {_TOKENS} AS toks FROM sampled)
+    ), per AS (
+        SELECT id, h64, ((h64 % {_P}) + {_P}) % {_P} AS hp
+        FROM (
+            SELECT id, spark_xxh64_str(se) AS h64
+            FROM (SELECT id, unnest(sh) AS se FROM sh)
+        )
+    ), sig AS (
+        SELECT id,
+           {mins}
+        FROM per GROUP BY id
+    ), hv AS (
+        SELECT id, list(h64) AS hv FROM per GROUP BY id
+    ), banded AS (
+        {band_selects}
+    ), cand AS (
+        SELECT DISTINCT a.bands, a.id AS id_a, b.id AS id_b
+        FROM banded a
+        JOIN banded b ON a.bands = b.bands AND a.band = b.band
+                     AND a.bhash = b.bhash AND a.id < b.id
+    ), tc AS (
+        SELECT DISTINCT least(x.id, y.id) AS id_a, greatest(x.id, y.id) AS id_b
+        FROM per x JOIN per y ON x.h64 = y.h64 AND x.id < y.id
+    ), truth AS (
+        SELECT tc.id_a, tc.id_b
+        FROM tc
+        JOIN hv ha ON ha.id = tc.id_a
+        JOIN hv hb ON hb.id = tc.id_b
+        WHERE least(len(ha.hv), len(hb.hv))::DOUBLE
+              >= {_THRESHOLD} * greatest(len(ha.hv), len(hb.hv))::DOUBLE
+          AND ROUND({jac}, 6) >= {_THRESHOLD}
+    ), ntrue AS (
+        SELECT COUNT(*) AS n_true FROM truth
+    ), percfg AS (
+        SELECT c.bands, COUNT(*) AS n_candidates,
+               SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_captured
+        FROM cand c
+        LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+        GROUP BY c.bands
+    ), grid AS (
+        SELECT unnest([{", ".join(str(b) for b in _SWEEP_GRID)}]) AS bands
+    )
+    SELECT g.bands,
+           ({_NUM_PERM} // g.bands)::INTEGER AS rows_per_band,
+           (CASE g.bands {expected} END)::DOUBLE AS expected_recall_at_t,
+           COALESCE(p.n_candidates, 0)::BIGINT AS n_candidates,
+           COALESCE(p.n_captured, 0)::BIGINT AS n_captured,
+           n.n_true::BIGINT AS n_true,
+           CASE WHEN n.n_true > 0
+                THEN ROUND(COALESCE(p.n_captured, 0)::DOUBLE / n.n_true, 6)
+           END AS recall,
+           CASE WHEN COALESCE(p.n_candidates, 0) > 0
+                THEN ROUND(p.n_captured::DOUBLE / p.n_candidates, 6)
+           END AS "precision"
+    FROM grid g
+    CROSS JOIN ntrue n
+    LEFT JOIN percfg p ON p.bands = g.bands
+    ORDER BY g.bands
+    """
+
+
+def lsh_param_sweep_oracle(con):
+    _register_udfs(con)
+    return con.execute(_sweep_sql()).fetchdf()
+
+
+#: q_ann_cosine_topk_ivf registered parameters (similarity.cosine_topk_ivf
+#: defaults: k=5, nprobe=2; centroids = per-label dim means; dim = 64)
+_IVF_SQL = """
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), dims AS (
+        SELECT unnest(range(1, 65)) AS dim
+    ), cent AS (
+        SELECT label AS centroid_id, list(mean_v ORDER BY dim) AS centroid
+        FROM (
+            SELECT label, dim, AVG(v[dim]) AS mean_v
+            FROM e, dims GROUP BY label, dim
+        ) GROUP BY label
+    ), c_cells AS (
+        SELECT vec_id AS neighbor_id, v AS c_vec, centroid_id AS cell
+        FROM (
+            SELECT e.vec_id, e.v, cent.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, cent.centroid) DESC,
+                                cent.centroid_id
+                   ) AS r
+            FROM e CROSS JOIN cent
+        ) WHERE r = 1
+    ), q_cells AS (
+        SELECT vec_id AS query_id, v AS q_vec, centroid_id AS cell
+        FROM (
+            SELECT e.vec_id, e.v, cent.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, cent.centroid) DESC,
+                                cent.centroid_id
+                   ) AS r
+            FROM e CROSS JOIN cent
+            WHERE e.vec_id < 20
+        ) WHERE r <= 2
+    ), scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               list_cosine_similarity(q.q_vec, c.c_vec) AS cos_raw
+        FROM c_cells c
+        JOIN q_cells q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def ann_ivf_oracle(con):
+    """Full-SQL replay of q_ann_cosine_topk_ivf — no UDFs needed; the
+    q_ann_cosine_topk hash oracle already proves DuckDB's
+    list_cosine_similarity reproduces the Spark dot/norm form bitwise on
+    this data, ordering included. Why this is a SWEEP tier and not a
+    driver oracle: the per-label centroid means are plain double AVGs —
+    association-dependent in their last ulps across engines and layouts
+    — and a near-tie in a vector's best-cell argmax could flip its cell
+    and change the candidate set. The operator is approximate BY DESIGN,
+    so that hazard belongs in a visible tier record (a mismatch here
+    would name a boundary case), not in the driver's hash gate."""
+    return con.execute(_IVF_SQL).fetchdf()
+
+
 _HYPER_NBITS, _HYPER_BANDS, _HYPER_SEED, _HYPER_THRESHOLD = 48, 8, 13, 0.42
 _HYPER_CHUNK = _HYPER_NBITS // _HYPER_BANDS  # 6 bits → mask 63
 
@@ -253,5 +440,13 @@ REPLAY_TIERS = {
     "q_embedding_neardup_lsh": {
         "oracle": hyperplane_lsh_oracle,
         "tier": "shared-sig-replay",
+    },
+    "q_lsh_param_sweep": {
+        "oracle": lsh_param_sweep_oracle,
+        "tier": "python-xxh64-full-replay",
+    },
+    "q_ann_cosine_topk_ivf": {
+        "oracle": ann_ivf_oracle,
+        "tier": "full-sql-replay-fp-centroid",
     },
 }

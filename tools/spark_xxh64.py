@@ -124,6 +124,11 @@ def spark_xxhash64_str(s: str) -> int:
     return _signed(xxh64_bytes(s.encode("utf-8"), _SPARK_SEED))
 
 
+def spark_xxhash64_long(value: int) -> int:
+    """= Spark ``xxhash64(col)`` for a LongType column (signed long)."""
+    return _signed(hash_long(value, _SPARK_SEED))
+
+
 def spark_xxhash64_int_str(i: int, s: str) -> int:
     """= Spark ``xxhash64(lit(i), s)`` — int field, then string field."""
     return _signed(xxh64_bytes(s.encode("utf-8"), hash_int(i, _SPARK_SEED)))
