@@ -416,6 +416,22 @@ def simhash_oracle(con):
     return con.execute(_simhash_sql()).fetchdf()
 
 
+def ann_numpy_oracle(con):
+    """Oracle for the BLAS/mapInPandas brute-force variant: the SAME
+    DuckDB exact top-k SQL that hash-oracles q_ann_cosine_topk. The
+    registered operator is rows-only because pairwise BLAS summation
+    drifts from sequential accumulation at the ULP level — but the
+    emitted values round at 6dp and ranks tie-break on neighbor_id, so
+    the variant is expected to tie out EXACTLY against the exact oracle
+    at every assurance SF (measured: sf0.001/0.01/0.1/1.0dx). A mismatch
+    here names a cosine that crossed a rounding boundary or a rank flip
+    between near-equal neighbors — exactly the boundary case worth a
+    visible record rather than a driver-gate failure."""
+    from api_log_iceberg_test_spark.operators.registry import ORACLE
+
+    return con.execute(ORACLE["q_ann_cosine_topk"]).fetchdf()
+
+
 def hyperplane_lsh_oracle(con):
     emb = con.execute(
         "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
@@ -448,5 +464,9 @@ REPLAY_TIERS = {
     "q_ann_cosine_topk_ivf": {
         "oracle": ann_ivf_oracle,
         "tier": "full-sql-replay-fp-centroid",
+    },
+    "q_ann_cosine_topk_np": {
+        "oracle": ann_numpy_oracle,
+        "tier": "fp-blas-vs-exact-sql",
     },
 }
