@@ -83,15 +83,22 @@ def main() -> None:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
 
     import __spark_entry__ as em
+    from tools.replay_tiers import REPLAY_TIERS
 
     qs, osql = em.queries(), em.oracle_sql()
+    # layout invariance is a SELF-compare across two physical configs —
+    # no oracle needed — so the deterministic rows-only entries with
+    # replay tiers participate too (r10; the other rows-only entries are
+    # sketch-randomized / fp-iterative / LIMIT-based and layout-unstable
+    # by contract, so they stay out)
+    eligible = set(osql) | set(REPLAY_TIERS)
     if only:
         # explicit --only overrides the HEAVY denylist: the caller opts in
         # knowingly (e.g. pair families on the decorrelated sf1.0dx tier,
         # where their cost is linear)
-        names = [n for n in sorted(qs) if n in osql and n in only]
+        names = [n for n in sorted(qs) if n in eligible and n in only]
     else:
-        names = [n for n in sorted(qs) if n in osql and n not in HEAVY]
+        names = [n for n in sorted(qs) if n in eligible and n not in HEAVY]
     print(f"layout sweep: {len(names)} queries x {len(CONFIGS)} configs", flush=True)
     tag = os.path.basename(sf_dir.rstrip("/"))
     here = os.path.dirname(os.path.abspath(__file__))
