@@ -133,12 +133,41 @@ def start_ingest(
     return writer.format("parquet").option("path", target).start()
 
 
+#: Spark trigger units → seconds. Bare abbreviations are keyed directly
+#: ("ms" must not lose its trailing s to plural-stripping; ADVICE r10).
+_INTERVAL_UNITS = {
+    "millisecond": 1e-3,
+    "ms": 1e-3,
+    "second": 1.0,
+    "sec": 1.0,
+    "s": 1.0,
+    "minute": 60.0,
+    "min": 60.0,
+    "m": 60.0,
+    "hour": 3600.0,
+    "h": 3600.0,
+}
+
+
 def interval_seconds(interval: str) -> float:
-    """'180 seconds' / '3 minutes' / '45' → seconds (Spark trigger syntax)."""
+    """'180 seconds' / '3 minutes' / '500 milliseconds' / '45' → seconds.
+
+    Accepts every interval string Spark's ProcessingTime trigger does
+    (so a ``flush_interval`` that ``start_staged_ingest`` accepted can
+    always be reused as a :class:`StagedCommitter` interval); unknown
+    units raise a ValueError naming the supported set instead of the
+    bare KeyError the pre-r11 three-unit map produced (ADVICE r10).
+    """
     parts = interval.strip().split()
     value = float(parts[0])
-    unit = parts[1].lower().rstrip("s") if len(parts) > 1 else "second"
-    return value * {"second": 1, "minute": 60, "hour": 3600}[unit]
+    raw = parts[1].lower() if len(parts) > 1 else "second"
+    unit = raw if raw in _INTERVAL_UNITS else raw.rstrip("s")
+    if unit not in _INTERVAL_UNITS:
+        raise ValueError(
+            f"unsupported interval unit {raw!r} in {interval!r}; "
+            f"supported: {sorted(_INTERVAL_UNITS)}"
+        )
+    return value * _INTERVAL_UNITS[unit]
 
 
 def staging_dir(target: str) -> str:
@@ -200,13 +229,21 @@ def commit_staged(target: str, retain_seconds: float = 60.0) -> int:
     dirs. Hardlinking makes a version O(#files) metadata, not a data
     copy — the manifest-less analogue of an Iceberg snapshot.
 
-    Idempotent across crashes: a batch re-committed after a
-    publish-then-crash finds its prefixed names already present and
-    skips them (never duplicates rows); an unpublished orphan version
-    dir is expired by a later publish's retention pass. Returns the
-    number of batches published (0 = nothing eligible, no new version).
+    Idempotent across crashes AT EPOCH GRANULARITY: a staged
+    ``batch-<epoch>`` whose epoch already has ``b<epoch>-`` files in the
+    live version is dropped without linking (its staging dir is still
+    cleared). File-name dedup alone is not enough — a Spark epoch REPLAY
+    rewrites the staged batch with fresh part-file UUIDs, so a crash
+    between a mid-epoch publish and the checkpoint's commit-log write
+    re-stages the same rows under new names; linking those alongside the
+    already-published ones would duplicate rows (ADVICE r10). The
+    name-level skip in ``_link_tree`` remains as a second layer for the
+    copy-preserving replay path. Returns the number of staged batches
+    drained (0 = nothing eligible; all-replay drains clear staging
+    without publishing a redundant new version).
     """
     import os
+    import re
     import shutil
     import uuid
 
@@ -237,14 +274,27 @@ def commit_staged(target: str, retain_seconds: float = 60.0) -> int:
                 if not os.path.exists(dst):
                     os.link(os.path.join(dp, f), dst)
 
-    new_version = f"{target.rstrip('/')}__v{uuid.uuid4().hex[:8]}"
-    os.makedirs(new_version)
+    # epochs already in the live version (every committed file carries its
+    # originating epoch as a leading "b<epoch>-", preserved verbatim by
+    # later carry-forward links) — the per-version committed-epoch manifest
+    committed: set[str] = set()
     if os.path.exists(target):
-        _link_tree(os.path.realpath(target), new_version)
-    for b in batches:
-        epoch = b.split("-", 1)[1]
-        _link_tree(os.path.join(stage_root, b), new_version, prefix=f"b{epoch}-")
-    publish_version(target, new_version, retain_seconds)
+        for _, _, fs in os.walk(os.path.realpath(target)):
+            for f in fs:
+                m = re.match(r"b(\d+)-", f)
+                if m:
+                    committed.add(m.group(1))
+
+    fresh = [b for b in batches if b.split("-", 1)[1] not in committed]
+    if fresh:
+        new_version = f"{target.rstrip('/')}__v{uuid.uuid4().hex[:8]}"
+        os.makedirs(new_version)
+        if os.path.exists(target):
+            _link_tree(os.path.realpath(target), new_version)
+        for b in fresh:
+            epoch = b.split("-", 1)[1]
+            _link_tree(os.path.join(stage_root, b), new_version, prefix=f"b{epoch}-")
+        publish_version(target, new_version, retain_seconds)
     for b in batches:
         shutil.rmtree(os.path.join(stage_root, b))
     return len(batches)
@@ -254,7 +304,17 @@ class StagedCommitter:
     """Scheduled commit loop — the leader of the reference's marker+commit
     protocol, minus the lock election (one committer per table by
     construction; concurrent committers on one table would need the
-    Iceberg path's optimistic catalog commit)."""
+    Iceberg path's optimistic catalog commit).
+
+    A failing tick (e.g. a transient filesystem error in
+    ``commit_staged``) does NOT kill the loop: the exception is recorded
+    as ``last_error`` (count in ``failures``) and the next tick retries —
+    staged batches are durable, so a later success drains everything the
+    failed tick left behind. Pre-r11 the daemon thread died silently on
+    the first exception and flushes accumulated invisibly forever
+    (ADVICE r10). A persistent failure still surfaces: ``stop()``'s
+    final drain runs in the CALLING thread and propagates the exception.
+    """
 
     def __init__(
         self,
@@ -272,15 +332,24 @@ class StagedCommitter:
         )
         self._stop = threading.Event()
         self.commits = 0
+        self.failures = 0
+        self.last_error: BaseException | None = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self) -> None:
         while not self._stop.wait(self._interval):
-            self.commits += commit_staged(self.target, self.retain_seconds)
+            try:
+                self.commits += commit_staged(self.target, self.retain_seconds)
+                self.last_error = None
+            except Exception as e:  # noqa: BLE001 — keep ticking, surface via stop()
+                self.last_error = e
+                self.failures += 1
 
     def stop(self, final_commit: bool = True) -> int:
-        """Stop the loop; by default drain staging with one last commit."""
+        """Stop the loop; by default drain staging with one last commit
+        (runs in the calling thread, so a still-broken target raises
+        here rather than vanishing with the daemon)."""
         self._stop.set()
         self._thread.join()
         if final_commit:

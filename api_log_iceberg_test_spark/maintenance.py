@@ -56,49 +56,68 @@ def remove_orphan_files(spark: SparkSession, table: str) -> None:
 
 
 def publish_version(
-    root: str, new_version: str, retain_seconds: float = 60.0
+    root: str,
+    new_version: str,
+    retain_seconds: float = 60.0,
+    versions_dir: str | None = None,
 ) -> None:
     """Atomically publish ``new_version`` as the live contents of ``root``.
 
     The commit primitive shared by :func:`compact_parquet_table` and
     ``ingest.commit_staged`` (the dual-cadence staged-commit path): data
-    lives in versioned sibling directories (``<root>__v<uuid>``), ``root``
+    lives in versioned directories (siblings ``<root>__v<uuid>`` by
+    default, or inside ``versions_dir`` when the caller must keep them
+    out of an enclosing table root — per-partition compaction), ``root``
     is a symlink, and the commit is ``os.rename`` of a prepared symlink
     over the live one — a single atomic syscall. Handles the three root
     states: absent (first publish just links), plain directory (one-time
     migration to the versioned layout — rename+symlink, the only
     non-atomic step this layout ever performs), symlink (atomic swap).
 
-    Superseded versions survive at least ``retain_seconds`` (and the
-    just-replaced version always survives this call) so readers that
-    pinned a version at open time (:func:`read_compacted_table`) finish
-    cleanly — the parquet-fallback analogue of ``expire_snapshots``.
+    Superseded versions survive at least ``retain_seconds`` AFTER THE
+    SWAP THAT REPLACED THEM (and the just-replaced version always
+    survives this call) so readers that pinned a version at open time
+    (:func:`read_compacted_table`) finish cleanly — the parquet-fallback
+    analogue of ``expire_snapshots``. The retention clock keys on the
+    version dir's mtime, which this function re-stamps at supersede time
+    (a version dir is immutable once published, so its natural mtime
+    would mean "created at" — under back-to-back swaps that would expire
+    a version almost immediately after it was replaced, rug-pulling a
+    reader that pinned it within the window; ADVICE r10).
     """
     import time
 
+    parent = os.path.dirname(root) or "."
+    vdir = versions_dir or parent
+    # the version-family prefix is derived from the version NAME, not from
+    # root: versions_dir layouts name versions after the flattened subdir
+    prefix = os.path.basename(new_version).rsplit("__v", 1)[0] + "__v"
     current = None
     if os.path.islink(root):
         current = os.path.realpath(root)
     elif os.path.exists(root):
         # one-time migration: plain dir → versioned layout
-        current = f"{root}__v{uuid.uuid4().hex[:8]}"
+        os.makedirs(vdir, exist_ok=True)
+        current = os.path.join(vdir, f"{prefix}{uuid.uuid4().hex[:8]}")
         os.rename(root, current)
-        os.symlink(os.path.basename(current), root)
+        os.symlink(os.path.relpath(current, parent), root)
     if current is None:
-        os.symlink(os.path.basename(new_version), root)
+        os.symlink(os.path.relpath(new_version, parent), root)
         return
     swap = f"{root}__swap_{uuid.uuid4().hex[:8]}"
-    os.symlink(os.path.basename(new_version), swap)
+    os.symlink(os.path.relpath(new_version, parent), swap)
     os.rename(swap, root)
+    # stamp "superseded at" on the version we just replaced, so the
+    # retention test below measures time-since-supersede, not age
+    if os.path.isdir(current):
+        os.utime(current, None)
     # expire: keep the live version, the just-replaced one (in-flight
-    # readers may hold its file list), and anything younger than the
-    # retention window; drop the rest
-    prefix = os.path.basename(root) + "__v"
-    parent = os.path.dirname(root) or "."
+    # readers may hold its file list), and anything superseded less than
+    # retain_seconds ago; drop the rest
     keep = {os.path.realpath(current), os.path.realpath(new_version)}
     cutoff = time.time() - retain_seconds
-    for entry in os.listdir(parent):
-        full = os.path.join(parent, entry)
+    for entry in os.listdir(vdir):
+        full = os.path.join(vdir, entry)
         if (
             entry.startswith(prefix)
             and os.path.realpath(full) not in keep
@@ -147,11 +166,21 @@ def compact_parquet_table(
     loop in tests/test_storage.py.
 
     Retention is TIME-based, like ``expire_snapshots``'s ``older_than``:
-    a superseded version survives at least ``retain_seconds`` after its
-    last modification (and the just-replaced version always survives this
-    call), so any reader shorter than ``retain_seconds`` is safe no
-    matter how many swaps land mid-scan. Pass ``retain_seconds=0`` during
-    a read quiesce to shrink to the live + just-replaced pair.
+    a superseded version survives at least ``retain_seconds`` after the
+    swap that replaced it (``publish_version`` re-stamps mtime at
+    supersede time; ADVICE r10) plus the just-replaced version always
+    survives this call, so any reader shorter than ``retain_seconds`` is
+    safe no matter how many swaps land mid-scan. Pass
+    ``retain_seconds=0`` during a read quiesce to shrink to the live +
+    just-replaced pair.
+
+    With ``partition_subdir`` the version directories live OUTSIDE the
+    table root, in ``<path>__versions/`` (ADVICE r10: siblings inside the
+    root would surface in whole-table reads as duplicate rows or bogus
+    partition values like ``_day=...__v1a2b``); the partition subdir
+    itself becomes a symlink pointing out, whose NAME still carries the
+    partition key — whole-root partition-discovery reads stay clean,
+    proven in tests/test_storage.py.
 
     First call on a plain directory migrates it to the versioned layout —
     that one-time step is rename+symlink (two syscalls, not atomic; run
@@ -167,14 +196,23 @@ def compact_parquet_table(
     df = spark.read.parquet(os.path.realpath(root))
     size = sum(
         os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(root)
+        for dp, _, fs in os.walk(root, followlinks=True)
         for f in fs
         if f.endswith(".parquet")
     )
     n_files = max(1, -(-size // target_file_size_bytes))
-    new_version = f"{root}__v{uuid.uuid4().hex[:8]}"
+    if partition_subdir:
+        # versions must NOT be siblings of the partition dir — they would
+        # sit inside the table root and pollute whole-table reads
+        versions_dir = path.rstrip("/") + "__versions"
+        os.makedirs(versions_dir, exist_ok=True)
+        flat = partition_subdir.strip("/").replace("/", "__")
+        new_version = os.path.join(versions_dir, f"{flat}__v{uuid.uuid4().hex[:8]}")
+    else:
+        versions_dir = None
+        new_version = f"{root}__v{uuid.uuid4().hex[:8]}"
     df.coalesce(n_files).write.mode("overwrite").parquet(new_version)
-    publish_version(root, new_version, retain_seconds)
+    publish_version(root, new_version, retain_seconds, versions_dir=versions_dir)
     return n_files
 
 

@@ -202,3 +202,95 @@ def test_staged_committer_schedules_commits(spark, tmp_path):
         committer.stop(final_commit=True)
     assert committer.commits >= 1
     assert read_compacted_table(spark, tgt).count() == n
+
+
+def test_staged_replay_fresh_part_names_no_duplicates(spark, tmp_path):
+    """ADVICE r10: a real Spark epoch replay rewrites the staged batch
+    with FRESH part-file UUIDs (copytree-based replay preserves names and
+    masked the bug). commit_staged must dedup at EPOCH granularity: a
+    batch whose b<epoch>- files already exist in the live version is
+    dropped even when its part names are brand new."""
+    import shutil
+
+    from api_log_iceberg_test_spark.ingest import commit_staged, start_staged_ingest
+    from api_log_iceberg_test_spark.ingest import staging_dir as _staging
+    from api_log_iceberg_test_spark.maintenance import read_compacted_table
+
+    n = 400
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "table")
+    generate_api_logs(spark, n, seed=31).write.parquet(src)
+    q = start_staged_ingest(
+        spark.readStream.schema(API_LOG_SCHEMA).parquet(src),
+        tgt,
+        IngestConfig(flush_count=100, checkpoint_dir=str(tmp_path / "ckpt")),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    stage = _staging(tgt)
+    staged = [d for d in os.listdir(stage) if d.startswith("batch-")]
+    backup = str(tmp_path / "staging_backup")
+    shutil.copytree(stage, backup)
+    assert commit_staged(tgt) == len(staged)
+    assert read_compacted_table(spark, tgt).count() == n
+
+    # replay the same epochs under fresh part-file names
+    for b in staged:
+        shutil.copytree(os.path.join(backup, b), os.path.join(stage, b))
+        for dp, _, fs in os.walk(os.path.join(stage, b)):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(dp, f), os.path.join(dp, "replayed-" + f)
+                    )
+    assert commit_staged(tgt) == len(staged)  # drained, not re-published
+    assert read_compacted_table(spark, tgt).count() == n
+    assert not [d for d in os.listdir(stage) if d.startswith("batch-")]
+
+
+def test_staged_committer_survives_transient_failure(tmp_path, monkeypatch):
+    """ADVICE r10: one transient commit_staged failure must not kill the
+    committer daemon — it records the error and keeps ticking; staged
+    batches are durable so the next successful tick drains them."""
+    import time
+
+    from api_log_iceberg_test_spark import ingest
+
+    calls = {"n": 0}
+    real = ingest.commit_staged
+
+    def flaky(target, retain_seconds=60.0):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise OSError("transient fs hiccup")
+        return real(target, retain_seconds)
+
+    monkeypatch.setattr(ingest, "commit_staged", flaky)
+    committer = ingest.StagedCommitter(str(tmp_path / "table"), interval=0.05)
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and calls["n"] < 4:
+            time.sleep(0.05)
+    finally:
+        committer.stop(final_commit=True)
+    assert calls["n"] >= 4, "loop died after the transient failures"
+    assert committer.failures == 2
+    assert committer.last_error is None  # cleared by the first success
+
+
+def test_interval_seconds_units():
+    """ADVICE r10: every Spark-trigger-accepted unit parses (the pre-r11
+    map raised KeyError on '500 milliseconds'); unknown units raise a
+    descriptive ValueError, not a bare KeyError."""
+    import pytest
+
+    from api_log_iceberg_test_spark.ingest import interval_seconds
+
+    assert interval_seconds("500 milliseconds") == 0.5
+    assert interval_seconds("250 ms") == 0.25
+    assert interval_seconds("3 min") == 180.0
+    assert interval_seconds("2 minutes") == 120.0
+    assert interval_seconds("1 hour") == 3600.0
+    assert interval_seconds("45") == 45.0
+    with pytest.raises(ValueError, match="supported"):
+        interval_seconds("3 fortnights")

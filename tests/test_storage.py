@@ -160,3 +160,88 @@ def test_compaction_swap_is_atomic_under_concurrent_reader(spark, sf_dir, tmp_pa
     assert len(versions) <= 2, versions
     assert _os.path.islink(tgt)
     assert read_compacted_table(spark, tgt).count() == n_rows
+
+
+def test_publish_version_retains_just_superseded(tmp_path):
+    """ADVICE r10: retention must key on time-since-SUPERSEDE, not
+    version-dir age. A version that was live for longer than
+    retain_seconds used to be expired by the very next swap (its mtime
+    meant 'created at'); publish_version now re-stamps the superseded
+    dir at swap time, so a reader that pinned it moments ago is safe."""
+    import glob
+    import os
+    import time
+
+    from api_log_iceberg_test_spark.maintenance import publish_version
+
+    root = str(tmp_path / "table")
+    os.makedirs(root)
+    with open(os.path.join(root, "a.parquet"), "w") as f:
+        f.write("x")
+    # the table has been live, untouched, far longer than retain_seconds
+    old = time.time() - 3600
+    os.utime(root, (old, old))
+
+    def new_version(tag):
+        d = str(tmp_path / f"table__v{tag}")
+        os.makedirs(d)
+        with open(os.path.join(d, f"{tag}.parquet"), "w") as f:
+            f.write("x")
+        os.utime(d, (old, old))  # creation long ago, like a long-lived version
+        return d
+
+    va = new_version("aaaa0001")
+    publish_version(root, va, retain_seconds=60)  # migrates + swaps; stamps migrated dir
+    migrated = [
+        d
+        for d in glob.glob(str(tmp_path / "table__v*"))
+        if os.path.isdir(d) and d != va
+    ]
+    assert len(migrated) == 1
+    vb = new_version("bbbb0002")
+    publish_version(root, vb, retain_seconds=60)
+    # the migrated dir was superseded seconds ago (though CREATED an hour
+    # ago) — it must survive this swap's retention pass
+    assert os.path.isdir(migrated[0]), "just-superseded version was rug-pulled"
+    # and va (just replaced) is always kept
+    assert os.path.isdir(va)
+    assert os.path.realpath(root) == os.path.realpath(vb)
+
+
+def test_partition_compaction_keeps_whole_root_reads_clean(spark, sf_dir, tmp_path):
+    """ADVICE r10: per-partition compaction must not leave version dirs
+    INSIDE the table root — a whole-table read would see duplicate rows
+    or parse '<part>__v1a2b' as a bogus partition value. Versions now
+    live in <path>__versions/ with the partition symlink pointing out."""
+    import glob
+    import os
+
+    from api_log_iceberg_test_spark.maintenance import compact_parquet_table
+
+    tgt = str(tmp_path / "events_part")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    n_rows = ev.count()
+    ev.withColumn("_bucket", F.pmod(F.col("event_id"), F.lit(2))).repartition(
+        8
+    ).write.partitionBy("_bucket").parquet(tgt)
+
+    # compact one partition twice (second swap exercises retention too)
+    compact_parquet_table(spark, tgt, target_file_size_bytes=1 << 16,
+                          partition_subdir="_bucket=0")
+    compact_parquet_table(spark, tgt, target_file_size_bytes=1 << 30,
+                          partition_subdir="_bucket=0")
+
+    # no version dirs inside the table root; versions live outside
+    inside = [e for e in os.listdir(tgt) if "__v" in e or "__swap" in e]
+    assert not inside, inside
+    assert glob.glob(tgt + "__versions/_bucket=0__v*")
+    assert os.path.islink(os.path.join(tgt, "_bucket=0"))
+
+    # whole-root read: full row count, correct partition values, no dupes
+    got = spark.read.parquet(tgt)
+    assert got.count() == n_rows
+    assert sorted(
+        r["_bucket"] for r in got.select("_bucket").distinct().collect()
+    ) == [0, 1]
+    per_key = got.groupBy("event_id").count().filter(F.col("count") > 1).count()
+    assert per_key == 0
