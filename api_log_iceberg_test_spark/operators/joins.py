@@ -62,6 +62,100 @@ def range_join_within(
     )
 
 
+def nearby_stats_within(
+    df: DataFrame,
+    time_col: str,
+    within_seconds: int,
+    flag: Column,
+    keep_cols: list[str],
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Per-row neighborhood stats over a ±``within_seconds`` time window,
+    PAIR-FREE: appends ``n_nearby`` (count of OTHER rows within the
+    window), ``n_nearby_flagged`` (those where ``flag`` holds) and
+    ``nearest_gap_us`` (min |Δt| to any other row in-window; null when
+    none) to every input row.
+
+    Why not aggregate ``range_join_within``'s pairs: that plan's OUTPUT
+    is linear after the map-side partial agg, but its COMPUTE still
+    enumerates every candidate pair before the partials collapse them —
+    quadratic in temporal density (measured 24× wall for 10× data at
+    sf1.0; at 100 TB a hot ±5-minute window with 10⁷ events means ~10⁷
+    comparisons per row). This form is O(n log n): rows shuffle once on
+    a coarse time bucket (default ``12 × within`` ≈ 1 h for the 5-min
+    window), each bucket sorts by the long microsecond column, and every
+    stat is a RANGE-frame window aggregate over that one sort —
+    whole-stage sliding frames, no pair ever materializes.
+
+    Exactness is preserved by boundary-strip replication: a row lands in
+    its own bucket as a CENTER row and is copied into the adjacent
+    bucket as frame-only context when it sits within ``within`` of that
+    edge (≤ ``2·within/bucket`` extra rows, ~17 % at the default), so
+    every center row's ±window is fully present in its partition and
+    each physical row appears at most once per partition — counts are
+    exact, not approximate. ``nearest_gap_us`` needs no pair scan
+    either: the nearest other row in time is always adjacent in the
+    sort, so it is min(gap to predecessor frame's max, successor
+    frame's min), with a peers-frame count catching exact timestamp
+    ties (gap 0). All outputs are integer-exact (COUNT / SUM of a 0-1
+    flag / MIN of long gaps) — hash-gate-safe, no SCALE.md §11 grid.
+
+    Skew note: one bucket = one window partition, so the per-task bound
+    is rows-per-``bucket_seconds``; shrink ``bucket_seconds`` (≥ 2×
+    ``within`` is sensible; must be ≥ ``within`` for strip coverage) to
+    split hotter streams across more tasks at the cost of a higher copy
+    fraction. Timestamps are assumed non-negative epochs (``div``
+    truncates toward zero), like :func:`range_join_within`.
+    """
+    from pyspark.sql import Window
+
+    if bucket_seconds is None:
+        bucket_seconds = 12 * within_seconds
+    if bucket_seconds < within_seconds:
+        raise ValueError("bucket_seconds must be >= within_seconds")
+    w_us = within_seconds * 1_000_000
+    b_us = bucket_seconds * 1_000_000
+    # coalesce keeps the flag (and thus n_nearby_flagged) non-nullable —
+    # matching the aggregated-pair form's COUNT(CASE ...) schema exactly
+    base = df.select(
+        *keep_cols,
+        F.coalesce(flag.cast("long"), F.lit(0)).alias("_flag"),
+        F.unix_micros(F.col(time_col).cast("timestamp_ltz")).alias("_t"),
+    ).withColumn("_b0", F.expr(f"_t div {b_us}"))
+    tagged = (
+        base.withColumn("_d", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .filter(
+            (F.col("_d") == 0)
+            | ((F.col("_d") == -1) & (F.col("_t") - F.col("_b0") * b_us <= w_us))
+            | ((F.col("_d") == 1) & ((F.col("_b0") + 1) * b_us - F.col("_t") <= w_us))
+        )
+        .withColumn("_bucket", F.col("_b0") + F.col("_d"))
+    )
+    by_t = Window.partitionBy("_bucket").orderBy("_t")
+    w_full = by_t.rangeBetween(-w_us, w_us)
+    w_peers = by_t.rangeBetween(0, 0)
+    w_pred = by_t.rangeBetween(-w_us, -1)
+    w_succ = by_t.rangeBetween(1, w_us)
+    stats = tagged.select(
+        *keep_cols,
+        F.col("_d"),
+        (F.count(F.lit(1)).over(w_full) - 1).alias("n_nearby"),
+        (
+            F.count(F.when(F.col("_flag") == 1, F.lit(1))).over(w_full)
+            - F.col("_flag")
+        ).alias("n_nearby_flagged"),
+        F.when(F.count(F.lit(1)).over(w_peers) >= 2, F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.col("_t") - F.max("_t").over(w_pred),
+                F.min("_t").over(w_succ) - F.col("_t"),
+            )
+        )
+        .alias("nearest_gap_us"),
+    )
+    return stats.filter(F.col("_d") == 0).drop("_d")
+
+
 def bloom_semi_join(
     fact: DataFrame,
     keys: DataFrame,

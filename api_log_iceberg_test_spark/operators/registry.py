@@ -329,62 +329,50 @@ def q_range_join_nearby_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_range_join_nearby_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregated range join: per error event, the COUNT of events
-    within ±5 min, how many of those are themselves errors, and the
-    nearest-neighbor gap — the production consumer of
-    ``joins.range_join_within`` (VERDICT r09 #4).
+    """Per error event, the COUNT of events within ±5 min, how many of
+    those are themselves errors, and the nearest-neighbor gap — the
+    production consumer of the time-neighborhood shape (VERDICT r09 #4),
+    PAIR-FREE since r11 (VERDICT r10 #1).
 
     Why this exists next to q_range_join_nearby_events: the pair-
-    materializing form is correct but its OUTPUT is quadratic in row
-    density over the fixed window (measured 100.6x pairs for 10x data
-    at sf1.0 — 46.1M rows nobody wants to sit on at 100 TB). The
-    scale-safe consumer aggregates per left row: the groupBy sits in
-    the SAME stage as the bucketed equi-join's probe side, so the
-    pairs collapse in the map-side partial aggregate and the final
-    shuffle carries |errors| rows of integer partials, not pairs —
-    output is linear in |errors| no matter how dense the window gets.
+    materializing form's OUTPUT is quadratic in row density over the
+    fixed window (measured 100.6x pairs for 10x data at sf1.0 — 46.1M
+    rows nobody wants to sit on at 100 TB). The r10 version aggregated
+    those pairs — output-linear, but still COMPUTE-quadratic: the
+    map side enumerated every (error, neighbor) candidate before the
+    partial agg collapsed them (measured 24x wall for 10x data). This
+    version is O(n log n): ``joins.nearby_stats_within`` shuffles each
+    event once into a coarse time bucket (±window boundary strips
+    replicated for exactness), sorts the bucket by the long microsecond
+    column, and reads every stat off RANGE-frame window aggregates —
+    counts as prefix-rank differences, the nearest gap from the
+    adjacent predecessor/successor in time order (the nearest neighbor
+    in time is always adjacent in the sort; a peers-frame count catches
+    exact ties). No pair ever materializes, so compute is linear in
+    events (sort-dominated), not in window density.
 
-    Every aggregate is integer-exact (COUNT, conditional COUNT, MIN
-    over integer microsecond gaps): no fp sums, no SCALE.md §11 grid
-    needed, hash-gate-safe by construction. Isolated errors (no other
-    event within the window) drop out of the inner join in both
-    engines identically — the row count is "errors with ≥1 neighbor".
-
-    The epoch-micros columns are computed ONCE per input row, before
-    the join, and carried through it — evaluating the
-    unix_micros(cast(ts)) pair inside the gap expression instead runs
-    it once per PAIR (quadratic in window density; measured 1.33x the
-    whole query at sf1.0dx: 4.1s → 3.1s steady, bit-identical output).
-    """
+    Every output is integer-exact (COUNT, conditional COUNT, MIN over
+    integer microsecond gaps): no fp sums, no SCALE.md §11 grid needed,
+    hash-gate-safe by construction. Isolated errors (no other event
+    within the window) are dropped by the ``n_nearby >= 1`` filter —
+    identical to the pair form's inner-join semantics; the r11 re-plan
+    is bit-identical to the r10 output at sf0.001/0.01/0.1 (pair-vs-
+    window equivalence also pinned by tests/test_operators.py)."""
     ev = load_table(spark, sf_dir, "events")
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp_ltz"))  # noqa: E731
-    errors = ev.filter(F.col("event_type") == "error").select(
-        F.col("event_id").alias("err_id"),
-        F.col("ts").alias("err_ts"),
-        us("ts").alias("err_us"),
-    )
-    others = ev.select(
-        F.col("event_id").alias("near_id"),
-        F.col("ts").alias("near_ts"),
-        F.col("event_type").alias("near_type"),
-        us("ts").alias("near_us"),
-    )
-    pairs = joins.range_join_within(
-        errors,
-        others,
-        left_time="err_ts",
-        right_time="near_ts",
+    stats = joins.nearby_stats_within(
+        ev.select("event_id", "ts", "event_type"),
+        time_col="ts",
         within_seconds=300,
-        left_cols=["err_id", "err_us"],
-        right_cols=["near_id", "near_us", "near_type"],
-    ).filter(F.col("err_id") != F.col("near_id"))
-    gap_us = F.abs(F.col("err_us") - F.col("near_us"))
+        flag=F.col("event_type") == "error",
+        keep_cols=["event_id", "event_type"],
+    )
     return (
-        pairs.groupBy("err_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_nearby"),
-            F.count(F.when(F.col("near_type") == "error", 1)).alias("n_nearby_errors"),
-            F.min(gap_us).alias("nearest_gap_us"),
+        stats.filter((F.col("event_type") == "error") & (F.col("n_nearby") >= 1))
+        .select(
+            F.col("event_id").alias("err_id"),
+            "n_nearby",
+            F.col("n_nearby_flagged").alias("n_nearby_errors"),
+            "nearest_gap_us",
         )
         .orderBy("err_id")
     )

@@ -347,3 +347,104 @@ def test_asof_nearest_picks_closer_side(spark, tmp_path):
     assert out[10] == (21, "forward")
     assert out[11] == (30, "backward")
     assert out[12] == (40, "backward")
+
+
+# ---------------------------------------------------------------------------
+# pair-free time-neighborhood stats (r11 re-plan of the aggregated range join)
+# ---------------------------------------------------------------------------
+
+_event_rows = st.lists(
+    st.tuples(st.integers(0, 120_000_000), st.booleans()),  # (micros, flag)
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_event_rows, bucket_seconds=st.sampled_from([10, 20, 35, 120]))
+@settings(max_examples=25, deadline=None)
+def test_nearby_stats_match_bruteforce(spark, rows, bucket_seconds):
+    """joins.nearby_stats_within vs a per-row Python brute force, over
+    adversarial timestamps: exact ties, exact ±window boundaries, and
+    bucket-edge straddles (bucket_seconds down to == within_seconds, the
+    minimum legal strip coverage). Counts and nearest gaps must be exact
+    — the boundary-strip replication is a lossless rewrite, not an
+    approximation."""
+    from api_log_iceberg_test_spark.operators.joins import nearby_stats_within
+
+    within = 10  # seconds
+    w_us = within * 1_000_000
+    data = [(i, t, bool(f)) for i, (t, f) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, t_us long, flag boolean").select(
+        "id", "flag", F.timestamp_micros(F.col("t_us")).alias("ts")
+    )
+    out = {
+        r["id"]: (r["n_nearby"], r["n_nearby_flagged"], r["nearest_gap_us"])
+        for r in nearby_stats_within(
+            df,
+            time_col="ts",
+            within_seconds=within,
+            flag=F.col("flag"),
+            keep_cols=["id"],
+            bucket_seconds=bucket_seconds,
+        ).collect()
+    }
+    assert set(out) == {i for i, _, _ in data}
+    for i, t, _ in data:
+        nb = [(tj, fj) for j, tj, fj in data if j != i and abs(tj - t) <= w_us]
+        want = (
+            len(nb),
+            sum(1 for _, fj in nb if fj),
+            min((abs(tj - t) for tj, _ in nb), default=None),
+        )
+        assert out[i] == want, (i, t, out[i], want)
+
+
+def test_nearby_stats_match_pair_form_on_events(spark, sf_dir):
+    """The r11 pair-free q_range_join_nearby_counts plan is row-identical
+    to the r10 aggregated-pair form on the real events table (the driver
+    hash must not move — no evidence floor was taken for the re-plan)."""
+    from api_log_iceberg_test_spark.operators.joins import (
+        nearby_stats_within,
+        range_join_within,
+    )
+    from api_log_iceberg_test_spark.operators.registry import (
+        q_range_join_nearby_counts,
+    )
+    from api_log_iceberg_test_spark.schema import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+        us.alias("err_us"),
+    )
+    others = ev.select(
+        F.col("event_id").alias("near_id"),
+        F.col("ts").alias("near_ts"),
+        F.col("event_type").alias("near_type"),
+        us.alias("near_us"),
+    )
+    pairs = range_join_within(
+        errors,
+        others,
+        left_time="err_ts",
+        right_time="near_ts",
+        within_seconds=300,
+        left_cols=["err_id", "err_us"],
+        right_cols=["near_id", "near_us", "near_type"],
+    ).filter(F.col("err_id") != F.col("near_id"))
+    reference = (
+        pairs.groupBy("err_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearby"),
+            F.count(F.when(F.col("near_type") == "error", 1)).alias(
+                "n_nearby_errors"
+            ),
+            F.min(F.abs(F.col("err_us") - F.col("near_us"))).alias("nearest_gap_us"),
+        )
+        .orderBy("err_id")
+    )
+    got = q_range_join_nearby_counts(spark, sf_dir)
+    assert got.schema == reference.schema
+    assert got.collect() == reference.collect()
