@@ -27,8 +27,29 @@ TABLES = [
 ]
 
 
-def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+def duckdb_conn(
+    sf_dir: str,
+    temp_directory: str | None = None,
+    memory_limit: str | None = None,
+) -> duckdb.DuckDBPyConnection:
+    """Oracle connection over the SF dir's parquet views.
+
+    ``temp_directory``/``memory_limit`` tune spill behavior for the
+    heavy assurance sweeps (VERDICT r10 #4: the sf1.0dx stepwise graph
+    oracles spilled past the volume's free space on their first pass
+    under DuckDB's defaults — an explicit high memory_limit keeps the
+    recursive joins in RAM, and an explicit temp_directory makes any
+    residual spill land somewhere inspectable/cleanable). The driver's
+    own oracle runs at sf0.01 and never needs either.
+    """
+    import os
+
     con = duckdb.connect()
+    if temp_directory:
+        os.makedirs(temp_directory, exist_ok=True)
+        con.execute(f"SET temp_directory='{temp_directory}'")
+    if memory_limit:
+        con.execute(f"SET memory_limit='{memory_limit}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

@@ -425,7 +425,10 @@ def test_sweep_special_tiers_reference_live_registry_entries(spark, sf_dir):
             f"{name} gained a driver oracle — retire its replay tier "
             "or the sweep would double-verify with diverging forms"
         )
-        assert {"oracle", "tier"} <= tier.keys()
+        # r11: tiers carry either a full replay "oracle" (exact compare)
+        # or a bounded-invariant "check" callable — exactly one of them
+        assert "tier" in tier
+        assert ("oracle" in tier) ^ ("check" in tier), name
     for name, tier in SAMPLED_TIERS.items():
         assert name in qs and name in osql, f"sampled hook unwired: {name}"
         assert {"spark", "oracle", "tier"} <= tier.keys()
@@ -498,7 +501,18 @@ def test_replay_tiers_match_at_sf0001(spark, sf_dir):
     qs = em.queries()
     con = duckdb_conn(sf_dir)
     for name, t in REPLAY_TIERS.items():
+        sdf = qs[name](spark, sf_dir)
+        if "check" in t:
+            # bounded-invariant tiers (r11, tools/bounded_tiers.py): the
+            # check certifies exact sub-invariants + accuracy envelopes
+            # against DuckDB exact answers; non-vacuousness on the Spark
+            # side replaces the oracle row-count check
+            res = t["check"](sdf, con)
+            errs = res.get("errs") if isinstance(res, dict) else res
+            assert not errs, errs
+            assert sdf.count() > 0, f"{name}: vacuous output"
+            continue
         odf = t["oracle"](con)
-        errs = compare(qs[name](spark, sf_dir), odf, name)
+        errs = compare(sdf, odf, name)
         assert not errs, errs
         assert len(odf) > 0, f"{name}: vacuous replay (0 rows proves nothing)"

@@ -470,3 +470,11 @@ REPLAY_TIERS = {
         "tier": "fp-blas-vs-exact-sql",
     },
 }
+
+# r11: the sketch trio + k-means + PQ tiers (stepwise SQL replay and
+# bounded-invariant certification — see tools/bounded_tiers.py). Entries
+# carrying a "check" key use check(sdf, con) -> errors instead of
+# oracle+exact-compare; the sweep honors both contracts.
+from tools.bounded_tiers import BOUNDED_TIERS  # noqa: E402
+
+REPLAY_TIERS.update(BOUNDED_TIERS)

@@ -105,7 +105,20 @@ def main() -> None:
     from tools.sampled_tiers import SAMPLED_TIERS
 
     qs, osql = em.queries(), em.oracle_sql()
-    con = duckdb_conn(sf_dir)
+    # spill tuning (VERDICT r10 #4): the sf1.0dx stepwise graph oracles
+    # exhausted temp disk on their first pass under defaults; a high
+    # explicit memory_limit keeps them in RAM on this 128 GiB box (the
+    # concurrent Spark JVM is a few GiB), and the explicit temp dir makes
+    # any residual spill visible and cleanable
+    con = duckdb_conn(
+        sf_dir,
+        temp_directory=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".localdata",
+            "duckdb_tmp",
+        ),
+        memory_limit=os.environ.get("SWEEP_DUCKDB_MEMLIMIT", "96GB"),
+    )
     tag = os.path.basename(sf_dir.rstrip("/"))
     # tier gating must survive symlink spellings: .localdata/dx-sf1.0 is a
     # symlink to sf1.0dx (bench.py's SF parser needs the dirname to END in
@@ -135,6 +148,7 @@ def main() -> None:
             log.flush()
             t0 = time.time()
             tier = None
+            info = None
             try:
                 # the iterative-graph pair runs the stepwise-materialized
                 # twin of its CTE oracle (identical per-round SQL text;
@@ -153,17 +167,28 @@ def main() -> None:
                     sdf = t["spark"](spark, sf_dir)
                 elif name in REPLAY_TIERS:
                     # rows-only entries upgraded to cross-engine evidence:
-                    # the oracle callable registers its python-xxh64 UDFs
-                    # or shared-sig table on the connection, then replays
-                    # the full pipeline in DuckDB (tools/replay_tiers.py)
+                    # either a full replay oracle (python-xxh64 UDFs,
+                    # shared-sig table, stepwise SQL — exact compare) or a
+                    # bounded-invariant check callable (sketch/PQ tiers,
+                    # tools/bounded_tiers.py) that certifies the published
+                    # accuracy contract against DuckDB exact answers
                     t = REPLAY_TIERS[name]
                     tier = t["tier"]
-                    odf = t["oracle"](con)
                     sdf = qs[name](spark, sf_dir)
+                    if "check" in t:
+                        res = t["check"](sdf, con)
+                        if isinstance(res, dict):  # optional measured-info
+                            errs, info = res.get("errs") or [], res.get("info")
+                        else:
+                            errs = res
+                        odf = None
+                    else:
+                        odf = t["oracle"](con)
                 else:
                     odf = con.execute(osql[name]).fetchdf()
                     sdf = qs[name](spark, sf_dir)
-                errs = compare(sdf, odf, name)
+                if odf is not None:
+                    errs = compare(sdf, odf, name)
             except Exception as e:  # noqa: BLE001 — record, keep sweeping
                 errs = [f"{name}: EXCEPTION {type(e).__name__}: {e}"]
             dt = round(time.time() - t0, 2)
@@ -177,6 +202,8 @@ def main() -> None:
             }
             if tier:
                 row["tier"] = tier
+            if info:
+                row["info"] = info
             log.write(json.dumps(row) + "\n")
             log.flush()
             if errs:
