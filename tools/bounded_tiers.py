@@ -314,13 +314,20 @@ BOUNDED_TIERS = {
         "check": check_approx_distinct,
         "tier": "exact-bound-certify",
     },
+    # KLL compaction is randomized, so the emitted quantile VALUES are
+    # layout-dependent by contract (the rank-error envelope is the
+    # guarantee — what these tiers certify); layout_stable=False keeps
+    # them out of the layout sweep's exact self-compare, which would
+    # otherwise record contract-expected instability as a red row
     "q_kll_value_quantiles": {
         "check": check_kll_quantiles,
         "tier": "rank-bound-certify",
+        "layout_stable": False,
     },
     "q_kll_window_drift": {
         "check": check_kll_window_drift,
         "tier": "rank-bound-certify",
+        "layout_stable": False,
     },
     "q_ann_pq_topk": {
         "check": check_pq_topk,

@@ -88,10 +88,13 @@ def main() -> None:
     qs, osql = em.queries(), em.oracle_sql()
     # layout invariance is a SELF-compare across two physical configs —
     # no oracle needed — so the deterministic rows-only entries with
-    # replay tiers participate too (r10; the other rows-only entries are
-    # sketch-randomized / fp-iterative / LIMIT-based and layout-unstable
-    # by contract, so they stay out)
-    eligible = set(osql) | set(REPLAY_TIERS)
+    # replay/certify tiers participate too (r10/r11). Tiers flagged
+    # layout_stable=False (randomized KLL compaction) are excluded even
+    # under --only: their instability is CONTRACT, not a defect — the
+    # rank-bound certify tier is their correctness evidence.
+    eligible = set(osql) | {
+        n for n, t in REPLAY_TIERS.items() if t.get("layout_stable", True)
+    }
     if only:
         # explicit --only overrides the HEAVY denylist: the caller opts in
         # knowingly (e.g. pair families on the decorrelated sf1.0dx tier,
