@@ -357,7 +357,7 @@ def q_range_join_nearby_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the window) are dropped by the ``n_nearby >= 1`` filter —
     identical to the pair form's inner-join semantics; the r11 re-plan
     is bit-identical to the r10 output at sf0.001/0.01/0.1 (pair-vs-
-    window equivalence also pinned by tests/test_operators.py)."""
+    window equivalence also pinned by tests/test_equivalence.py)."""
     ev = load_table(spark, sf_dir, "events")
     stats = joins.nearby_stats_within(
         ev.select("event_id", "ts", "event_type"),
