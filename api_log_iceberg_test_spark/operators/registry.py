@@ -344,12 +344,14 @@ def q_range_join_nearby_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     version is O(n log n): ``joins.nearby_stats_within`` shuffles each
     event once into a coarse time bucket (±window boundary strips
     replicated for exactness), sorts the bucket by the long microsecond
-    column, and reads every stat off RANGE-frame window aggregates —
-    counts as prefix-rank differences, the nearest gap from the
-    adjacent predecessor/successor in time order (the nearest neighbor
-    in time is always adjacent in the sort; a peers-frame count catches
-    exact ties). No pair ever materializes, so compute is linear in
-    events (sort-dominated), not in window density.
+    column, and reads every stat off one window pass — counts as
+    prefix-rank differences over two add-only UNBOUNDED-PRECEDING range
+    frames (never a sliding ±w frame, which Spark re-evaluates per row:
+    see the frame-discipline note in ``nearby_stats_within``), the
+    nearest gap from ``lag``/``lead`` offset frames (the nearest
+    neighbor in time is always adjacent in the sort; exact ties give
+    gap 0 from either side). No pair ever materializes, so compute is
+    linear in events (sort-dominated), not in window density.
 
     Every output is integer-exact (COUNT, conditional COUNT, MIN over
     integer microsecond gaps): no fp sums, no SCALE.md §11 grid needed,

@@ -804,6 +804,24 @@ def test_pack_batches_bucket_window_and_pruned_scan(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2, plan
 
 
+def test_nearby_counts_no_sliding_window_frames(spark, sf_dir):
+    """r11 frame discipline: q_range_join_nearby_counts must never use a
+    sliding window frame. Spark's SlidingWindowFunctionFrame has no
+    inverse-combine, so a ±w RANGE frame re-evaluates the whole in-frame
+    buffer per row — O(n × window density), the quadratic term the
+    pair-free re-plan exists to remove (measured: ~3s of a 4.4s sf1.0dx
+    run sat in three sliding frames; the monotonic form runs ~1.7s).
+    Allowed frames: RangeFrame with an UNBOUNDED PRECEDING lower bound
+    (incremental add-only) and RowFrame with equal bounds (lag/lead
+    offset frames, O(1) per row)."""
+    plan = _plan(spark, sf_dir, "q_range_join_nearby_counts")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    for lo, hi in re.findall(r"specifiedwindowframe\(RangeFrame, ([^,]+), ([^)]+)\)", plan):
+        assert lo.startswith("unboundedpreceding"), (lo, hi, plan[:2000])
+    for lo, hi in re.findall(r"specifiedwindowframe\(RowFrame, ([^,]+), ([^)]+)\)", plan):
+        assert lo == hi, (lo, hi, plan[:2000])
+
+
 def test_lsh_param_sweep_bounded_corpus_scans(spark, sf_dir):
     """The sweep materializes the 32-perm signature pass and the truth tier
     ONCE each (lazy checkpoints): across the whole execution the corpus
