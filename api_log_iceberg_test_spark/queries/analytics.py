@@ -2742,7 +2742,14 @@ def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: grid = broadcast spine×types (no fact shuffle); the neighbor
     search is two ignore-nulls windows per type over the GRID (|hours|·
     |types| rows, not the fact table), using the spine's positional index
-    so no timestamp arithmetic (and no NTZ pitfalls) enters the math."""
+    so no timestamp arithmetic (and no NTZ pitfalls) enters the math.
+    Frame discipline (r11): the NEXT-neighbor lookup is a prefix frame
+    over a DESCENDING sort, not ``rowsBetween(1, unboundedFollowing)`` —
+    Spark's UnboundedFollowingWindowFunctionFrame re-aggregates from the
+    current row to the partition end for EVERY row (O(n²) per
+    partition; harmless at an hourly spine, catastrophic at a
+    second-level one). Both passes share the one hash exchange on
+    event_type; the desc pass only adds a re-sort."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
@@ -2764,16 +2771,18 @@ def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("idx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # strict-successor prefix frame on the DESC sort: the rows already
+    # seen are exactly idx' > idx, and last() is the nearest of them
     w_foll = (
         Window.partitionBy("event_type")
-        .orderBy("idx")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("idx").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     present_idx = F.when(F.col("v").isNotNull(), F.col("idx"))
     prev_v = F.last("v", ignorenulls=True).over(w_prec)
     prev_i = F.last(present_idx, ignorenulls=True).over(w_prec)
-    next_v = F.first("v", ignorenulls=True).over(w_foll)
-    next_i = F.first(present_idx, ignorenulls=True).over(w_foll)
+    next_v = F.last("v", ignorenulls=True).over(w_foll)
+    next_i = F.last(present_idx, ignorenulls=True).over(w_foll)
     filled = (
         F.when(F.col("v").isNotNull(), F.col("v"))
         .when(

@@ -641,6 +641,65 @@ _ARROW_PYTHON_ALLOWLIST = {
 }
 
 
+#: Window frames Spark cannot evaluate incrementally, audited per entry.
+#: Sliding frames (both bounds finite, bounds differ) re-aggregate the
+#: whole in-frame buffer on every frame move (no inverse-combine), so
+#: their cost is O(n × frame_rows): fine when the frame is a small
+#: CONSTANT number of ROWS, density-quadratic when it is a RANGE of a
+#: dense column. UNBOUNDED FOLLOWING lower-bounded frames re-aggregate
+#: current→partition-end per row: O(n²), never acceptable (a DESC-sort
+#: prefix frame is always available instead — see q_interpolate_gaps).
+_SLIDING_FRAME_ALLOWLIST = {
+    # ROWS frames of constant width k: cost O(k·n), k documented here.
+    "q_lag_features": "ROWS 7-row trailing stats — constant k=7",
+    "q_moving_avg": "ROWS 4-row moving average — constant k=4",
+    # RANGE value-frame: SQL-surface breadth demo (RANGE BETWEEN value
+    # PRECEDING); frame size is value-density-dependent BY CONTRACT and
+    # the demo's partition is a 5-row-per-group dimension slice.
+    "q_sql_range_frame": "RANGE value frame — SQL breadth demo, bounded partitions",
+}
+
+
+def test_no_density_quadratic_window_frames_registry_wide(registry_plans):
+    """r11 frame-discipline ban, registry-wide: every window frame in
+    every registered query's optimized plan must be one Spark evaluates
+    incrementally — UNBOUNDED-PRECEDING lower bound (add-only), equal-
+    bounds RowFrame (lag/lead offset), or whole-partition — unless the
+    entry is in the audited sliding-frame allowlist above. UNBOUNDED
+    FOLLOWING lower-bounded frames (O(n²) per partition) are banned
+    outright with no allowlist: the DESC-sort prefix rewrite is always
+    available and bit-identical (q_interpolate_gaps, r11)."""
+    frame_re = re.compile(
+        r"specifiedwindowframe\((RowFrame|RangeFrame), ([^,]+), ([^)]+)\)"
+    )
+    sliding, unbounded_following = {}, {}
+    for name, plan in registry_plans.items():
+        for ft, lo, hi in frame_re.findall(plan):
+            lo, hi = lo.strip(), hi.strip()
+            if lo.startswith("unboundedpreceding"):
+                continue  # add-only incremental
+            if ft == "RowFrame" and lo == hi:
+                continue  # lag/lead offset frame
+            if hi.startswith("unboundedfollowing"):
+                unbounded_following.setdefault(name, []).append((ft, lo, hi))
+            else:
+                sliding.setdefault(name, []).append((ft, lo, hi))
+    assert not unbounded_following, (
+        "UNBOUNDED FOLLOWING frames re-aggregate current->end per row "
+        "(O(n^2) per partition); rewrite as a prefix frame over the DESC "
+        f"sort: {unbounded_following}"
+    )
+    unlisted = {n: f for n, f in sliding.items() if n not in _SLIDING_FRAME_ALLOWLIST}
+    assert not unlisted, (
+        "sliding window frames re-aggregate the in-frame buffer per row "
+        "(O(n x frame_rows)); use prefix-rank differences or, if the "
+        "frame is a small constant, audit and extend "
+        f"_SLIDING_FRAME_ALLOWLIST: {unlisted}"
+    )
+    gone = set(_SLIDING_FRAME_ALLOWLIST) - set(sliding)
+    assert not gone, f"allowlist entries no longer sliding — prune: {gone}"
+
+
 def test_join_and_python_boundary_shapes_registry_wide(registry_plans):
     """One pass over every registered query's plan enforcing three bans
     (SCALE.md §2/§5): no CartesianProduct anywhere, no row-at-a-time
