@@ -136,6 +136,8 @@ def start_ingest(
 #: Spark trigger units → seconds. Bare abbreviations are keyed directly
 #: ("ms" must not lose its trailing s to plural-stripping; ADVICE r10).
 _INTERVAL_UNITS = {
+    "microsecond": 1e-6,
+    "us": 1e-6,
     "millisecond": 1e-3,
     "ms": 1e-3,
     "second": 1.0,
@@ -146,6 +148,10 @@ _INTERVAL_UNITS = {
     "m": 60.0,
     "hour": 3600.0,
     "h": 3600.0,
+    "day": 86400.0,
+    "d": 86400.0,
+    "week": 604800.0,
+    "w": 604800.0,
 }
 
 
@@ -174,6 +180,34 @@ def staging_dir(target: str) -> str:
     return target.rstrip("/") + "__staging"
 
 
+def _ingest_run_id(checkpoint: str) -> str:
+    """Stable per-CHECKPOINT identity for staged-batch naming.
+
+    Spark epoch ids are only unique within one checkpoint lineage: a
+    fresh checkpoint against an existing target restarts epochs at 0, so
+    an epoch-only dedup key would classify the new run's batches as
+    replays of the old run's and silently drop genuinely new data
+    (review r11). The id is persisted as a sidecar next to Spark's own
+    checkpoint metadata: a restart from the SAME checkpoint (true
+    replays) reuses it, a fresh checkpoint mints a new one. Written
+    before the query starts, so it exists before any flush can."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint, exist_ok=True)
+    sidecar = os.path.join(checkpoint, "_staged_ingest_id")
+    if not os.path.exists(sidecar):
+        tmp = f"{sidecar}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(uuid.uuid4().hex[:8])
+        try:
+            os.rename(tmp, sidecar)  # atomic; a concurrent starter's rename wins once
+        except OSError:
+            os.unlink(tmp)
+    with open(sidecar) as f:
+        return f.read().strip()
+
+
 def start_staged_ingest(
     stream_df: DataFrame,
     target: str,
@@ -196,6 +230,8 @@ def start_staged_ingest(
     if config.partition_by_day and "time" in df.columns:
         df = df.withColumn("_day", F.to_date("time"))
     stage_root = staging_dir(target)
+    checkpoint = config.checkpoint_for(target)
+    run_id = _ingest_run_id(checkpoint)
 
     def flush(batch_df: DataFrame, epoch_id: int) -> None:
         w = batch_df.write.mode("overwrite").option(
@@ -203,11 +239,11 @@ def start_staged_ingest(
         )
         if config.partition_by_day and "_day" in batch_df.columns:
             w = w.partitionBy("_day")
-        w.parquet(f"{stage_root}/batch-{epoch_id}")
+        w.parquet(f"{stage_root}/batch-{run_id}-{epoch_id}")
 
     writer = (
         df.writeStream.outputMode("append")
-        .option("checkpointLocation", config.checkpoint_for(target))
+        .option("checkpointLocation", checkpoint)
         .foreachBatch(flush)
     )
     if available_now:
@@ -229,18 +265,26 @@ def commit_staged(target: str, retain_seconds: float = 60.0) -> int:
     dirs. Hardlinking makes a version O(#files) metadata, not a data
     copy — the manifest-less analogue of an Iceberg snapshot.
 
-    Idempotent across crashes AT EPOCH GRANULARITY: a staged
-    ``batch-<epoch>`` whose epoch already has ``b<epoch>-`` files in the
-    live version is dropped without linking (its staging dir is still
-    cleared). File-name dedup alone is not enough — a Spark epoch REPLAY
-    rewrites the staged batch with fresh part-file UUIDs, so a crash
-    between a mid-epoch publish and the checkpoint's commit-log write
-    re-stages the same rows under new names; linking those alongside the
-    already-published ones would duplicate rows (ADVICE r10). The
-    name-level skip in ``_link_tree`` remains as a second layer for the
-    copy-preserving replay path. Returns the number of staged batches
-    drained (0 = nothing eligible; all-replay drains clear staging
-    without publishing a redundant new version).
+    Idempotent across crashes at (RUN, EPOCH) granularity: a staged
+    ``batch-<run>-<epoch>`` whose key already has ``b<run>-<epoch>-``
+    files in the live version is dropped without linking (its staging
+    dir is still cleared). File-name dedup alone is not enough — a Spark
+    epoch REPLAY rewrites the staged batch with fresh part-file UUIDs,
+    so a crash between a mid-epoch publish and the checkpoint's
+    commit-log write re-stages the same rows under new names; linking
+    those alongside the already-published ones would duplicate rows
+    (ADVICE r10). And epoch alone is not enough either — epoch ids are
+    only unique within one checkpoint lineage, so a FRESH checkpoint
+    against an existing target restarts at epoch 0 and an epoch-only
+    key would silently drop its genuinely new batches as "replays"
+    (review r11); the per-checkpoint run id from
+    :func:`_ingest_run_id` disambiguates. The name-level skip in
+    ``_link_tree`` remains as a third layer for the copy-preserving
+    replay path. The committed-key manifest is collected DURING the
+    carry-forward walk (one pass over the live tree per publish, not
+    two). Returns the number of staged batches drained (0 = nothing
+    eligible; all-replay drains discard the speculative version instead
+    of publishing a redundant one).
     """
     import os
     import re
@@ -250,6 +294,13 @@ def commit_staged(target: str, retain_seconds: float = 60.0) -> int:
     from api_log_iceberg_test_spark.maintenance import publish_version
 
     stage_root = staging_dir(target)
+
+    def _batch_key(d: str) -> str:
+        return d.split("-", 1)[1]  # "<run>-<epoch>" (legacy: bare "<epoch>")
+
+    def _epoch(d: str) -> int:
+        return int(d.rsplit("-", 1)[-1])
+
     batches = sorted(
         (
             d
@@ -257,10 +308,15 @@ def commit_staged(target: str, retain_seconds: float = 60.0) -> int:
             if d.startswith("batch-")
             and os.path.exists(os.path.join(stage_root, d, "_SUCCESS"))
         ),
-        key=lambda d: int(d.split("-", 1)[1]),
+        key=lambda d: (_epoch(d), d),
     )
     if not batches:
         return 0
+
+    # committed keys carried by live file names: "b<run>-<epoch>-..." /
+    # legacy "b<epoch>-..." — collected while hardlinking the carry-forward
+    key_re = re.compile(r"^b([0-9a-f]{8}-\d+|\d+)-")
+    committed: set[str] = set()
 
     def _link_tree(src_root: str, dst_root: str, prefix: str = "") -> None:
         for dp, _, fs in os.walk(src_root):
@@ -268,33 +324,31 @@ def commit_staged(target: str, retain_seconds: float = 60.0) -> int:
             for f in fs:
                 if not f.endswith(".parquet"):
                     continue
+                if not prefix:  # carry-forward pass doubles as the manifest scan
+                    m = key_re.match(f)
+                    if m:
+                        committed.add(m.group(1))
                 dst_dir = os.path.join(dst_root, rel) if rel != "." else dst_root
                 os.makedirs(dst_dir, exist_ok=True)
                 dst = os.path.join(dst_dir, prefix + f)
                 if not os.path.exists(dst):
                     os.link(os.path.join(dp, f), dst)
 
-    # epochs already in the live version (every committed file carries its
-    # originating epoch as a leading "b<epoch>-", preserved verbatim by
-    # later carry-forward links) — the per-version committed-epoch manifest
-    committed: set[str] = set()
+    new_version = f"{target.rstrip('/')}__v{uuid.uuid4().hex[:8]}"
+    os.makedirs(new_version)
     if os.path.exists(target):
-        for _, _, fs in os.walk(os.path.realpath(target)):
-            for f in fs:
-                m = re.match(r"b(\d+)-", f)
-                if m:
-                    committed.add(m.group(1))
-
-    fresh = [b for b in batches if b.split("-", 1)[1] not in committed]
+        _link_tree(os.path.realpath(target), new_version)
+    fresh = [b for b in batches if _batch_key(b) not in committed]
     if fresh:
-        new_version = f"{target.rstrip('/')}__v{uuid.uuid4().hex[:8]}"
-        os.makedirs(new_version)
-        if os.path.exists(target):
-            _link_tree(os.path.realpath(target), new_version)
         for b in fresh:
-            epoch = b.split("-", 1)[1]
-            _link_tree(os.path.join(stage_root, b), new_version, prefix=f"b{epoch}-")
+            _link_tree(
+                os.path.join(stage_root, b),
+                new_version,
+                prefix=f"b{_batch_key(b)}-",
+            )
         publish_version(target, new_version, retain_seconds)
+    else:
+        shutil.rmtree(new_version)  # all replays — nothing new to publish
     for b in batches:
         shutil.rmtree(os.path.join(stage_root, b))
     return len(batches)

@@ -248,6 +248,43 @@ def test_staged_replay_fresh_part_names_no_duplicates(spark, tmp_path):
     assert not [d for d in os.listdir(stage) if d.startswith("batch-")]
 
 
+def test_staged_fresh_checkpoint_epoch_restart_publishes(spark, tmp_path):
+    """Review r11: Spark epoch ids restart at 0 under a FRESH checkpoint,
+    so an epoch-only dedup key would classify a second ingest run's
+    batches as replays of the first's and silently DELETE genuinely new
+    data. The per-checkpoint run id in the batch key must keep the two
+    runs' epoch-0.. batches distinct."""
+    from api_log_iceberg_test_spark.ingest import commit_staged, start_staged_ingest
+    from api_log_iceberg_test_spark.maintenance import read_compacted_table
+
+    n1, n2 = 300, 200
+    tgt = str(tmp_path / "table")
+    src1, src2 = str(tmp_path / "src1"), str(tmp_path / "src2")
+    generate_api_logs(spark, n1, seed=41).write.parquet(src1)
+    generate_api_logs(spark, n2, seed=42).write.parquet(src2)
+
+    q = start_staged_ingest(
+        spark.readStream.schema(API_LOG_SCHEMA).parquet(src1),
+        tgt,
+        IngestConfig(flush_count=100, checkpoint_dir=str(tmp_path / "ckpt1")),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert commit_staged(tgt) >= 1
+    assert read_compacted_table(spark, tgt).count() == n1
+
+    # second run: NEW source, NEW checkpoint — epochs restart at 0
+    q2 = start_staged_ingest(
+        spark.readStream.schema(API_LOG_SCHEMA).parquet(src2),
+        tgt,
+        IngestConfig(flush_count=100, checkpoint_dir=str(tmp_path / "ckpt2")),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert commit_staged(tgt) >= 1
+    assert read_compacted_table(spark, tgt).count() == n1 + n2
+
+
 def test_staged_committer_survives_transient_failure(tmp_path, monkeypatch):
     """ADVICE r10: one transient commit_staged failure must not kill the
     committer daemon — it records the error and keeps ticking; staged
@@ -292,5 +329,9 @@ def test_interval_seconds_units():
     assert interval_seconds("2 minutes") == 120.0
     assert interval_seconds("1 hour") == 3600.0
     assert interval_seconds("45") == 45.0
+    # review r11: day/week/microsecond are also Spark-valid trigger units
+    assert interval_seconds("100 microseconds") == 100 * 1e-6
+    assert interval_seconds("1 day") == 86400.0
+    assert interval_seconds("2 weeks") == 1209600.0
     with pytest.raises(ValueError, match="supported"):
         interval_seconds("3 fortnights")
