@@ -57,10 +57,27 @@ points than flushes.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
+
+#: Run ids are fixed-width lowercase hex. The sidecar writer, the sidecar
+#: validator, the staged-batch directory pattern and the committed-key
+#: manifest regex ALL derive from this one constant — a format drift can
+#: break replay dedup only by failing loudly here, never by silently
+#: producing keys the manifest regex cannot match (ADVICE r11).
+_RUN_ID_HEX_LEN = 8
+_RUN_ID_RE = re.compile(rf"[0-9a-f]{{{_RUN_ID_HEX_LEN}}}")
+#: Commit-eligible staging dirs: "batch-<run>-<epoch>" (legacy: bare
+#: "batch-<epoch>"). Anything else under the staging root (a stray
+#: "batch-tmp", an operator's scratch dir) is IGNORED by commit_staged
+#: rather than wedging the committer tick with a ValueError (ADVICE r11).
+_BATCH_DIR_RE = re.compile(rf"batch-(?:[0-9a-f]{{{_RUN_ID_HEX_LEN}}}-)?\d+")
+#: Committed keys carried by live file names: "b<run>-<epoch>-..." or
+#: legacy "b<epoch>-...".
+_COMMITTED_KEY_RE = re.compile(rf"^b([0-9a-f]{{{_RUN_ID_HEX_LEN}}}-\d+|\d+)-")
 
 
 @dataclass
@@ -190,7 +207,22 @@ def _ingest_run_id(checkpoint: str) -> str:
     (review r11). The id is persisted as a sidecar next to Spark's own
     checkpoint metadata: a restart from the SAME checkpoint (true
     replays) reuses it, a fresh checkpoint mints a new one. Written
-    before the query starts, so it exists before any flush can."""
+    before the query starts, so it exists before any flush can.
+
+    Concurrency: the id is written to a private tmp file first and then
+    installed under the sidecar name with ``os.link``, which fails with
+    EEXIST if the name already exists — exactly one creator can ever
+    succeed, the name never exists without its complete content (an
+    O_EXCL create would expose an empty file between create and write),
+    and everyone (including the winner) re-reads the installed file, so
+    concurrent first-starts on one checkpoint always agree. The pre-r12
+    check-then-rename dance was NOT atomic on POSIX: ``os.rename``
+    silently replaces an existing destination, so two racing
+    first-starts could each install-and-use a different id, defeating
+    replay dedup (ADVICE r11). A sidecar whose content does not match
+    the expected format (hand-restored checkpoint, torn write) raises
+    instead of silently minting keys the replay-dedup manifest regex
+    can never match (ADVICE r11)."""
     import os
     import uuid
 
@@ -199,13 +231,25 @@ def _ingest_run_id(checkpoint: str) -> str:
     if not os.path.exists(sidecar):
         tmp = f"{sidecar}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
-            f.write(uuid.uuid4().hex[:8])
+            f.write(uuid.uuid4().hex[:_RUN_ID_HEX_LEN])
         try:
-            os.rename(tmp, sidecar)  # atomic; a concurrent starter's rename wins once
-        except OSError:
+            os.link(tmp, sidecar)  # EEXIST → a concurrent creator won
+        except FileExistsError:
+            pass
+        finally:
             os.unlink(tmp)
     with open(sidecar) as f:
-        return f.read().strip()
+        run_id = f.read().strip()
+    if not _RUN_ID_RE.fullmatch(run_id):
+        raise ValueError(
+            f"corrupt staged-ingest id sidecar {sidecar!r}: {run_id!r} is not "
+            f"{_RUN_ID_HEX_LEN} lowercase hex chars. Batches staged under a "
+            "non-conforming id would never match the replay-dedup manifest and "
+            "a replay would duplicate rows. Remove the sidecar to mint a fresh "
+            "run id (reconcile any batches already staged under the bad id "
+            "first)."
+        )
+    return run_id
 
 
 def start_staged_ingest(
@@ -213,6 +257,7 @@ def start_staged_ingest(
     target: str,
     config: IngestConfig | None = None,
     available_now: bool = False,
+    on_flush=None,
 ) -> StreamingQuery:
     """FLUSH half of the dual-cadence shape: micro-batches land in
     ``<target>__staging/batch-<epoch>/`` and stay INVISIBLE to table
@@ -222,6 +267,13 @@ def start_staged_ingest(
     epoch overwrites its own batch directory; ``_SUCCESS`` (written last
     by the parquet committer) marks a batch commit-eligible, so a
     half-written replay is never published.
+
+    ``on_flush`` (optional ``callable(epoch_id)``) runs AFTER a batch's
+    staging write completes but BEFORE Spark records the epoch in the
+    checkpoint commit log — a metrics/backpressure hook, and the fault
+    line the crash-replay test cuts at: raising here is exactly "process
+    died between flush and checkpoint commit", the window where a
+    restart must replay the already-staged epoch (VERDICT r11 #3).
     """
     config = config or IngestConfig()
     from pyspark.sql import functions as F
@@ -240,6 +292,8 @@ def start_staged_ingest(
         if config.partition_by_day and "_day" in batch_df.columns:
             w = w.partitionBy("_day")
         w.parquet(f"{stage_root}/batch-{run_id}-{epoch_id}")
+        if on_flush is not None:
+            on_flush(epoch_id)
 
     writer = (
         df.writeStream.outputMode("append")
@@ -280,14 +334,20 @@ def commit_staged(target: str, retain_seconds: float = 60.0) -> int:
     (review r11); the per-checkpoint run id from
     :func:`_ingest_run_id` disambiguates. The name-level skip in
     ``_link_tree`` remains as a third layer for the copy-preserving
-    replay path. The committed-key manifest is collected DURING the
-    carry-forward walk (one pass over the live tree per publish, not
-    two). Returns the number of staged batches drained (0 = nothing
-    eligible; all-replay drains discard the speculative version instead
-    of publishing a redundant one).
+    replay path. The committed-key manifest comes from ONE walk of the
+    live tree, which also collects the carry-forward file list — so an
+    all-replay drain (post-crash recovery) early-outs after the scan
+    without building, then discarding, a full speculative version tree
+    (ADVICE r11); the version dir is only ever created once at least
+    one fresh batch is known. A crash between that creation and
+    ``publish_version`` can still orphan an unpublished ``__v`` dir —
+    the next successful publish's retention sweep removes it (it
+    matches the version-family prefix, is not the live/just-replaced
+    version, and ages past ``retain_seconds``; proven in
+    tests/test_ingest.py). Returns the number of staged batches
+    drained (0 = nothing eligible).
     """
     import os
-    import re
     import shutil
     import uuid
 
@@ -305,7 +365,7 @@ def commit_staged(target: str, retain_seconds: float = 60.0) -> int:
         (
             d
             for d in (os.listdir(stage_root) if os.path.isdir(stage_root) else [])
-            if d.startswith("batch-")
+            if _BATCH_DIR_RE.fullmatch(d)  # stray dirs skipped, not ValueError
             and os.path.exists(os.path.join(stage_root, d, "_SUCCESS"))
         ),
         key=lambda d: (_epoch(d), d),
@@ -313,33 +373,42 @@ def commit_staged(target: str, retain_seconds: float = 60.0) -> int:
     if not batches:
         return 0
 
-    # committed keys carried by live file names: "b<run>-<epoch>-..." /
-    # legacy "b<epoch>-..." — collected while hardlinking the carry-forward
-    key_re = re.compile(r"^b([0-9a-f]{8}-\d+|\d+)-")
+    # ONE walk over the live tree: the committed-key manifest for replay
+    # dedup plus the carry-forward file list for the (maybe) new version
     committed: set[str] = set()
-
-    def _link_tree(src_root: str, dst_root: str, prefix: str = "") -> None:
-        for dp, _, fs in os.walk(src_root):
-            rel = os.path.relpath(dp, src_root)
+    live_files: list[tuple[str, str, str]] = []  # (src_dir, rel_dir, name)
+    if os.path.exists(target):
+        live_root = os.path.realpath(target)
+        for dp, _, fs in os.walk(live_root):
+            rel = os.path.relpath(dp, live_root)
             for f in fs:
                 if not f.endswith(".parquet"):
                     continue
-                if not prefix:  # carry-forward pass doubles as the manifest scan
-                    m = key_re.match(f)
-                    if m:
-                        committed.add(m.group(1))
-                dst_dir = os.path.join(dst_root, rel) if rel != "." else dst_root
-                os.makedirs(dst_dir, exist_ok=True)
-                dst = os.path.join(dst_dir, prefix + f)
-                if not os.path.exists(dst):
-                    os.link(os.path.join(dp, f), dst)
+                m = _COMMITTED_KEY_RE.match(f)
+                if m:
+                    committed.add(m.group(1))
+                live_files.append((dp, rel, f))
 
-    new_version = f"{target.rstrip('/')}__v{uuid.uuid4().hex[:8]}"
-    os.makedirs(new_version)
-    if os.path.exists(target):
-        _link_tree(os.path.realpath(target), new_version)
     fresh = [b for b in batches if _batch_key(b) not in committed]
     if fresh:
+        def _link_tree(src_root: str, dst_root: str, prefix: str) -> None:
+            for dp, _, fs in os.walk(src_root):
+                rel = os.path.relpath(dp, src_root)
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        _link_one(dp, rel, f, dst_root, prefix)
+
+        def _link_one(src_dir: str, rel: str, f: str, dst_root: str, prefix: str) -> None:
+            dst_dir = os.path.join(dst_root, rel) if rel != "." else dst_root
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, prefix + f)
+            if not os.path.exists(dst):
+                os.link(os.path.join(src_dir, f), dst)
+
+        new_version = f"{target.rstrip('/')}__v{uuid.uuid4().hex[:8]}"
+        os.makedirs(new_version)
+        for dp, rel, f in live_files:
+            _link_one(dp, rel, f, new_version, "")
         for b in fresh:
             _link_tree(
                 os.path.join(stage_root, b),
@@ -347,8 +416,6 @@ def commit_staged(target: str, retain_seconds: float = 60.0) -> int:
                 prefix=f"b{_batch_key(b)}-",
             )
         publish_version(target, new_version, retain_seconds)
-    else:
-        shutil.rmtree(new_version)  # all replays — nothing new to publish
     for b in batches:
         shutil.rmtree(os.path.join(stage_root, b))
     return len(batches)

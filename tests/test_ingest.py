@@ -315,6 +315,236 @@ def test_staged_committer_survives_transient_failure(tmp_path, monkeypatch):
     assert committer.last_error is None  # cleared by the first success
 
 
+def test_run_id_sidecar_exclusive_and_validated(tmp_path):
+    """ADVICE r11: the run-id sidecar must be created with an exclusive
+    primitive (the old check-then-rename let two concurrent first-starts
+    each install a different id — os.rename replaces an existing
+    destination on POSIX), and a corrupt sidecar must raise, not mint
+    keys the replay-dedup manifest regex can never match."""
+    import re
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pytest
+
+    from api_log_iceberg_test_spark.ingest import _RUN_ID_HEX_LEN, _ingest_run_id
+
+    ckpt = str(tmp_path / "ckpt")
+    barrier = threading.Barrier(8)
+
+    def race(_):
+        barrier.wait()
+        return _ingest_run_id(ckpt)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        ids = list(pool.map(race, range(8)))
+    assert len(set(ids)) == 1, f"racing starters disagreed on run id: {set(ids)}"
+    assert re.fullmatch(rf"[0-9a-f]{{{_RUN_ID_HEX_LEN}}}", ids[0])
+    # restart re-reads the same id
+    assert _ingest_run_id(ckpt) == ids[0]
+
+    bad = str(tmp_path / "ckpt_bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "_staged_ingest_id"), "w") as f:
+        f.write("NOT-HEX!")
+    with pytest.raises(ValueError, match="sidecar"):
+        _ingest_run_id(bad)
+
+
+def test_commit_staged_skips_stray_batch_dirs(spark, tmp_path):
+    """ADVICE r11: a non-conforming dir under staging (e.g. 'batch-tmp'
+    with a _SUCCESS) must be ignored, not wedge the committer tick with
+    a ValueError from int()."""
+    from api_log_iceberg_test_spark.ingest import commit_staged, start_staged_ingest
+    from api_log_iceberg_test_spark.ingest import staging_dir as _staging
+    from api_log_iceberg_test_spark.maintenance import read_compacted_table
+
+    n = 200
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "table")
+    generate_api_logs(spark, n, seed=51).write.parquet(src)
+    q = start_staged_ingest(
+        spark.readStream.schema(API_LOG_SCHEMA).parquet(src),
+        tgt,
+        IngestConfig(flush_count=100, checkpoint_dir=str(tmp_path / "ckpt")),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    stage = _staging(tgt)
+    real = [d for d in os.listdir(stage) if d.startswith("batch-")]
+    stray = os.path.join(stage, "batch-tmp")
+    os.makedirs(stray)
+    open(os.path.join(stray, "_SUCCESS"), "w").close()
+
+    assert commit_staged(tgt) == len(real)  # stray neither counted nor fatal
+    assert read_compacted_table(spark, tgt).count() == n
+    assert os.path.isdir(stray), "stray dir must be left alone, not deleted"
+
+
+def test_all_replay_drain_creates_no_version_dir(spark, tmp_path):
+    """ADVICE r11: an all-replay drain (post-crash recovery) should
+    early-out after the manifest scan — no speculative hardlink tree is
+    built and thrown away, and no transient __v dir ever appears."""
+    import shutil
+
+    from api_log_iceberg_test_spark.ingest import commit_staged, start_staged_ingest
+    from api_log_iceberg_test_spark.ingest import staging_dir as _staging
+    from api_log_iceberg_test_spark.maintenance import read_compacted_table
+
+    n = 200
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "table")
+    generate_api_logs(spark, n, seed=53).write.parquet(src)
+    q = start_staged_ingest(
+        spark.readStream.schema(API_LOG_SCHEMA).parquet(src),
+        tgt,
+        IngestConfig(flush_count=100, checkpoint_dir=str(tmp_path / "ckpt")),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    stage = _staging(tgt)
+    staged = [d for d in os.listdir(stage) if d.startswith("batch-")]
+    backup = str(tmp_path / "backup")
+    shutil.copytree(stage, backup)
+    assert commit_staged(tgt) == len(staged)
+
+    def versions():
+        base = os.path.basename(tgt) + "__v"
+        return {d for d in os.listdir(tmp_path) if d.startswith(base)}
+
+    before = versions()
+    for b in staged:  # crash-recovery replay: every batch already committed
+        shutil.copytree(os.path.join(backup, b), os.path.join(stage, b))
+    assert commit_staged(tgt) == len(staged)
+    assert versions() == before, "all-replay drain must not create a version"
+    assert read_compacted_table(spark, tgt).count() == n
+
+
+def test_orphan_unpublished_version_swept_by_next_publish(spark, tmp_path):
+    """A crash between version-dir creation and publish_version leaves an
+    unpublished __v orphan; the NEXT successful publish's retention loop
+    must sweep it once it ages past retain_seconds (ADVICE r11)."""
+    import time
+
+    from api_log_iceberg_test_spark.ingest import commit_staged, start_staged_ingest
+    from api_log_iceberg_test_spark.maintenance import read_compacted_table
+
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    tgt = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    generate_api_logs(spark, 100, seed=55).write.parquet(src1)
+    generate_api_logs(spark, 100, seed=56).write.parquet(src2)
+
+    q = start_staged_ingest(
+        spark.readStream.schema(API_LOG_SCHEMA).parquet(src1),
+        tgt,
+        IngestConfig(flush_count=100, checkpoint_dir=ckpt),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert commit_staged(tgt) >= 1
+
+    # simulate the crash orphan: an unpublished version dir, already old
+    orphan = tgt + "__vdeadbeef"
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-orphan.parquet"), "w").close()
+    os.utime(orphan, (time.time() - 3600, time.time() - 3600))
+
+    generate_api_logs(spark, 100, seed=56).write.mode("append").parquet(src1)
+    q2 = start_staged_ingest(
+        spark.readStream.schema(API_LOG_SCHEMA).parquet(src1),
+        tgt,
+        IngestConfig(flush_count=100, checkpoint_dir=ckpt),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert commit_staged(tgt, retain_seconds=60.0) >= 1
+    assert not os.path.exists(orphan), "next publish must sweep the orphan"
+    assert read_compacted_table(spark, tgt).count() == 200
+
+
+def test_staged_mid_epoch_crash_restart_real_replay(spark, tmp_path):
+    """VERDICT r11 #3: a TRUE crash-restart replay, no copytree. The
+    on_flush hook raises after epoch 1's staging write returns — exactly
+    'process died between flush and checkpoint commit-log write'. A
+    mid-crash commit publishes the orphaned epoch; restarting the SAME
+    checkpoint makes Spark itself replay epoch 1 (fresh part-file UUIDs,
+    real epoch ids end-to-end) and continue. The final publish must
+    dedup the replayed epoch on its (run, epoch) key: exactly-once."""
+    import pytest
+
+    from api_log_iceberg_test_spark.ingest import commit_staged, start_staged_ingest
+    from api_log_iceberg_test_spark.ingest import staging_dir as _staging
+    from api_log_iceberg_test_spark.maintenance import read_compacted_table
+
+    n = 400
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    # 4 source files + maxFilesPerTrigger=1 → 4 real micro-batch epochs
+    generate_api_logs(spark, n, seed=61).repartition(4).write.parquet(src)
+
+    def crash_after_epoch_1(epoch_id: int) -> None:
+        if epoch_id == 1:
+            raise RuntimeError("injected crash between flush and commit log")
+
+    stream = (
+        spark.readStream.schema(API_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_staged_ingest(
+        stream,
+        tgt,
+        IngestConfig(flush_count=1000, checkpoint_dir=ckpt),
+        available_now=True,
+        on_flush=crash_after_epoch_1,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+        raise AssertionError("query should have failed")  # pragma: no cover
+
+    stage = _staging(tgt)
+    staged = sorted(d for d in os.listdir(stage) if d.startswith("batch-"))
+    assert len(staged) == 2, f"epochs 0 and 1 staged before the crash: {staged}"
+    epoch1 = staged[1]
+    names_before = {
+        f
+        for dp, _, fs in os.walk(os.path.join(stage, epoch1))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    # mid-crash commit: the orphaned flushed epoch gets published
+    assert commit_staged(tgt) == 2
+    published = read_compacted_table(spark, tgt).count()
+    assert 0 < published < n
+
+    # restart the SAME checkpoint — Spark replays epoch 1 itself
+    q2 = start_staged_ingest(
+        spark.readStream.schema(API_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        tgt,
+        IngestConfig(flush_count=1000, checkpoint_dir=ckpt),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    restaged = sorted(d for d in os.listdir(stage) if d.startswith("batch-"))
+    assert epoch1 in restaged, "epoch 1 must be replayed by Spark on restart"
+    names_after = {
+        f
+        for dp, _, fs in os.walk(os.path.join(stage, epoch1))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    # the replay is REAL: Spark rewrote the batch under fresh part UUIDs
+    assert names_after and names_after.isdisjoint(names_before)
+
+    assert commit_staged(tgt) == len(restaged)
+    assert read_compacted_table(spark, tgt).count() == n  # exactly-once
+    assert not [d for d in os.listdir(stage) if d.startswith("batch-")]
+
+
 def test_interval_seconds_units():
     """ADVICE r10: every Spark-trigger-accepted unit parses (the pre-r11
     map raised KeyError on '500 milliseconds'); unknown units raise a
