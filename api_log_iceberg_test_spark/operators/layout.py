@@ -225,3 +225,41 @@ def exclusive_prefix_sum(
         .withColumn(out_col, F.col(off) + F.col(loc))
         .drop(pid, loc, off)
     )
+
+
+def exclusive_prefix_max(
+    df: DataFrame, order_col: str, val_col: str, out_col: str = "prefix_max"
+) -> DataFrame:
+    """Exclusive running MAX of ``val_col`` in ``order_col`` order WITHOUT
+    a global window — fourth member of the partition-offset family
+    (:func:`dense_ids` prefix-count, :func:`skyline2d` prefix-max over a
+    sort key, :func:`exclusive_prefix_sum` prefix-sum). NULL for the
+    global first row (nothing precedes it), exactly like ``MAX() OVER
+    (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    ``order_col`` must be unique. One range exchange + an add-only window
+    BY partition id; the only unpartitioned window runs over the
+    |partitions|-row per-partition maxima (``F.greatest`` skips NULLs, so
+    the first partition's missing offset and a first-in-partition row's
+    missing local prefix combine correctly)."""
+    pid, loc, off = "__pmx_pid", "__pmx_loc", "__pmx_off"
+    arranged = (
+        df.repartitionByRange(F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn(pid, F.spark_partition_id())
+        .cache()  # pin sampled boundaries across the two references
+    )
+    per = arranged.groupBy(pid).agg(F.max(val_col).alias("_pm"))
+    w = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    offs = per.select(pid, F.max("_pm").over(w).alias(off))
+    w_loc = (
+        Window.partitionBy(pid)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        arranged.withColumn(loc, F.max(val_col).over(w_loc))
+        .join(F.broadcast(offs), pid)
+        .withColumn(out_col, F.greatest(F.col(loc), F.col(off)))
+        .drop(pid, loc, off)
+    )

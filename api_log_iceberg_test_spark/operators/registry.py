@@ -6407,6 +6407,122 @@ ORACLE["q_power_analysis"] = f"""
 """
 
 
+def q_watermark_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming's watermark/late-data accounting REPLAYED AS
+    A BATCH QUERY with a hash oracle (VERDICT r11 #7) — the
+    streaming-semantics consumer the registry lacked: the same
+    bookkeeping Spark's `withWatermark(...).groupBy(window(...))` does
+    with state, expressed so DuckDB can replay it row-for-row.
+
+    Model — the per-ROW limit of Spark's per-micro-batch watermark
+    update (batch boundaries only coarsen the watermark, so this is the
+    strictest deterministic accounting): events arrive in a
+    deterministic order = event time plus a bounded ±10-min
+    multiplicative-hash jitter (the q_token_budget_sample idiom,
+    SQL-expressible in both engines — the testdata's event_id order is
+    perfectly time-sorted, which would make every row on-time and the
+    query vacuous; the jitter models a distributed ingest's bounded
+    disorder). The watermark before a row is max(event time over all
+    earlier arrivals) − 5 min. A row is then
+      * on_time       — event time ≥ every earlier arrival's (the
+                        running max advances);
+      * late_accepted — out-of-order, but its 1-h tumbling window is
+                        still open (window_end > watermark): a
+                        streaming windowed agg still counts it;
+      * dropped       — its window already closed (window_end ≤
+                        watermark): state evicted, row discarded —
+                        the append-mode drop rule
+                        tests/test_watermark.py proves live on a real
+                        two-batch stream.
+    Output per event-time hour: category counts + max lateness (µs,
+    integer-exact; NULL where a window saw no out-of-order rows) —
+    the audit a pipeline owner reads to size the watermark delay.
+
+    Scale: the one global-order dependency (running max over arrival
+    order) runs through ``layout.exclusive_prefix_max`` — the
+    partition-offset two-pass, so the only unpartitioned window is over
+    |partitions| rows (SCALE.md §3); everything downstream is one hash
+    agg on the hour bucket. Arrival order is (arr_us, event_id) packed
+    as a struct so the range exchange, in-partition sort and prefix
+    frames all use ONE orderable key."""
+    from . import layout
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    tsu = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    jitter = F.pmod(
+        F.pmod(F.col("event_id"), F.lit(1_000_003)) * F.lit(2_654_435_761),
+        F.lit(1_000_003),
+    ) * F.lit(1200) - F.lit(600_000_000)
+    base = ev.select(
+        tsu.alias("tsu"),
+        F.struct(
+            (tsu + jitter).alias("arr_us"), F.col("event_id").alias("eid")
+        ).alias("_arr"),
+    )
+    marked = layout.exclusive_prefix_max(base, "_arr", "tsu", "prev_max")
+    hour_us = F.lit(3_600_000_000)
+    ws_us = F.expr("tsu div 3600000000") * hour_us
+    prev = F.col("prev_max")
+    on_time = prev.isNull() | (F.col("tsu") >= prev)
+    dropped = (~on_time) & (ws_us + hour_us <= prev - F.lit(300_000_000))
+    return (
+        marked.select(
+            ws_us.alias("window_start_us"),
+            F.when(on_time, 1).otherwise(0).alias("_on"),
+            F.when((~on_time) & (~dropped), 1).otherwise(0).alias("_late"),
+            F.when(dropped, 1).otherwise(0).alias("_drop"),
+            F.when(prev > F.col("tsu"), prev - F.col("tsu")).alias("_lateness"),
+        )
+        .groupBy("window_start_us")
+        .agg(
+            F.sum("_on").alias("n_on_time"),
+            F.sum("_late").alias("n_late_accepted"),
+            F.sum("_drop").alias("n_dropped"),
+            F.max("_lateness").alias("max_lateness_us"),
+        )
+        .orderBy("window_start_us")
+    )
+
+
+ORACLE["q_watermark_accounting"] = """
+    -- batch replay of streaming watermark accounting: arrival order =
+    -- event time + bounded multiplicative-hash jitter; watermark before
+    -- a row = running max event time over earlier arrivals - 5 min;
+    -- dropped iff the row's 1-h window end <= that watermark
+    WITH t AS (
+        SELECT event_id, epoch_us(ts) AS tsu,
+               epoch_us(ts)
+                 + (((event_id % 1000003) * 2654435761) % 1000003) * 1200
+                 - 600000000 AS arr_us
+        FROM events
+    ),
+    w AS (
+        SELECT tsu,
+               MAX(tsu) OVER (ORDER BY arr_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max
+        FROM t
+    ),
+    c AS (
+        SELECT tsu // 3600000000 * 3600000000 AS window_start_us,
+               CASE WHEN prev_max IS NULL OR tsu >= prev_max THEN 'on'
+                    WHEN tsu // 3600000000 * 3600000000 + 3600000000
+                         <= prev_max - 300000000 THEN 'drop'
+                    ELSE 'late' END AS cat,
+               CASE WHEN prev_max > tsu THEN prev_max - tsu END AS lateness
+        FROM w
+    )
+    SELECT window_start_us,
+           COUNT(*) FILTER (WHERE cat = 'on') AS n_on_time,
+           COUNT(*) FILTER (WHERE cat = 'late') AS n_late_accepted,
+           COUNT(*) FILTER (WHERE cat = 'drop') AS n_dropped,
+           MAX(lateness) AS max_lateness_us
+    FROM c
+    GROUP BY window_start_us
+    ORDER BY window_start_us
+"""
+
+
 QUERIES_TAIL = {
     "q_hll_daily_users": q_hll_daily_users,
     "q_kmeans_clusters": q_kmeans_clusters,
@@ -6416,6 +6532,10 @@ QUERIES_TAIL = {
     # round 6 (registry unfrozen per VERDICT r05 #4)
     "q_kll_window_drift": q_kll_window_drift,
     "q_lsh_param_sweep": q_lsh_param_sweep,
+    # round 12 (VERDICT r11 #7: one new entry, hash-oracled, within the
+    # <=3-entry window budget — 9 pinned + 1 dark + 40 stale slots still
+    # covers the whole 38-entry r07 drain cohort)
+    "q_watermark_accounting": q_watermark_accounting,
 }
 
 QUERIES_LATE["q_bootstrap_ci"] = q_bootstrap_ci

@@ -177,3 +177,27 @@ def test_skyline_edge_shapes(spark):
         (0, 100),
         (1, 9),
     ]
+
+
+def test_exclusive_prefix_max_matches_global_window(spark):
+    """r12: the partition-offset running max must equal the semantic spec
+    MAX() OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING) — NULL first row, plateaus through out-of-order values —
+    on shuffled input across many partitions."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        rows = [(k, rng.randint(-50, 50)) for k in rng.sample(range(1000), 300)]
+        df = spark.createDataFrame(rows, ["k", "v"]).repartition(7)
+        got = {
+            r["k"]: r["pm"]
+            for r in layout.exclusive_prefix_max(df, "k", "v", "pm").collect()
+        }
+        best, want = None, {}
+        for k, v in sorted(rows):
+            want[k] = best
+            best = v if best is None else max(best, v)
+        assert got == want, f"seed {seed}"

@@ -427,6 +427,10 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "q_sql_ignore_nulls",
     "q_temperature_mix",
     "q_weighted_sample",
+    # r12: partition-offset family (layout.exclusive_prefix_max) — the
+    # unpartitioned window runs over the |partitions|-row per-partition
+    # maxima, never the events table
+    "q_watermark_accounting",
 }
 
 
