@@ -209,6 +209,11 @@ ROUND10 = [
     "q_range_join_nearby_counts",
 ]
 
+#: Round-12 additions, same basket discipline (total_r12_basket).
+ROUND12 = [
+    "q_watermark_accounting",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -290,6 +295,7 @@ def main() -> None:
     timed = HEADLINE + ["q_ann_cosine_topk"] + EXTENSION + ROUND4 + ROUND6 + ROUND7
     timed += [n for n in TPCH if n not in timed]
     timed += [n for n in ROUND10 if n not in timed]
+    timed += [n for n in ROUND12 if n not in timed]
     for name in timed:
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -344,6 +350,7 @@ def main() -> None:
         "total_r7_basket": round(r7_total, 3),
         "total_tpch_basket": round(sum(results[n] for n in TPCH), 3),
         "total_r10_basket": round(sum(results[n] for n in ROUND10), 3),
+        "total_r12_basket": round(sum(results[n] for n in ROUND12), 3),
         "headline_total_sec": round(total, 3),
     }
     line = json.dumps(payload)

@@ -176,3 +176,80 @@ def test_session_window_matches_gap_reference(spark, tmp_path, rows):
     assert got == _py_sessions(rows, merge_at_boundary=True), rows
     for r in q_session_window_batch(spark, d).collect():
         assert r["total_value"] == float(r["n_events"])
+
+
+# --- r12: watermark accounting (q_watermark_accounting's core semantics) ---
+
+_wm_rows = st.lists(
+    st.tuples(
+        st.integers(0, 8 * 3600 * 1_000_000),  # event-time micros (8h span)
+        st.integers(-40 * 60 * 1_000_000, 40 * 60 * 1_000_000),  # arrival jitter
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(rows=_wm_rows)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_watermark_accounting_matches_bruteforce(spark, rows):
+    """The batch watermark-accounting pipeline (exclusive_prefix_max over
+    a jittered arrival order → on_time/late_accepted/dropped per 1-h
+    window) against a row-at-a-time Python replay of streaming watermark
+    state: same per-window category counts and max lateness, including
+    boundary rows (window_end exactly at the watermark ⇒ dropped;
+    event time exactly equal to the running max ⇒ on_time)."""
+    from pyspark.sql import functions as F
+
+    from api_log_iceberg_test_spark.operators import layout
+
+    delay = 300 * 1_000_000
+    hour = 3_600_000_000
+    data = [
+        (i, _BASE_US + t, _BASE_US + t + j) for i, (t, j) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "eid long, tsu long, arr_us long").select(
+        "tsu", F.struct("arr_us", "eid").alias("_arr")
+    )
+    marked = layout.exclusive_prefix_max(df, "_arr", "tsu", "prev_max")
+    ws_us = F.expr("tsu div 3600000000") * F.lit(hour)
+    prev = F.col("prev_max")
+    on_time = prev.isNull() | (F.col("tsu") >= prev)
+    dropped = (~on_time) & (ws_us + F.lit(hour) <= prev - F.lit(delay))
+    got = {
+        r["w"]: (r["n_on"], r["n_late"], r["n_drop"], r["max_late"])
+        for r in marked.select(
+            ws_us.alias("w"),
+            F.when(on_time, 1).otherwise(0).alias("_on"),
+            F.when((~on_time) & (~dropped), 1).otherwise(0).alias("_la"),
+            F.when(dropped, 1).otherwise(0).alias("_dr"),
+            F.when(prev > F.col("tsu"), prev - F.col("tsu")).alias("_lat"),
+        )
+        .groupBy("w")
+        .agg(
+            F.sum("_on").alias("n_on"),
+            F.sum("_la").alias("n_late"),
+            F.sum("_dr").alias("n_drop"),
+            F.max("_lat").alias("max_late"),
+        )
+        .collect()
+    }
+
+    # python replay: process rows in arrival order, maintaining the
+    # running max exactly as a streaming engine's watermark state would
+    want = {}
+    best = None
+    for eid, tsu, _arr in sorted(data, key=lambda r: (r[2], r[0])):
+        w = tsu // hour * hour
+        cat_on = best is None or tsu >= best
+        cat_drop = (not cat_on) and (w + hour <= best - delay)
+        lateness = best - tsu if (best is not None and best > tsu) else None
+        o, l, d, ml = want.get(w, (0, 0, 0, None))
+        want[w] = (
+            o + (1 if cat_on else 0),
+            l + (1 if (not cat_on and not cat_drop) else 0),
+            d + (1 if cat_drop else 0),
+            ml if lateness is None else (lateness if ml is None else max(ml, lateness)),
+        )
+        best = tsu if best is None else max(best, tsu)
+    assert got == want
