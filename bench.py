@@ -331,6 +331,12 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "sf": sf,
+        # r12: the bare sf number is ambiguous across derivations
+        # (.localdata/sf1.0 default-mode vs dx-sf1.0 decorrelated both
+        # stamp sf=1.0, and their pair-family costs differ ~4x — this
+        # field is what disambiguated the 86.7s "regression" that was
+        # actually a dataset switch)
+        "sf_dir": sf_dir,
         # external-load context: this box shows loadavg spikes that
         # inflate all queries uniformly (see COVERAGE.md perf notes)
         "loadavg_1m": round(os.getloadavg()[0], 2),
