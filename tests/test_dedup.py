@@ -509,3 +509,56 @@ def test_lsh_param_sweep_emits_all_configs_without_candidates(spark):
     assert sorted(rows) == [4, 8, 16, 32], f"missing config rows: {sorted(rows)}"
     for r in rows.values():
         assert r["n_candidates"] >= 0 and r["n_captured"] == 0
+
+
+# --- r12: hypothesis armor for the exhaustive tier's AllPairs/PPJoin prunes ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# small vocabulary + short docs → dense overlaps and near-threshold
+# Jaccards, the regime where an off-by-one in the overlap bounds would
+# surface as a missing pair
+_vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+_prune_docs = st.lists(
+    st.lists(st.sampled_from(_vocab), min_size=1, max_size=25),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(docs=_prune_docs, threshold=st.sampled_from([0.34, 0.5, 0.7, 1.0]))
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exhaustive_tier_prunes_random_bruteforce(spark, docs, threshold):
+    """The r12 length/positional/prefix-count prunes are CONSERVATIVE
+    bounds — randomized adversarial corpora (tiny docs, 2x+ length
+    ratios, repeated tokens, exact-duplicate docs, thresholds whose
+    t/(1+t) and ceil arithmetic land on integer boundaries) must produce
+    EXACTLY the python all-pairs reference: same pairs, same 6dp
+    jaccard. A single false negative here means a bound overcounted."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(text):
+        w = text.lower().split()
+        if len(w) < 3:
+            return frozenset([" ".join(w)])
+        return frozenset(" ".join(w[i : i + 3]) for i in range(len(w) - 2))
+
+    sh = {i: shingles(t) for i, t in rows}
+    want = {}
+    ids = sorted(sh)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            if round(j, 6) >= threshold:
+                want[(a, b)] = round(j, 6)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.exhaustive_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    assert got == want
