@@ -223,12 +223,24 @@ def _ingest_run_id(checkpoint: str) -> str:
     the expected format (hand-restored checkpoint, torn write) raises
     instead of silently minting keys the replay-dedup manifest regex
     can never match (ADVICE r11)."""
+    import glob
     import os
     import uuid
 
     os.makedirs(checkpoint, exist_ok=True)
     sidecar = os.path.join(checkpoint, "_staged_ingest_id")
-    if not os.path.exists(sidecar):
+    # sweep tmp files orphaned by a process that died between the tmp
+    # write and the finally-unlink — a crash-looping starter would
+    # otherwise accumulate them forever (ADVICE r12). Safe: tmp names are
+    # private per-process UUIDs, so nothing live ever matches another
+    # process's name, and a concurrent starter losing its OWN tmp to this
+    # sweep merely retries the ENOENT-safe unlink below.
+    for stale in glob.glob(f"{sidecar}.*.tmp"):
+        try:
+            os.unlink(stale)
+        except OSError:  # pragma: no cover — racing sweepers
+            pass
+    while not os.path.exists(sidecar):
         tmp = f"{sidecar}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             f.write(uuid.uuid4().hex[:_RUN_ID_HEX_LEN])
@@ -236,8 +248,13 @@ def _ingest_run_id(checkpoint: str) -> str:
             os.link(tmp, sidecar)  # EEXIST → a concurrent creator won
         except FileExistsError:
             pass
+        except FileNotFoundError:  # pragma: no cover — a concurrent
+            continue  # starter's sweep took our tmp: mint a new one
         finally:
-            os.unlink(tmp)
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:  # pragma: no cover — swept
+                pass
     with open(sidecar) as f:
         run_id = f.read().strip()
     if not _RUN_ID_RE.fullmatch(run_id):

@@ -62,12 +62,34 @@ def range_join_within(
     )
 
 
+def peak_cell_density(df: DataFrame, time_col: str, within_seconds: int) -> int:
+    """Max rows in any ``within``-sized time cell — the one number
+    :func:`auto_bucket_seconds` needs (VERDICT r12 #6: compute it once on
+    a representative slice — e.g. yesterday's partition — and reuse it
+    across a daily job's runs via ``peak_cell_rows`` instead of paying a
+    full-column scan per run). ONE projection-only pass, shuffling only
+    (cell, count) partials; returns 0 for an empty frame. EAGER: executes
+    at call time."""
+    w_us = within_seconds * 1_000_000
+    peak = (
+        df.select(
+            F.unix_micros(F.col(time_col).cast("timestamp_ltz")).alias("_t")
+        )
+        .groupBy(F.expr(f"_t div {w_us}").alias("_cell"))
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()["m"]
+    )
+    return int(peak or 0)
+
+
 def auto_bucket_seconds(
     df: DataFrame,
     time_col: str,
     within_seconds: int,
     target_rows_per_task: int = 2_000_000,
     max_factor: int = 12,
+    peak_cell_rows: int | None = None,
 ) -> int:
     """Derive :func:`nearby_stats_within`'s ``bucket_seconds`` from a cheap
     density pre-scan, so a bursty stream cannot overload one window task.
@@ -90,26 +112,34 @@ def auto_bucket_seconds(
     Cost at scale: the scan reads one long column (micros) and shuffles
     only (cell, count) partials — at 100 TB this is the same class of
     pass as any COUNT GROUP BY a coarse key, and it runs once per job,
-    not per row. For repeated jobs over slowly-drifting streams, run it
-    on yesterday's partition (the density estimate only steers a knob;
-    staleness degrades task balance, never correctness — any
-    ``bucket_seconds ≥ within`` yields identical output, pinned by
-    tests/test_equivalence.py).
+    not per row. For repeated jobs over slowly-drifting streams, compute
+    the peak once (``peak_cell_density`` on yesterday's partition) and
+    pass it as ``peak_cell_rows`` — the knob derivation is then pure
+    arithmetic, no scan. A stale density only steers task BALANCE, never
+    output: any ``bucket_seconds ≥ within`` yields identical results,
+    pinned by tests/test_equivalence.py.
+
+    NOTE: without ``peak_cell_rows`` this function runs an EAGER Spark
+    action (the density scan executes at call time, not at the caller's
+    next action) and therefore rejects streaming DataFrames with a clear
+    error — pre-compute the peak on a bounded batch slice of the stream
+    instead (ADVICE r12).
 
     Default ``target_rows_per_task=2M``: a window task sorts its bucket,
     and ~2M (key, long) rows sort in well under a second per core while
     staying far from executor-memory pressure at 100-byte rows.
     """
-    w_us = within_seconds * 1_000_000
-    peak = (
-        df.select(
-            F.unix_micros(F.col(time_col).cast("timestamp_ltz")).alias("_t")
-        )
-        .groupBy(F.expr(f"_t div {w_us}").alias("_cell"))
-        .count()
-        .agg(F.max("count").alias("m"))
-        .first()["m"]
-    )
+    if peak_cell_rows is not None:
+        peak = peak_cell_rows
+    else:
+        if df.isStreaming:
+            raise ValueError(
+                "auto_bucket_seconds: the density pre-scan is an eager batch "
+                "action and cannot run on a streaming DataFrame; compute the "
+                "peak on a bounded batch slice (peak_cell_density) and pass "
+                "peak_cell_rows instead"
+            )
+        peak = peak_cell_density(df, time_col, within_seconds)
     if not peak:
         return max_factor * within_seconds
     k = min(max_factor, max(1, target_rows_per_task // peak - 2))
@@ -123,6 +153,7 @@ def nearby_stats_within(
     flag: Column,
     keep_cols: list[str],
     bucket_seconds: int | str | None = None,
+    auto_peak_rows: int | None = None,
 ) -> DataFrame:
     """Per-row neighborhood stats over a ±``within_seconds`` time window,
     PAIR-FREE: appends ``n_nearby`` (count of OTHER rows within the
@@ -180,15 +211,28 @@ def nearby_stats_within(
     ``within`` is sensible; must be ≥ ``within`` for strip coverage) to
     split hotter streams across more tasks at the cost of a higher copy
     fraction. Pass ``bucket_seconds="auto"`` to derive the knob from a
-    :func:`auto_bucket_seconds` density pre-scan (one extra cheap pass;
+    :func:`auto_bucket_seconds` density pre-scan (one extra cheap pass,
+    EAGER — it executes at call time, not at the caller's next action;
     the right default for bursty/unknown streams — burst-stress numbers
-    in SCALE.md §2). Timestamps are assumed non-negative epochs
-    (``div`` truncates toward zero), like :func:`range_join_within`.
+    in SCALE.md §2). Repeated jobs pass ``auto_peak_rows`` (a
+    :func:`peak_cell_density` from a prior run) to skip the pre-scan —
+    staleness only affects task balance, never output. Timestamps are
+    assumed non-negative epochs (``div`` truncates toward zero), like
+    :func:`range_join_within`.
     """
     from pyspark.sql import Window
 
-    if bucket_seconds == "auto":
-        bucket_seconds = auto_bucket_seconds(df, time_col, within_seconds)
+    if isinstance(bucket_seconds, str):
+        # strict sentinel: "Auto"/typos must not fall through to the
+        # int comparison below and die with an opaque TypeError
+        if bucket_seconds != "auto":
+            raise ValueError(
+                f"bucket_seconds must be an int, None, or the string "
+                f"'auto'; got {bucket_seconds!r}"
+            )
+        bucket_seconds = auto_bucket_seconds(
+            df, time_col, within_seconds, peak_cell_rows=auto_peak_rows
+        )
     elif bucket_seconds is None:
         bucket_seconds = 12 * within_seconds
     if bucket_seconds < within_seconds:

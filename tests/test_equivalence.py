@@ -503,3 +503,61 @@ def test_nearby_auto_bucket_reacts_to_bursts(spark):
     golden = run(12 * within)
     assert run(within) == golden
     assert run("auto") == golden
+
+
+def test_nearby_bucket_seconds_string_validation_and_reused_density(spark):
+    """ADVICE r12: any string other than exactly "auto" must raise a clear
+    ValueError (not an opaque str-vs-int TypeError), the eager density
+    pre-scan must reject streaming inputs with a targeted error, and a
+    precomputed peak (VERDICT r12 #6) must (a) skip the scan entirely —
+    proven by passing df=None — and (b) never change the output, only the
+    bucketing."""
+    import pytest
+
+    from api_log_iceberg_test_spark.operators.joins import (
+        auto_bucket_seconds,
+        nearby_stats_within,
+        peak_cell_density,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(40)], "id long, flag boolean"
+    ).select("id", "flag", F.timestamp_micros(F.col("id") * 7_000_000).alias("ts"))
+
+    for bad in ("Auto", "AUTO", "aut0", ""):
+        with pytest.raises(ValueError, match="auto"):
+            nearby_stats_within(
+                df, "ts", 10, F.col("flag"), ["id"], bucket_seconds=bad
+            )
+
+    # precomputed peak: pure arithmetic, df never touched (df=None proves it)
+    assert auto_bucket_seconds(None, "ts", 10, peak_cell_rows=1) == 120
+    assert (
+        auto_bucket_seconds(
+            None, "ts", 10, target_rows_per_task=50, peak_cell_rows=48
+        )
+        == 10
+    )
+
+    # a stale/wrong peak changes the knob, never the result
+    peak = peak_cell_density(df, "ts", 10)
+    assert peak >= 1
+
+    def run(**kw):
+        return sorted(
+            map(
+                tuple,
+                nearby_stats_within(
+                    df, "ts", 10, F.col("flag"), ["id"], **kw
+                ).collect(),
+            )
+        )
+
+    golden = run(bucket_seconds=120)
+    assert run(bucket_seconds="auto", auto_peak_rows=peak) == golden
+    assert run(bucket_seconds="auto", auto_peak_rows=10**9) == golden
+
+    # streaming input: the pre-scan is an eager batch action — clear error
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="streaming"):
+        auto_bucket_seconds(stream, "timestamp", 10)

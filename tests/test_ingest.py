@@ -565,3 +565,35 @@ def test_interval_seconds_units():
     assert interval_seconds("2 weeks") == 1209600.0
     with pytest.raises(ValueError, match="supported"):
         interval_seconds("3 fortnights")
+
+
+def test_ingest_run_id_sweeps_orphaned_tmp_files(tmp_path):
+    """ADVICE r12: a process dying between the tmp write and the
+    finally-unlink leaks `_staged_ingest_id.<uuid>.tmp` files; a
+    crash-looping starter accumulates them forever. _ingest_run_id now
+    glob-sweeps stale tmps at entry — and the installed sidecar id must
+    survive the sweep unchanged."""
+    import re
+
+    from api_log_iceberg_test_spark.ingest import _RUN_ID_HEX_LEN, _ingest_run_id
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    orphans = [
+        os.path.join(ckpt, f"_staged_ingest_id.{h}.tmp")
+        for h in ("a" * 32, "b" * 32, "c" * 32)
+    ]
+    for p in orphans:
+        with open(p, "w") as f:
+            f.write("deadbeef")
+    rid = _ingest_run_id(ckpt)
+    assert re.fullmatch(rf"[0-9a-f]{{{_RUN_ID_HEX_LEN}}}", rid)
+    leftover = [p for p in os.listdir(ckpt) if p.endswith(".tmp")]
+    assert not leftover, f"stale tmp files survived the sweep: {leftover}"
+    # the sweep never disturbs an installed id: same id on re-entry, even
+    # with fresh orphans lying around
+    with open(orphans[0], "w") as f:
+        f.write("deadbeef")
+    assert _ingest_run_id(ckpt) == rid
+    assert not [p for p in os.listdir(ckpt) if p.endswith(".tmp")]
+

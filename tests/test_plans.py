@@ -442,13 +442,15 @@ def registry_builds(spark, sf_dir):
     once per suite run, not once per test.
 
     The session cache is cleared before EACH query's build+explain:
-    operators that .cache() internal frames (the partition-offset family)
-    print a collapsed InMemoryTableScan subtree when an equivalent plan
-    is already registered and the full duplicated subtree when not — so
-    without isolation, fingerprints depend on which tests (or which
-    other registry entries, i.e. rotation order) ran first. Found r07:
-    the full suite flipped q_auc_eval/q_dense_ids/q_skyline_frontier
-    counts vs the standalone run."""
+    operators that cache internal frames print a collapsed
+    InMemoryTableScan subtree when an equivalent plan is already
+    registered and the full duplicated subtree when not — so without
+    isolation, fingerprints depend on which tests (or which other
+    registry entries, i.e. rotation order) ran first. Found r07: the
+    full suite flipped q_auc_eval/q_dense_ids/q_skyline_frontier counts
+    vs the standalone run. (r13: the partition-offset family — the
+    original offender — no longer caches at all; the isolation stays as
+    a cheap guard for graph/localCheckpoint frames and future ops.)"""
     import __spark_entry__ as entrymod
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
