@@ -6523,6 +6523,150 @@ ORACLE["q_watermark_accounting"] = """
 """
 
 
+def q_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance accounting over the staged-ingest COMMIT LOG,
+    hash-oracled (VERDICT r12 #5 — the reference's one remaining
+    un-queried surface: maintenance/snapshot accounting, reference
+    README.md:196-212, SURVEY §7 Phase 3).
+
+    END-TO-END: the query REPLAYS the reference's dual-cadence shape
+    against a private scratch table — events split into ≤6 day-range
+    batches (flush cadence), staged via the real ``batch-<run>-<epoch>``
+    layout under the real run-id sidecar, and published two batches per
+    ``commit_staged`` tick (commit cadence) through the atomic
+    symlink-swap commit — then audits each published VERSION the way an
+    Iceberg user reads ``.snapshots``/``.files``: per-commit file census
+    (walked from the version tree the hardlink carry-forward built),
+    cumulative row count (read through the pinned-reader path,
+    ``read_compacted_table``), rows added by the commit, and the
+    live-vs-superseded flag from the final symlink. Retention is set
+    effectively infinite so every superseded version stays auditable —
+    the snapshot-history analogue.
+
+    The DuckDB oracle never sees the scratch table: it PREDICTS the
+    whole audit from ``events`` alone (day ranks → batch groups of
+    ``ceil(days/6)`` → commit pairs → cumulative sums), so a hash match
+    proves the commit machinery added every row exactly once, linked
+    exactly one file per batch forward through every version, and left
+    the symlink on the newest version. Exactly-once bugs (double-linked
+    replays, dropped batches) or a broken carry-forward change
+    ``files_live``/``rows_total`` and fail the hash.
+
+    Scale: the audit is a METADATA query — collects one row per day
+    (≤30) and one (files, rows) pair per commit (≤3); the row counts
+    run distributed through the pinned reader. At 100 TB the same audit
+    reads Iceberg's ``.snapshots``/``.files`` metadata tables instead of
+    walking a directory; the staged-parquet version family is this
+    container's executable analogue (ingest.py module docstring).
+
+    NOTE: EAGER — the replay (writes + commits + counts) executes at
+    call time and the returned DataFrame is a local table of the audit
+    rows; the scratch tree is deleted before returning.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .. import ingest
+    from ..maintenance import read_compacted_table
+
+    ev = load_table(spark, sf_dir, "events")
+    days = sorted(
+        r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    if not days:
+        return spark.createDataFrame(
+            [],
+            "commit_seq long, batches_committed long, files_live long, "
+            "rows_total long, rows_added long, is_live boolean",
+        )
+    g = -(-len(days) // 6)  # ceil: ≤6 day-range batches
+    groups = [days[i : i + g] for i in range(0, len(days), g)]
+    root = tempfile.mkdtemp(prefix="maint_audit_")
+    try:
+        target = os.path.join(root, "t")
+        stage = ingest.staging_dir(target)
+        run_id = ingest._ingest_run_id(os.path.join(root, "ckpt"))
+        measured: list[tuple[int, int, int, str]] = []
+        epoch = 0
+        for ci in range(0, len(groups), 2):  # commit every 2 flushed batches
+            for grp in groups[ci : ci + 2]:
+                ev.filter(
+                    (F.to_date("ts") >= F.lit(grp[0]))
+                    & (F.to_date("ts") <= F.lit(grp[-1]))
+                ).repartition(1).write.mode("overwrite").parquet(
+                    f"{stage}/batch-{run_id}-{epoch}"
+                )
+                epoch += 1
+            drained = ingest.commit_staged(target, retain_seconds=10**9)
+            live = os.path.realpath(target)
+            files = sum(
+                1
+                for _, _, fs in os.walk(live)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            rows_total = read_compacted_table(spark, target).count()
+            measured.append((drained, files, rows_total, live))
+        final_live = os.path.realpath(target)
+        out, cum_batches, prev_rows = [], 0, 0
+        for seq, (drained, files, rows_total, live) in enumerate(measured):
+            cum_batches += drained
+            out.append(
+                (
+                    seq,
+                    cum_batches,
+                    files,
+                    rows_total,
+                    rows_total - prev_rows,
+                    live == final_live,
+                )
+            )
+            prev_rows = rows_total
+        return spark.createDataFrame(
+            out,
+            "commit_seq long, batches_committed long, files_live long, "
+            "rows_total long, rows_added long, is_live boolean",
+        ).orderBy("commit_seq")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE["q_maintenance_audit"] = """
+    -- predicts the staged-commit audit from events alone: day ranks ->
+    -- ceil(days/6)-day batches -> commits of 2 batches -> cumulative
+    -- census (1 file per batch by construction: repartition(1) writes)
+    WITH day_counts AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS i
+        FROM day_counts
+    ),
+    p AS (
+        SELECT CAST(CEIL(COUNT(*) / 6.0) AS BIGINT) AS g FROM day_counts
+    ),
+    b AS (
+        SELECT i // p.g AS batch_id, SUM(n) AS bn FROM idx, p GROUP BY 1
+    ),
+    c AS (
+        SELECT batch_id // 2 AS commit_seq,
+               COUNT(*) AS n_batches, SUM(bn) AS cn
+        FROM b GROUP BY 1
+    )
+    SELECT commit_seq,
+           CAST(SUM(n_batches) OVER w AS BIGINT) AS batches_committed,
+           CAST(SUM(n_batches) OVER w AS BIGINT) AS files_live,
+           CAST(SUM(cn) OVER w AS BIGINT) AS rows_total,
+           CAST(cn AS BIGINT) AS rows_added,
+           commit_seq = MAX(commit_seq) OVER () AS is_live
+    FROM c
+    WINDOW w AS (ORDER BY commit_seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY commit_seq
+"""
+
+
 QUERIES_TAIL = {
     "q_hll_daily_users": q_hll_daily_users,
     "q_kmeans_clusters": q_kmeans_clusters,
@@ -6536,6 +6680,10 @@ QUERIES_TAIL = {
     # <=3-entry window budget — 9 pinned + 1 dark + 40 stale slots still
     # covers the whole 38-entry r07 drain cohort)
     "q_watermark_accounting": q_watermark_accounting,
+    # round 13 (VERDICT r12 #5: the last un-queried reference surface —
+    # table-maintenance accounting over the staged commit log; one new
+    # entry, hash-oracled, within the ≤3-entry window budget)
+    "q_maintenance_audit": q_maintenance_audit,
 }
 
 QUERIES_LATE["q_bootstrap_ci"] = q_bootstrap_ci

@@ -214,6 +214,11 @@ ROUND12 = [
     "q_watermark_accounting",
 ]
 
+#: Round-13 additions, same basket discipline (total_r13_basket).
+ROUND13 = [
+    "q_maintenance_audit",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -296,6 +301,7 @@ def main() -> None:
     timed += [n for n in TPCH if n not in timed]
     timed += [n for n in ROUND10 if n not in timed]
     timed += [n for n in ROUND12 if n not in timed]
+    timed += [n for n in ROUND13 if n not in timed]
     for name in timed:
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -357,6 +363,7 @@ def main() -> None:
         "total_tpch_basket": round(sum(results[n] for n in TPCH), 3),
         "total_r10_basket": round(sum(results[n] for n in ROUND10), 3),
         "total_r12_basket": round(sum(results[n] for n in ROUND12), 3),
+        "total_r13_basket": round(sum(results[n] for n in ROUND13), 3),
         "headline_total_sec": round(total, 3),
     }
     line = json.dumps(payload)

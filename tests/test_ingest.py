@@ -597,3 +597,30 @@ def test_ingest_run_id_sweeps_orphaned_tmp_files(tmp_path):
     assert _ingest_run_id(ckpt) == rid
     assert not [p for p in os.listdir(ckpt) if p.endswith(".tmp")]
 
+
+
+def test_maintenance_audit_query_end_to_end(spark, sf_dir):
+    """r13 (VERDICT r12 #5): the maintenance-audit registry entry replays
+    the dual-cadence staged-commit shape against a scratch table and
+    audits every published version. Beyond the DuckDB hash oracle
+    (differential sweep), pin the invariants the oracle can't see:
+    exactly one live version (the last), monotone non-decreasing census,
+    final totals equal the source, and the scratch tree cleaned up."""
+    from api_log_iceberg_test_spark.operators.registry import q_maintenance_audit
+    from api_log_iceberg_test_spark.schema import load_table
+
+    rows = q_maintenance_audit(spark, sf_dir).collect()
+    assert rows, "audit must cover at least one commit"
+    assert [r["commit_seq"] for r in rows] == list(range(len(rows)))
+    assert [r["is_live"] for r in rows] == [False] * (len(rows) - 1) + [True]
+    totals = [r["rows_total"] for r in rows]
+    assert totals == sorted(totals)
+    assert sum(r["rows_added"] for r in rows) == totals[-1]
+    # every commit linked one file per batch forward (repartition(1) staging)
+    assert all(r["files_live"] == r["batches_committed"] for r in rows)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert totals[-1] == n_events
+    # scratch table cleaned up
+    import glob as _glob
+
+    assert not _glob.glob("/tmp/maint_audit_*"), "scratch trees leaked"
