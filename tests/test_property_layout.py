@@ -95,3 +95,56 @@ def test_skyline_matches_bruteforce_property(spark, pts):
         }
     )
     assert got == expect, pts
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    st.lists(st.integers(-1000, 1000), min_size=0, max_size=5, unique=True),
+)
+def test_range_bucket_ids_properties_random(spark, keys, cuts):
+    """r13 literal-boundary bucketing: on ANY multiset (duplicates,
+    negatives, clumps) and under BOTH sampled and caller-supplied
+    boundaries, bucket ids must be monotone non-decreasing in the key
+    and equal keys must share a bucket; with explicit ascending cuts the
+    id must equal the exact cut-count formula."""
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    for bounds in (None, sorted(cuts)):
+        rows = layout.range_bucket_ids(
+            df, "k", boundaries=bounds, bucket_col="b"
+        ).collect()
+        by_key: dict[int, set[int]] = {}
+        for r in rows:
+            by_key.setdefault(r["k"], set()).add(r["b"])
+        assert all(len(bs) == 1 for bs in by_key.values()), by_key
+        ordered = [next(iter(by_key[k])) for k in sorted(by_key)]
+        assert ordered == sorted(ordered)
+        if bounds is not None:
+            want = {k: sum(1 for c in bounds if k >= c) for k in by_key}
+            assert {k: next(iter(bs)) for k, bs in by_key.items()} == want
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(st.integers(-10**6, 10**6), st.integers(-50, 50)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_exclusive_prefix_max_matches_spec_random(spark, pairs):
+    """exclusive_prefix_max over the literal-boundary plan must equal the
+    semantic spec (running max over sorted order, NULL first) on random
+    keys/values — the cut points may land anywhere, including all keys
+    in one bucket."""
+    df = spark.createDataFrame(pairs, "k long, v long")
+    got = {
+        r["k"]: r["pm"]
+        for r in layout.exclusive_prefix_max(df, "k", "v", "pm").collect()
+    }
+    best, want = None, {}
+    for k, v in sorted(pairs):
+        want[k] = best
+        best = v if best is None else max(best, v)
+    assert got == want
