@@ -35,6 +35,13 @@ quadratically in density (measured 458,535 -> 46,109,978 pairs =
 chooses (band width / time radius), which is the correct contract for
 a range join; a count-only consumer collapses the pairs map-side
 (3.8s at sf1.0dx).
+
+Re-measured (r13, quiet pair: sf0.1 headline 12.51s probe 0.42 /
+dx-sf1.0 headline 67.94s probe 0.524, post cache-retirement layout
+family): 142 queries, ratio p10/median/p90 = 1.12/1.98/5.23; the single
+>10x flag is still q_range_join_nearby_events (43.6x, the documented
+output-bound case above). No new super-linear operator appeared across
+the round's plan changes.
 """
 
 from __future__ import annotations
