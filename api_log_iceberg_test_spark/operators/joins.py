@@ -69,7 +69,14 @@ def peak_cell_density(df: DataFrame, time_col: str, within_seconds: int) -> int:
     across a daily job's runs via ``peak_cell_rows`` instead of paying a
     full-column scan per run). ONE projection-only pass, shuffling only
     (cell, count) partials; returns 0 for an empty frame. EAGER: executes
-    at call time."""
+    at call time, so streaming DataFrames are rejected with a clear error
+    (run it on a bounded batch slice — e.g. yesterday's partition)."""
+    if df.isStreaming:
+        raise ValueError(
+            "peak_cell_density is an eager batch action and cannot run on "
+            "a streaming DataFrame; run it on a bounded batch slice of the "
+            "stream (e.g. yesterday's partition)"
+        )
     w_us = within_seconds * 1_000_000
     peak = (
         df.select(
