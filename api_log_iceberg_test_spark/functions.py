@@ -34,7 +34,10 @@ def duration_to_ms(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     num = F.regexp_extract(c, r"^([0-9]*\.?[0-9]+)", 1).cast("double")
-    unit = F.regexp_extract(c, r"([a-zµ]+)$", 1)
+    # \z (absolute end) not $: Java $ also matches before a final line
+    # terminator, which would silently accept "4.21ms\n" while the RE2
+    # oracle rejects it.
+    unit = F.regexp_extract(c, r"([a-zµ]+)\z", 1)
     expr = F.lit(None).cast("double")
     # Build the when-ladder in reverse so the first matching unit wins.
     for suffix, mult in reversed(_UNIT_TO_MS):

@@ -124,8 +124,13 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     # full whitespace strip at the ends (F.trim strips spaces ONLY — a
     # trailing \r/\t would otherwise leave a phantom empty token; found by
-    # the hypothesis equivalence test), then collapse inner runs
-    stripped = F.regexp_replace(F.lower(c), r"^\s+|\s+$", "")
+    # the hypothesis equivalence test), then collapse inner runs. \z not $:
+    # Java $ matches before a final U+0085/U+2028/U+2029 line terminator
+    # (none of which \s matches), so \s+$ would strip an INTERIOR space and
+    # glue tokens — a NEL-terminated near-duplicate would normalize to a
+    # different key than its oracle (RE2) form. Same fix at the two simhash
+    # tokenizers below.
+    stripped = F.regexp_replace(F.lower(c), r"^\s+|\s+\z", "")
     norm = F.regexp_replace(stripped, r"\s+", " ")
     pattern = r"(?:^| )(?=(" + " ".join([r"\S+"] * n) + r"))"
     shingle = F.regexp_extract_all(norm, F.lit(pattern), 1)
@@ -648,7 +653,7 @@ def simhash_signature(col: Column | str, seed: int = 11) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     tokens = F.array_distinct(
-        F.split(F.regexp_replace(F.lower(c), r"^\s+|\s+$", ""), r"\s+")
+        F.split(F.regexp_replace(F.lower(c), r"^\s+|\s+\z", ""), r"\s+")
     )
     hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
 
@@ -699,7 +704,7 @@ def simhash_signatures_df(
         F.explode(
             F.array_distinct(
                 F.split(
-                    F.regexp_replace(F.lower(text_col), r"^\s+|\s+$", ""), r"\s+"
+                    F.regexp_replace(F.lower(text_col), r"^\s+|\s+\z", ""), r"\s+"
                 )
             )
         ).alias("t"),

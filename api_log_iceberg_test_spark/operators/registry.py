@@ -1173,6 +1173,42 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_signals(docs).orderBy("doc_id")
 
 
+def q_lineterm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Tokenization on Unicode-line-terminator-final text — pins the ``\z``
+    anchor fix with a driver hash (VERDICT r13 #1).
+
+    Java regex ``$`` (no MULTILINE) matches *before* a final line
+    terminator, and Java's line terminators include U+0085 NEL, U+2028 and
+    U+2029 — none of which ``\s`` matches. So the old ``\s+$`` strip on
+    text ending ``'… bar \x85'`` deleted the INTERIOR space and glued
+    ``bar\x85`` into one token, silently diverging from the DuckDB oracle
+    (RE2 ``$`` = absolute end). This query appends a deterministic
+    terminator suffix per doc (``doc_id % 5``: none / NEL / U+2028 /
+    U+2029 / space-then-NEL — the last is the exact glue shape) and runs
+    both tokenizer families over it: repetition signals (text.py
+    ``norm_text`` path) and word-shingle counts (dedup.py shingling path).
+    Hash-green requires absolute-end semantics in every anchor.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    res = F.pmod(F.col("doc_id"), F.lit(5))
+    suffix = (
+        F.when(res == 1, F.lit("\x85"))
+        .when(res == 2, F.lit("\u2028"))
+        .when(res == 3, F.lit("\u2029"))
+        .when(res == 4, F.lit(" \x85"))
+        .otherwise(F.lit(""))
+    )
+    adv = fan_out(
+        docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    )
+    rep = text.repetition_signals(adv)
+    sh = adv.select(
+        "doc_id",
+        F.size(dedup.word_shingles("text")).cast("long").alias("n_shingles"),
+    )
+    return rep.join(sh, "doc_id").orderBy("doc_id")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing a word 5-gram with a
     held-out "benchmark" slice (doc_id % 10 == 7 stands in for an eval
@@ -1607,6 +1643,54 @@ ORACLE["q_repetition_signals"] = """
     ORDER BY doc_id
 """
 
+ORACLE["q_lineterm_tokens"] = f"""
+    WITH adv AS (
+        SELECT doc_id,
+               text || CASE CAST(doc_id % 5 AS INT)
+                    WHEN 1 THEN chr(133)
+                    WHEN 2 THEN chr(8232)
+                    WHEN 3 THEN chr(8233)
+                    WHEN 4 THEN ' ' || chr(133)
+                    ELSE '' END AS text
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id,
+               string_split(regexp_replace(regexp_replace(lower(text),
+                   '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'), ' ') AS toks,
+               length(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')) AS nlen
+        FROM adv
+    ),
+    b AS (
+        SELECT doc_id,
+               (CASE WHEN nlen = 0 THEN 0 ELSE len(toks) END)::BIGINT AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               [array_to_string(toks[i:i+1], ' ')
+                for i in range(1, len(toks))] AS bg,
+               len({_SHINGLES})::BIGINT AS n_shingles
+        FROM t
+    ),
+    tf AS (
+        SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+            SELECT doc_id, term, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(toks) AS term FROM t WHERE nlen > 0)
+            GROUP BY doc_id, term
+        ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, n_tokens,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE ROUND(top_cnt / n_tokens, 6) END AS top_unigram_frac,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE ROUND((n_tokens - n_distinct) / n_tokens, 6)
+           END AS dup_token_frac,
+           CASE WHEN n_tokens = 0 OR len(bg) = 0 THEN 0.0
+                ELSE ROUND((len(bg) - len(list_distinct(bg))) / len(bg), 6)
+           END AS dup_bigram_frac,
+           n_shingles
+    FROM b LEFT JOIN tf USING (doc_id)
+    ORDER BY doc_id
+"""
+
 ORACLE["q_decontaminate"] = f"""
     WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
     sh AS (
@@ -1654,6 +1738,7 @@ QUERIES = {
     "q_embedding_neardup": q_embedding_neardup,
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
     "q_text_analyze": q_text_analyze,
+    "q_lineterm_tokens": q_lineterm_tokens,
     "q_lang_composition": q_lang_composition,
     "q_train_sample": q_train_sample,
     "q_grouped_sample": q_grouped_sample,

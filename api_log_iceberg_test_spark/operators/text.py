@@ -32,9 +32,16 @@ def _strip_ends(col: Column | str) -> Column:
     would survive it and split() would then emit a phantom empty token
     (the norm_text docstring's gotcha; a review pass found tokens()/
     token_count/fingerprint still using F.trim and diverging from the
-    norm_text-based metrics on such inputs)."""
+    norm_text-based metrics on such inputs).
+
+    ``\z`` (absolute end), NOT ``$``: Java regex ``$`` without MULTILINE
+    matches *before a final line terminator*, and Java's line terminators
+    include U+0085/U+2028/U+2029 which ``\s`` does NOT match — so ``\s+$``
+    on ``'0 \x85'`` would strip the INTERIOR space and glue the two tokens
+    into one, diverging from the DuckDB oracle's RE2 semantics (RE2 ``$``
+    = absolute end)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(c), r"^\s+|\s+$", "")
+    return F.regexp_replace(F.lower(c), r"^\s+|\s+\z", "")
 
 
 def tokens(col: Column | str) -> Column:
@@ -51,17 +58,20 @@ def norm_text(col: Column | str) -> Column:
 
 
 def _word_count_pattern(words: list[str]) -> str:
-    """Regex counting occurrences of whole whitespace-tokens from ``words``.
+    r"""Regex counting occurrences of whole whitespace-tokens from ``words``.
 
-    Leading ``(?:^| )`` anchors to a token start; the ``(?= |$)`` lookahead
+    Leading ``(?:^| )`` anchors to a token start; the ``(?= |\z)`` lookahead
     enforces token end WITHOUT consuming the next token's separator, so
     consecutive stopwords all count; alternation backtracks until the full
     token matches (e.g. 'and' is not half-matched by 'a'). Words are
     regex-escaped — a caller-supplied list like ['c++'] must count
-    literally, not blow up the pattern."""
+    literally, not blow up the pattern. ``\z`` not ``$``: Java ``$``
+    matches before a final U+0085/U+2028/U+2029 line terminator, which
+    would let the lookahead accept a token PREFIX on such text (see
+    _strip_ends)."""
     import re
 
-    return r"(?:^| )(?:" + "|".join(re.escape(w) for w in words) + r")(?= |$)"
+    return r"(?:^| )(?:" + "|".join(re.escape(w) for w in words) + r")(?= |\z)"
 
 
 def token_count(col: Column | str) -> Column:
@@ -80,7 +90,7 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     spaced = F.regexp_replace(c, r"([^\w\s])", r" $1 ")
-    stripped = F.regexp_replace(spaced, r"^\s+|\s+$", "")
+    stripped = F.regexp_replace(spaced, r"^\s+|\s+\z", "")
     return F.when(F.length(stripped) == 0, F.lit(0)).otherwise(
         F.size(F.split(stripped, r"\s+"))
     )

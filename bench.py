@@ -219,6 +219,11 @@ ROUND13 = [
     "q_maintenance_audit",
 ]
 
+#: Round-14 additions, same basket discipline (total_r14_basket).
+ROUND14 = [
+    "q_lineterm_tokens",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -302,6 +307,7 @@ def main() -> None:
     timed += [n for n in ROUND10 if n not in timed]
     timed += [n for n in ROUND12 if n not in timed]
     timed += [n for n in ROUND13 if n not in timed]
+    timed += [n for n in ROUND14 if n not in timed]
     for name in timed:
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -364,6 +370,7 @@ def main() -> None:
         "total_r10_basket": round(sum(results[n] for n in ROUND10), 3),
         "total_r12_basket": round(sum(results[n] for n in ROUND12), 3),
         "total_r13_basket": round(sum(results[n] for n in ROUND13), 3),
+        "total_r14_basket": round(sum(results[n] for n in ROUND14), 3),
         "headline_total_sec": round(total, 3),
     }
     line = json.dumps(payload)

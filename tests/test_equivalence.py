@@ -16,23 +16,37 @@ from pyspark.sql import functions as F
 
 from api_log_iceberg_test_spark.operators import dedup
 
-# words plus whitespace variety (space, tab, newline) and junk characters
-_texts = st.lists(
-    st.text(
-        alphabet=st.characters(
-            codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FF
+# words plus whitespace variety (space, tab, newline) and junk characters.
+# The alphabet explicitly includes Java's Unicode line terminators
+# (U+0085 NEL, U+2028, U+2029 — beyond the base 0x2FF range for the last
+# two): a Java-regex `$` matches BEFORE a final one of these, which made
+# `\s+$` strip interior whitespace and glue tokens (fixed to `\z`;
+# hypothesis found it with a trailing NEL). A sampled suffix puts a
+# terminator in final position — the adversarial spot — on many draws
+# instead of waiting for a lucky draw.
+_LINE_TERMINATORS = "\x85\u2028\u2029"
+_texts = st.tuples(
+    st.lists(
+        st.text(
+            alphabet=st.one_of(
+                st.characters(
+                    codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FF
+                ),
+                st.sampled_from(_LINE_TERMINATORS),
+            ),
+            max_size=30,
         ),
-        max_size=30,
+        min_size=1,
+        max_size=12,
     ),
-    min_size=1,
-    max_size=12,
-).map(lambda parts: " ".join(parts))
+    st.sampled_from(["", "\x85", "\u2028", "\u2029", "\r\n", " \x85"]),
+).map(lambda p: " ".join(p[0]) + p[1])
 
 
 def _hof_shingles(col, n=3):
     """The original interpreted formulation (reference implementation),
     over fully-stripped text (same normalization as the operators)."""
-    tokens = F.split(F.regexp_replace(F.lower(col), r"^\s+|\s+$", ""), r"\s+")
+    tokens = F.split(F.regexp_replace(F.lower(col), r"^\s+|\s+\z", ""), r"\s+")
     count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(1), count)
     return F.array_distinct(
@@ -556,6 +570,15 @@ def test_nearby_bucket_seconds_string_validation_and_reused_density(spark):
     golden = run(bucket_seconds=120)
     assert run(bucket_seconds="auto", auto_peak_rows=peak) == golden
     assert run(bucket_seconds="auto", auto_peak_rows=10**9) == golden
+
+    # a precomputed peak without the auto sentinel would be silently
+    # discarded — strict, mirroring the sentinel check (ADVICE r13)
+    for bs in (None, 120):
+        with pytest.raises(ValueError, match="auto_peak_rows"):
+            nearby_stats_within(
+                df, "ts", 10, F.col("flag"), ["id"],
+                bucket_seconds=bs, auto_peak_rows=peak,
+            )
 
     # streaming input: the pre-scan is an eager batch action — clear error
     stream = spark.readStream.format("rate").load()
