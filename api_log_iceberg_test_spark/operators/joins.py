@@ -229,6 +229,13 @@ def nearby_stats_within(
     """
     from pyspark.sql import Window
 
+    if auto_peak_rows is not None and bucket_seconds != "auto":
+        # mirror the strict-sentinel check below: a precomputed peak with a
+        # non-auto bucket_seconds would be silently discarded (ADVICE r13)
+        raise ValueError(
+            "auto_peak_rows is only used with bucket_seconds='auto'; got "
+            f"bucket_seconds={bucket_seconds!r}"
+        )
     if isinstance(bucket_seconds, str):
         # strict sentinel: "Auto"/typos must not fall through to the
         # int comparison below and die with an opaque TypeError

@@ -606,9 +606,18 @@ def test_maintenance_audit_query_end_to_end(spark, sf_dir):
     (differential sweep), pin the invariants the oracle can't see:
     exactly one live version (the last), monotone non-decreasing census,
     final totals equal the source, and the scratch tree cleaned up."""
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
     from api_log_iceberg_test_spark.operators.registry import q_maintenance_audit
     from api_log_iceberg_test_spark.schema import load_table
 
+    # mkdtemp honors TMPDIR, so glob where it actually writes, and only
+    # flag trees NEW since this call (ADVICE r13: a hardcoded /tmp glob is
+    # vacuous under TMPDIR overrides and false-fails on concurrent leaks)
+    scratch_pat = _os.path.join(_tempfile.gettempdir(), "maint_audit_*")
+    pre_existing = set(_glob.glob(scratch_pat))
     rows = q_maintenance_audit(spark, sf_dir).collect()
     assert rows, "audit must cover at least one commit"
     assert [r["commit_seq"] for r in rows] == list(range(len(rows)))
@@ -620,7 +629,6 @@ def test_maintenance_audit_query_end_to_end(spark, sf_dir):
     assert all(r["files_live"] == r["batches_committed"] for r in rows)
     n_events = load_table(spark, sf_dir, "events").count()
     assert totals[-1] == n_events
-    # scratch table cleaned up
-    import glob as _glob
-
-    assert not _glob.glob("/tmp/maint_audit_*"), "scratch trees leaked"
+    # scratch table cleaned up (no NEW trees since the call)
+    leaked = set(_glob.glob(scratch_pat)) - pre_existing
+    assert not leaked, f"scratch trees leaked: {sorted(leaked)}"

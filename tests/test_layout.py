@@ -287,3 +287,43 @@ def test_exclusive_prefix_max_struct_key_literals(spark):
         want[(b, a)] = best
         best = v if best is None else max(best, v)
     assert got == want
+
+
+def test_skyline_output_invariant_under_stale_boundaries(spark):
+    """skyline2d's boundaries= reuse contract (VERDICT r13 #4): stale or
+    badly unbalanced cut points only affect task balance — the frontier
+    is a pure function of the points."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(0, 500), float(rng.randrange(0, 500))) for _ in range(300)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    want = {(r["x"], r["y"]) for r in layout.skyline2d(df, "x", "y").collect()}
+    assert want  # non-degenerate frontier
+    for cuts in ([], [3], [100, 250, 400], [1, 2, 3, 4, 5], [499]):
+        got = {
+            (r["x"], r["y"])
+            for r in layout.skyline2d(df, "x", "y", boundaries=cuts).collect()
+        }
+        assert got == want, f"boundaries {cuts} changed the frontier"
+
+
+def test_bucket_ordinal_tree_matches_linear_count(spark):
+    """The balanced when-tree computes exactly the satisfied-cut count the
+    r13 linear cascade computed, for every key position (below, equal,
+    between, above, NULL) and every cut-list size including 0/1/pow2±1."""
+    from pyspark.sql import functions as F
+
+    for m in (0, 1, 2, 3, 4, 7, 8, 9, 31):
+        cuts = [10 * (i + 1) for i in range(m)]  # 10, 20, ... 10m
+        keys = [None] + list(range(0, 10 * m + 15, 5))
+        df = spark.createDataFrame([(k,) for k in keys], "k int")
+        out = df.select(
+            "k",
+            layout._bucket_ordinal(
+                F.col("k"), cuts, df.schema["k"].dataType
+            ).alias("b"),
+        ).collect()
+        for r in out:
+            want = 0 if r["k"] is None else sum(1 for c in cuts if r["k"] >= c)
+            assert r["b"] == want, (m, r["k"], r["b"], want)
