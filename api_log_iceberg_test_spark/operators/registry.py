@@ -599,8 +599,14 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Token source: FULL whitespace strip at the ends (trim() strips spaces
 #: only — same Java-\s-class semantics as the Spark side's _strip_ends).
+#: The whitespace class is EXPLICIT ([ \t\n\x0b\f\r] = Java \s) in every
+#: oracle instead of RE2's \s, because RE2 \s EXCLUDES \x0b (vertical
+#: tab) — with '\s' in the oracle, VT-containing text would tokenize
+#: differently per engine (same divergence class as the r14 Java-$
+#: line-terminator bug, opposite direction). The $ anchors are RE2
+#: semantics = absolute end, matching the Spark side's \z.
 _TOKENS = ("string_split_regex(regexp_replace(lower(text), "
-           "'^\\s+|\\s+$', '', 'g'), '\\s+')")
+           "'^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0b\\f\\r]+')")
 
 _SHINGLES = f"""
     list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -654,7 +660,7 @@ ORACLE: dict[str, str] = {
         FROM documents GROUP BY text ORDER BY doc_id
     """,
     "q_dedup_normalized": """
-        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+        SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS text_hash,
                MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY doc_id
     """,
@@ -722,14 +728,14 @@ ORACLE: dict[str, str] = {
     "q_text_analyze": f"""
         WITH t AS (
             SELECT doc_id, text, {_TOKENS} AS toks,
-                   trim(regexp_replace(regexp_replace(text, '([^\\w\\s])', ' \\1 ', 'g'),
-                        '^\\s+|\\s+$', '', 'g')) AS spaced
+                   trim(regexp_replace(regexp_replace(text, '([^\\w \\t\\n\\x0b\\f\\r])', ' \\1 ', 'g'),
+                        '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) AS spaced
             FROM documents
         ), m AS (
             SELECT doc_id,
-                   CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+                   CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
                    CASE WHEN length(spaced) = 0 THEN 0
-                        ELSE len(string_split_regex(spaced, '\\s+')) END AS n_subword_tokens,
+                        ELSE len(string_split_regex(spaced, '[ \\t\\n\\x0b\\f\\r]+')) END AS n_subword_tokens,
                    CASE WHEN len(toks) > 0
                         THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
                         ELSE 0.0 END AS mtl,
@@ -836,7 +842,7 @@ ORACLE["q_curated_topk_per_lang"] = f"""
         SELECT doc_id, lang, text, {_TOKENS} AS toks FROM documents
     ), m AS (
         SELECT doc_id, lang,
-               CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+               CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
                CASE WHEN len(toks) > 0
                     THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
                     ELSE 0.0 END AS mtl,
@@ -1188,14 +1194,22 @@ def q_lineterm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     both tokenizer families over it: repetition signals (text.py
     ``norm_text`` path) and word-shingle counts (dedup.py shingling path).
     Hash-green requires absolute-end semantics in every anchor.
+
+    The residue-5 suffix (space-then-VT) guards the complementary
+    divergence: Java ``\s`` INCLUDES U+000B vertical tab, RE2's does not
+    \u2014 so every oracle spells the whitespace class explicitly
+    (``[ \t\n\x0b\f\r]``, see the _TOKENS comment). An oracle written
+    with RE2 ``\s`` would keep the trailing VT as a phantom token here
+    and hash-mismatch.
     """
     docs = load_table(spark, sf_dir, "documents")
-    res = F.pmod(F.col("doc_id"), F.lit(5))
+    res = F.pmod(F.col("doc_id"), F.lit(6))
     suffix = (
         F.when(res == 1, F.lit("\x85"))
         .when(res == 2, F.lit("\u2028"))
         .when(res == 3, F.lit("\u2029"))
         .when(res == 4, F.lit(" \x85"))
+        .when(res == 5, F.lit(" \x0b"))
         .otherwise(F.lit(""))
     )
     adv = fan_out(
@@ -1265,8 +1279,8 @@ ORACLE["q_chunk_documents"] = """
     WITH t AS (
         SELECT doc_id,
                string_split(regexp_replace(regexp_replace(lower(text),
-                   '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'), ' ') AS toks,
-               length(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')) AS nlen
+                   '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS toks,
+               length(regexp_replace(lower(text), '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) AS nlen
         FROM documents
     ),
     c AS (
@@ -1284,7 +1298,7 @@ ORACLE["q_chunk_documents"] = """
 ORACLE["q_pack_sequences"] = f"""
     WITH base AS (
         SELECT doc_id, doc_id % 8 AS bucket,
-               (CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+               (CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) = 0 THEN 0
                      ELSE len({_TOKENS}) END)::BIGINT AS n_tokens
         FROM documents
     ), packed AS (
@@ -1313,7 +1327,7 @@ def q_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_pack_batches"] = f"""
     WITH base AS (
         SELECT doc_id, doc_id % 8 AS bucket,
-               (CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+               (CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) = 0 THEN 0
                      ELSE len({_TOKENS}) END)::BIGINT AS n_tokens
         FROM documents
     ), pos AS (
@@ -1358,7 +1372,7 @@ ORACLE["q_corpus_datacard"] = f"""
     tq AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
     m AS (
         SELECT doc_id,
-               CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+               CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
                CASE WHEN len(toks) > 0
                     THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
                     ELSE 0.0 END AS mtl,
@@ -1462,7 +1476,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_weighted_sample"] = f"""
     WITH d AS (
         SELECT doc_id, source,
-               CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+               CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) = 0
                     THEN 0 ELSE len({_TOKENS}) END AS nt
         FROM documents
     ),
@@ -1541,7 +1555,7 @@ ORACLE["q_curation_pipeline"] = f"""
     tq AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
     m AS (
         SELECT doc_id,
-               CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+               CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
                CASE WHEN len(toks) > 0
                     THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
                     ELSE 0.0 END AS mtl,
@@ -1611,8 +1625,8 @@ ORACLE["q_repetition_signals"] = """
     WITH t AS (
         SELECT doc_id,
                string_split(regexp_replace(regexp_replace(lower(text),
-                   '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'), ' ') AS toks,
-               length(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')) AS nlen
+                   '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS toks,
+               length(regexp_replace(lower(text), '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) AS nlen
         FROM documents
     ),
     b AS (
@@ -1646,19 +1660,20 @@ ORACLE["q_repetition_signals"] = """
 ORACLE["q_lineterm_tokens"] = f"""
     WITH adv AS (
         SELECT doc_id,
-               text || CASE CAST(doc_id % 5 AS INT)
+               text || CASE CAST(doc_id % 6 AS INT)
                     WHEN 1 THEN chr(133)
                     WHEN 2 THEN chr(8232)
                     WHEN 3 THEN chr(8233)
                     WHEN 4 THEN ' ' || chr(133)
+                    WHEN 5 THEN ' ' || chr(11)
                     ELSE '' END AS text
         FROM documents
     ),
     t AS (
         SELECT doc_id,
                string_split(regexp_replace(regexp_replace(lower(text),
-                   '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'), ' ') AS toks,
-               length(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')) AS nlen
+                   '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS toks,
+               length(regexp_replace(lower(text), '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) AS nlen
         FROM adv
     ),
     b AS (
@@ -1709,7 +1724,7 @@ ORACLE["q_decontaminate"] = f"""
 ORACLE["q_source_mix_weights"] = f"""
     WITH per AS (
         SELECT source, COUNT(*) AS n_docs,
-               SUM(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+               SUM(CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) = 0 THEN 0
                         ELSE len({_TOKENS}) END)::BIGINT AS n_tokens
         FROM documents GROUP BY source
     ), tot AS (
@@ -1926,11 +1941,11 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_dedup_spans"] = """
     WITH d AS (
         SELECT doc_id,
-               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') AS stripped
+               regexp_replace(lower(text), '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g') AS stripped
         FROM documents
     ),
     d2 AS (
-        SELECT doc_id, string_split_regex(stripped, '\\s+') AS toks
+        SELECT doc_id, string_split_regex(stripped, '[ \\t\\n\\x0b\\f\\r]+') AS toks
         FROM d WHERE length(stripped) > 0
     ),
     spans AS (
@@ -1963,7 +1978,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_dedup_incremental"] = """
     WITH h AS (
         SELECT doc_id,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash
+               md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS text_hash
         FROM documents
     ),
     corpus AS (SELECT DISTINCT text_hash FROM h WHERE doc_id < 400),
@@ -2075,7 +2090,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: standalone retrieval oracle and the RRF hybrid-fusion oracle
 _BM25_CTES = f"""bm_d AS (
         SELECT doc_id, {_TOKENS} AS toks,
-               CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+               CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) = 0 THEN 0
                     ELSE len({_TOKENS}) END AS dl
         FROM documents
     ),
@@ -2190,7 +2205,7 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_temperature_mix"] = f"""
     WITH per AS (
         SELECT source,
-               SUM(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+               SUM(CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) = 0 THEN 0
                         ELSE len({_TOKENS}) END)::BIGINT AS n_tokens
         FROM documents GROUP BY source
     ), shares AS (
@@ -3529,8 +3544,8 @@ ORACLE["q_chunk_embed_pool"] = f"""
     WITH t AS (
         SELECT doc_id,
                string_split(regexp_replace(regexp_replace(lower(text),
-                   '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'), ' ') AS toks,
-               length(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')) AS nlen
+                   '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS toks,
+               length(regexp_replace(lower(text), '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) AS nlen
         FROM documents
     ),
     c AS (
@@ -3578,7 +3593,7 @@ ORACLE["q_quality_calibration"] = f"""
         SELECT doc_id, source, text, {_TOKENS} AS toks FROM documents
     ), m AS (
         SELECT doc_id, source,
-               CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+               CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
                CASE WHEN len(toks) > 0
                     THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
                     ELSE 0.0 END AS mtl,
@@ -5421,7 +5436,7 @@ ORACLE["q_kappa_agreement"] = f"""
     WITH r AS (
         SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
                CASE WHEN (CASE WHEN length(regexp_replace(lower(text),
-                          '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                          '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) = 0 THEN 0
                           ELSE len({_TOKENS}) END) >= 60
                     THEN 1 ELSE 0 END AS b
         FROM documents
@@ -5484,7 +5499,7 @@ def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_padding_waste"] = f"""
     WITH lens AS (
         SELECT LEAST(CASE WHEN length(regexp_replace(lower(text),
-                     '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                     '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) = 0 THEN 0
                      ELSE len({_TOKENS}) END, 512) AS elen
         FROM documents
     ),
@@ -6191,7 +6206,7 @@ ORACLE["q_rank_biased_overlap"] = f"""
     b AS (
         SELECT doc_id, ROW_NUMBER() OVER (
             ORDER BY (CASE WHEN length(regexp_replace(lower(text),
-                      '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                      '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')) = 0 THEN 0
                       ELSE len({_TOKENS}) END) DESC, doc_id) AS rank_b
         FROM documents QUALIFY rank_b <= 20
     ),
@@ -6422,7 +6437,7 @@ def q_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_survivorship_golden"] = """
     WITH g AS (
         SELECT md5(regexp_replace(regexp_replace(lower(text),
-                   '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS grp,
+                   '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS grp,
                doc_id, n_chars, source
         FROM documents
     )

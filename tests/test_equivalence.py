@@ -39,7 +39,7 @@ _texts = st.tuples(
         min_size=1,
         max_size=12,
     ),
-    st.sampled_from(["", "\x85", "\u2028", "\u2029", "\r\n", " \x85"]),
+    st.sampled_from(["", "\x85", "\u2028", "\u2029", "\r\n", " \x85", " \x0b"]),
 ).map(lambda p: " ".join(p[0]) + p[1])
 
 
@@ -150,10 +150,12 @@ def test_quantize_bounds_and_error(spark, vectors):
 def _py_repetition(text: str) -> tuple[int, float, float, float]:
     """Pure-Python reference for repetition_signals (obviously correct).
 
-    Whitespace = Java regex \\s ([ \\t\\n\\x0b\\f\\r]) — the engine's (and
-    DuckDB oracle's) tokenization class. Python's str.split() additionally
-    treats \\x1c-\\x1f as whitespace, which the engines do NOT (hypothesis
-    found the divergence with a lone \\x1f)."""
+    Whitespace = Java regex \\s ([ \\t\\n\\x0b\\f\\r]) — the engine's
+    tokenization class, which the DuckDB oracles spell out EXPLICITLY
+    because RE2's \\s excludes \\x0b (r14; see the registry _TOKENS
+    comment). Python's str.split() additionally treats \\x1c-\\x1f as
+    whitespace, which the engines do NOT (hypothesis found the divergence
+    with a lone \\x1f)."""
     import re
 
     ws = r"[ \t\n\x0b\f\r]"

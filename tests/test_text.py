@@ -204,20 +204,26 @@ def test_lineterm_tokens_query_pins_absolute_end_anchors(spark):
     out = {r["doc_id"]: r for r in q_lineterm_tokens(spark, sf).collect()}
     docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
     assert out and len(out) == len(docs)
-    suffixes = {1: "\x85", 2: "\u2028", 3: "\u2029", 4: " \x85"}
+    suffixes = {1: "\x85", 2: "\u2028", 3: "\u2029", 4: " \x85", 5: " \x0b"}
     import re
 
     ws = r"[ \t\n\x0b\f\r]"
-    n_glue_shapes = 0
+    n_glue_shapes = n_vt_shapes = 0
     for row in docs:
-        t = (row["text"] + suffixes.get(row["doc_id"] % 5, "")).lower()
+        t = (row["text"] + suffixes.get(row["doc_id"] % 6, "")).lower()
         stripped = re.sub(f"^{ws}+|{ws}+{chr(92)}Z", "", t)
         norm = re.sub(f"{ws}+", " ", stripped)
         toks = norm.split(" ") if norm else []
         assert out[row["doc_id"]]["n_tokens"] == len(toks), (row["doc_id"], t)
         # the glue shape: buggy Java-$ stripping would have merged the
         # final two tokens, lowering n_tokens by one
-        if row["doc_id"] % 5 == 4 and len(toks) >= 2:
+        if row["doc_id"] % 6 == 4 and len(toks) >= 2:
             n_glue_shapes += 1
             assert toks[-1] == "\x85"
+        # the VT shape: a trailing ' \x0b' is ALL whitespace under Java \s
+        # and must vanish (an RE2-\s oracle would keep a phantom token)
+        if row["doc_id"] % 6 == 5:
+            n_vt_shapes += 1
+            assert not toks or toks[-1] != "\x0b"
     assert n_glue_shapes > 0  # the corpus actually exercises the edge
+    assert n_vt_shapes > 0

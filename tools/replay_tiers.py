@@ -153,8 +153,8 @@ def _simhash_sql() -> str:
         FROM (
             SELECT doc_id AS id,
                    unnest(list_distinct(string_split_regex(
-                       regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
-                       '\\s+'))) AS t
+                       regexp_replace(lower(text), '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g'),
+                       '[ \\t\\n\\x0b\\f\\r]+'))) AS t
             FROM documents
         )
     ), votes AS (
