@@ -978,7 +978,10 @@ ORACLE["q_udaf_median"] = """
 """
 
 # PII scrub oracle: identical augmentation + the SAME regex constants as the
-# Spark plan (text.PII_PATTERNS is RE2-compatible by construction)
+# Spark plan. Sharing the strings verbatim is only sound because every
+# class in text.PII_PATTERNS means the same set in Java regex and RE2 —
+# \d and the literal classes do; \s does NOT (RE2 excludes \x0b), which is
+# why the URL terminator class is spelled out there (r14).
 _PII_AUG = """
     CASE WHEN doc_id % 5 = 0
          THEN text || ' contact user' || doc_id::VARCHAR

@@ -180,8 +180,12 @@ def langid(col: Column | str) -> Column:
 #: email (URLs may embed '@'); SSN before phone (a phone regex would
 #: half-match an SSN's 3-2-4 groups otherwise). RE2-compatible (no
 #: backreferences/lookbehind) so the DuckDB oracle uses the SAME patterns.
+#: Shared VERBATIM with the DuckDB oracle, so every class must mean the
+#: same set in Java regex and RE2: \d and the literal classes do; \s does
+#: NOT (RE2 \s excludes \x0b vertical tab), so the URL terminator class is
+#: spelled explicitly (Java-\s members).
 PII_PATTERNS: list[tuple[str, str, str]] = [
-    ("url", r"https?://[^\s]+", "<URL>"),
+    ("url", r"https?://[^ \t\n\x0b\f\r]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\d{3}-\d{2}-\d{4}", "<SSN>"),
     ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
