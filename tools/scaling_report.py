@@ -42,6 +42,15 @@ family): 142 queries, ratio p10/median/p90 = 1.12/1.98/5.23; the single
 >10x flag is still q_range_join_nearby_events (43.6x, the documented
 output-bound case above). No new super-linear operator appeared across
 the round's plan changes.
+
+Re-measured (r14, quiet pair: sf0.1 headline 15.47s probe 0.325 /
+dx-sf1.0 headline 68.16s probe 0.345, post when-tree bucket lookup +
+\\z anchors): 143 queries, ratio p10/median/p90 = 1.02/1.92/4.53; the
+single >10x flag is unchanged (q_range_join_nearby_events 44.0x,
+output-bound). Cross-round sf1.0 compare vs r13's 67.94s: median
+per-query ratio 1.01 over 142 common entries, none past the probe
+envelope — the round's plan changes are flat at 10x data. The new
+q_lineterm_tokens scales 0.90s -> 3.60s (4.0x for 10x rows).
 """
 
 from __future__ import annotations
