@@ -1226,6 +1226,41 @@ def q_lineterm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.join(sh, "doc_id").orderBy("doc_id")
 
 
+def q_unicode_case_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Unicode case-mapping contract, driver-hashed (r14 casing audit).
+
+    Spark's ``lower()`` is the JDK's FULL Unicode default casing; DuckDB's
+    is utf8proc's simple mapping. This query appends deterministic
+    Greek/Turkish suffixes per ``doc_id % 4`` exercising every divergence
+    family — interior ΣΣ with a final sigma before a FULL STOP (the dot is
+    case-ignorable, so the sigma is still final), İ's two-char expansion
+    plus an apostrophe-transparent final sigma, and multiple final sigmas
+    with a trailing colon — then emits the token count and the md5 of the
+    normalized (lowered) text. The md5 pins the exact lowered BYTES: a
+    plain-``lower()`` oracle produces σ where the engine writes ς (and
+    ``i`` where the engine writes ``i`` + U+0307) and hash-mismatches.
+    Oracle-side equivalence comes from the ``jlower_sql`` rewrite applied
+    to every oracle at module end (operators/casing.py — engine-verified
+    over an 8k-text adversarial corpus by tools/gen_jlower.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    res = F.pmod(F.col("doc_id"), F.lit(4))
+    suffix = (
+        F.when(res == 1, F.lit(" ΟΔΥΣΣΕΥΣ."))
+        .when(res == 2, F.lit(" İĞİΣ Ω'Σ"))
+        .when(res == 3, F.lit(" ΣΟΦΙΑΣ ΝΙΚΗΣ:"))
+        .otherwise(F.lit(""))
+    )
+    adv = fan_out(
+        docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    )
+    return adv.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        F.md5(text.norm_text("text")).alias("norm_md5"),
+    ).orderBy("doc_id")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing a word 5-gram with a
     held-out "benchmark" slice (doc_id % 10 == 7 stands in for an eval
@@ -1709,6 +1744,29 @@ ORACLE["q_lineterm_tokens"] = f"""
     ORDER BY doc_id
 """
 
+ORACLE["q_unicode_case_tokens"] = """
+    WITH adv AS (
+        SELECT doc_id,
+               text || CASE CAST(doc_id % 4 AS INT)
+                    WHEN 1 THEN ' ΟΔΥΣΣΕΥΣ.'
+                    WHEN 2 THEN ' İĞİΣ Ω''Σ'
+                    WHEN 3 THEN ' ΣΟΦΙΑΣ ΝΙΚΗΣ:'
+                    ELSE '' END AS text
+        FROM documents
+    ), n AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(lower(text),
+                   '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g'),
+                   '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS nrm
+        FROM adv
+    )
+    SELECT doc_id,
+           (CASE WHEN length(nrm) = 0 THEN 0
+                 ELSE len(string_split(nrm, ' ')) END)::BIGINT AS n_tokens,
+           md5(nrm) AS norm_md5
+    FROM n ORDER BY doc_id
+"""
+
 ORACLE["q_decontaminate"] = f"""
     WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
     sh AS (
@@ -1757,6 +1815,7 @@ QUERIES = {
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
     "q_text_analyze": q_text_analyze,
     "q_lineterm_tokens": q_lineterm_tokens,
+    "q_unicode_case_tokens": q_unicode_case_tokens,
     "q_lang_composition": q_lang_composition,
     "q_train_sample": q_train_sample,
     "q_grouped_sample": q_grouped_sample,
@@ -6805,3 +6864,18 @@ QUERIES_LATE["q_source_balance"] = q_source_balance
 QUERIES_LATE["q_mi_feature_label"] = q_mi_feature_label
 QUERIES_LATE["q_survivorship_golden"] = q_survivorship_golden
 QUERIES_LATE["q_power_analysis"] = q_power_analysis
+
+# --- Java-equivalent lowercase in every oracle (r14) ------------------------
+# Spark's lower() (JDK full Unicode casing: final-sigma rule, İ → i + U+0307,
+# newer-Unicode mappings) is the engine truth; DuckDB's lower() is utf8proc's
+# simple mapping and diverges on all three (operators/casing.py). Rewrite
+# every oracle's `lower(text)` — including the ones interpolated via _TOKENS —
+# to the engine-verified equivalent expression, so the oracle contract holds
+# on Greek/Turkish/extended-alphabet text, not only the ASCII-ish corpus.
+from .casing import jlower_sql as _jlower_sql  # noqa: E402
+
+_JLOWER_TEXT = _jlower_sql("text")
+for _k in list(ORACLE):
+    if "lower(text)" in ORACLE[_k]:
+        ORACLE[_k] = ORACLE[_k].replace("lower(text)", _JLOWER_TEXT)
+del _k

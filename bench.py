@@ -222,6 +222,7 @@ ROUND13 = [
 #: Round-14 additions, same basket discipline (total_r14_basket).
 ROUND14 = [
     "q_lineterm_tokens",
+    "q_unicode_case_tokens",
 ]
 
 

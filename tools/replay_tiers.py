@@ -147,13 +147,19 @@ def _simhash_sql() -> str:
         f"SELECT id, sig, {b} AS band, (sig >> {16 * b}) & 65535 AS chunk FROM sigs"
         for b in range(4)
     )
+    from api_log_iceberg_test_spark.operators.casing import jlower_sql
+
+    # Java-equivalent lower (r14): the simhash replay must tokenize the
+    # same bytes the engine hashed — plain DuckDB lower() diverges on
+    # final sigma / İ / newer-Unicode mappings (operators/casing.py)
+    jl = jlower_sql("text")
     return f"""
     WITH per AS (
         SELECT id, spark_xxh64_simhash_u(t) AS h
         FROM (
             SELECT doc_id AS id,
                    unnest(list_distinct(string_split_regex(
-                       regexp_replace(lower(text), '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g'),
+                       regexp_replace({jl}, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g'),
                        '[ \\t\\n\\x0b\\f\\r]+'))) AS t
             FROM documents
         )
