@@ -59,14 +59,29 @@ def jlower_sql(col: str, tables: dict | None = None) -> str:
     this module before the frozen file exists).
     """
     if tables is None:
+        # explicit None check (ADVICE r14): `tables or {...}` would take
+        # the fallback branch on a passed-but-falsy dict too, hitting an
+        # unbound _T; a caller-supplied dict is used as-is and validated
         from . import _casing_tables as _T
-    t = tables or {
-        "TRANSLATE_FROM": _T.TRANSLATE_FROM,
-        "TRANSLATE_TO": _T.TRANSLATE_TO,
-        "CASED_PLUS": _T.CASED_PLUS,
-        "IGN_PLUS": _T.IGN_PLUS,
-        "IGN_MINUS": _T.IGN_MINUS,
-    }
+
+        t = {
+            "TRANSLATE_FROM": _T.TRANSLATE_FROM,
+            "TRANSLATE_TO": _T.TRANSLATE_TO,
+            "CASED_PLUS": _T.CASED_PLUS,
+            "IGN_PLUS": _T.IGN_PLUS,
+            "IGN_MINUS": _T.IGN_MINUS,
+        }
+    else:
+        missing = {
+            "TRANSLATE_FROM",
+            "TRANSLATE_TO",
+            "CASED_PLUS",
+            "IGN_PLUS",
+            "IGN_MINUS",
+        } - tables.keys()
+        if missing:
+            raise ValueError(f"tables missing keys: {sorted(missing)}")
+        t = tables
     cased = r"\p{Ll}\p{Lu}\p{Lt}" + _cls_escape(t["CASED_PLUS"])
     ign = r"\p{Mn}\p{Me}\p{Cf}\p{Lm}\p{Sk}" + _cls_escape(t["IGN_PLUS"])
     pat = f"([{cased}][{ign}]*)Σ([{ign}]*)($|[^{cased}{ign}])"

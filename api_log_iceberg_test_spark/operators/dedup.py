@@ -28,6 +28,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..schema import fan_out
+
+
+def _docs_fanned(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _t) projection widened to cluster parallelism.
+
+    The shingle/tokenize regex passes below are the dominant per-row cost
+    of every dedup tier, and they run in the map stage FEEDING the first
+    exchange — i.e. at the SCAN's parallelism. A narrow input (one file /
+    one row group: the bench fixtures, or one fat unsplittable file at
+    ingest) pins that regex pass to ONE core regardless of cluster size
+    (optimization guide §2: remove the serial stage, not the work).
+    ``fan_out`` round-robins only when the scan is narrower than the
+    cluster, so at 100 TB (thousands of splits) it is a no-op and no extra
+    exchange appears in the plan. Row order past this point changes, which
+    is safe here: every downstream consumer is an aggregate/join on id or
+    a per-row projection (asserted by the oracle hash checks).
+    """
+    return fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    )
+
 # Mersenne prime 2^31-1: modulus for the MinHash universal-hash family.
 # Chosen so a·h+b never exceeds int64 under ANSI arithmetic (a, h < 2^31 ⇒
 # product < 2^62). A 31-bit minhash space adds ~|shingles|/2^31 collision
@@ -94,9 +116,14 @@ def normalize_text(col: Column | str) -> Column:
 
 
 def normalized_dedup(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Dedup on md5 of normalized text — the hash, not the text, shuffles."""
+    """Dedup on md5 of normalized text — the hash, not the text, shuffles.
+
+    The normalize+md5 projection runs after ``fan_out`` so a narrow scan
+    (single file/row group) doesn't serialize it on one core; no-op on
+    wide scans (r15, guide §2)."""
     return (
-        df.withColumn("text_hash", F.md5(normalize_text(key)))
+        fan_out(df)
+        .withColumn("text_hash", F.md5(normalize_text(key)))
         .groupBy("text_hash")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
     )
@@ -199,9 +226,13 @@ def ngram_jaccard_pairs(
     # xxhash64'd arrays: long intersects are far cheaper than string
     # intersects and the value is identical absent a 64-bit collision
     # inside one pair (~1e-13/pair).
-    docs = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    ).repartition(F.col("id"))
+    # r15: the shingle regex runs AFTER fan_out so a narrow scan doesn't
+    # serialize it on one core (see _docs_fanned; no-op on wide scans).
+    docs = (
+        _docs_fanned(df, id_col, text_col)
+        .select("id", word_shingles("_t", n).alias("sh"))
+        .repartition(F.col("id"))
+    )
     keyed = cap_buckets(
         docs.select(
             "id",
@@ -314,9 +345,11 @@ def exhaustive_jaccard_pairs(
         # fails mid-job; threshold <= 0 degenerates the prefix to the
         # whole array (a full O(n^2) cross join). Fail at call time.
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    docs = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    ).repartition(F.col("id"))
+    docs = (
+        _docs_fanned(df, id_col, text_col)  # parallel shingle pass (r15)
+        .select("id", word_shingles("_t", n).alias("sh"))
+        .repartition(F.col("id"))
+    )
     hashed = docs.select(
         "id",
         F.array_sort(
@@ -398,12 +431,67 @@ def exhaustive_jaccard_pairs(
     )
 
 
+def _components_driver(e: DataFrame, id_name: str = "doc_id") -> DataFrame:
+    """Union-find over a COLLECTED edge list: (doc_id, component) with
+    component = min reachable id — bit-identical to the iterative
+    min-label fixpoint, computed in microseconds instead of ~10 Spark
+    jobs.
+
+    Only ever called under an explicit row-count gate (the caller counts
+    the materialized edge checkpoint first), so the collect is bounded by
+    construction — the near-dup PAIR LIST is answer-sized, not
+    corpus-sized, and at bench SFs it is tens of rows. This is the guide
+    §8 discipline ("decide with small rows"): the corpus-scale work
+    (pair generation) stays distributed; the graph contraction on an
+    answer-sized edge list is driver work the same way the repo's sketch
+    blobs and boundary samples are. Integer/string labels only — no fp,
+    so the result cannot drift from the distributed path.
+    """
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    from pyspark.sql import types as T
+
+    node_t = e.schema[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_name, node_t, False),
+            T.StructField("component", node_t, False),
+        ]
+    )
+    data = [(x, comp_min[find(x)]) for x in parent]
+    return e.sparkSession.createDataFrame(data, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
     check_every: int = 2,
+    driver_max_edges: int | None = 500_000,
 ) -> DataFrame:
     """Duplicate clusters from a near-dup pair list: (doc_id, component)
     where component = the smallest doc id reachable through pairs.
@@ -430,6 +518,14 @@ def connected_components(
         .distinct()
         .localCheckpoint()  # reused by every round
     )
+    # r15 small-graph gate: the checkpoint is materialized, so this count
+    # reads cached blocks. Near-dup pair lists are answer-sized; when the
+    # whole edge list fits the bound, a driver union-find replaces ~10
+    # join/agg/checkpoint jobs with one collect (identical labels — see
+    # _components_driver). Pass driver_max_edges=None to force the
+    # distributed loop (tests assert parity between the two paths).
+    if driver_max_edges is not None and e.count() <= driver_max_edges:
+        return _components_driver(e)
     labels = (
         e.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
@@ -582,9 +678,8 @@ def minhash_lsh_pairs(
     # AND sf0.1, and an A/B against a localCheckpoint variant showed no
     # timing difference (tests/test_plans.py::test_minhash_corpus_scanned_once).
     per = (
-        df.select(
-            F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("s")
-        )
+        _docs_fanned(df, id_col, text_col)  # parallel shingle pass (r15)
+        .select("id", F.explode(word_shingles("_t", n)).alias("s"))
         .select("id", F.xxhash64("s").alias("h64"))
         .repartition(F.col("id"))
     )
@@ -699,12 +794,12 @@ def simhash_signatures_df(
     slower on a 54-token-average corpus.
     """
     one = F.lit(1).cast("long")
-    per = df.select(
-        F.col(id_col).alias("id"),
+    per = _docs_fanned(df, id_col, text_col).select(  # parallel tokenize (r15)
+        "id",
         F.explode(
             F.array_distinct(
                 F.split(
-                    F.regexp_replace(F.lower(text_col), r"^\s+|\s+\z", ""), r"\s+"
+                    F.regexp_replace(F.lower("_t"), r"^\s+|\s+\z", ""), r"\s+"
                 )
             )
         ).alias("t"),
@@ -809,12 +904,14 @@ def ngram_contamination(
     shingle (the DuckDB oracle joins on the raw strings — parity at test
     scale doubles as a collision check).
     """
-    sh = word_shingles(text_col, n)
-    corpus_h = corpus.select(F.col(id_col), F.explode(sh).alias("_s")).select(
-        id_col, F.xxhash64("_s").alias("_h")
+    corpus_h = (
+        _docs_fanned(corpus, id_col, text_col)  # parallel shingle pass (r15)
+        .select(F.col("id").alias(id_col), F.explode(word_shingles("_t", n)).alias("_s"))
+        .select(id_col, F.xxhash64("_s").alias("_h"))
     )
     bench_h = (
-        benchmark.select(F.explode(word_shingles(text_col, n)).alias("_s"))
+        _docs_fanned(benchmark, id_col, text_col)
+        .select(F.explode(word_shingles("_t", n)).alias("_s"))
         .select(F.xxhash64("_s").alias("_h"))
         .distinct()
     )
@@ -891,9 +988,11 @@ def shared_span_stats(
     each (doc, shingle) row matches at most one shared row, so there is no
     s² blowup and no skew cap is needed.
     """
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    ).repartition(F.col("id"))
+    base = (
+        _docs_fanned(df, id_col, text_col)  # parallel shingle pass (r15)
+        .select("id", word_shingles("_t", n).alias("sh"))
+        .repartition(F.col("id"))
+    )
     exploded = base.select("id", F.explode("sh").alias("_s")).select(
         "id", F.xxhash64("_s").alias("_h")
     )
@@ -949,7 +1048,8 @@ def containment_pairs(
     intersects xxhash64'd arrays, ids-only through the candidate join.
     """
     docs = (
-        df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+        _docs_fanned(df, id_col, text_col)  # parallel shingle pass (r15)
+        .select("id", word_shingles("_t", n).alias("sh"))
         .select(
             "id",
             F.slice(F.array_sort("sh"), 1, n_blocking).alias("bkeys"),
@@ -1103,7 +1203,13 @@ def span_dup_stats(
     from .chunking import chunk_documents
 
     spans = (
-        chunk_documents(df, max_tokens=span_tokens, text_col=text_col, id_col=id_col)
+        chunk_documents(
+            # parallel normalize+chunk pass on narrow scans (r15)
+            _docs_fanned(df, id_col, text_col).withColumnRenamed("id", id_col),
+            max_tokens=span_tokens,
+            text_col="_t",
+            id_col=id_col,
+        )
         .select(F.col(id_col), F.md5("chunk_text").alias("h"))
         .repartition(F.col("h"))
     )
@@ -1148,8 +1254,12 @@ def incremental_dedup(
     bucketed by digest (``storage.write_bucketed``) the batch side alone
     shuffles. Within-batch dedup reuses the same digest exchange.
     """
-    idx = corpus.select(F.md5(normalize_text(key)).alias("text_hash")).distinct()
-    hashed = batch.withColumn("text_hash", F.md5(normalize_text(key)))
+    idx = (
+        fan_out(corpus.select(F.col(key)))  # parallel normalize+md5 (r15)
+        .select(F.md5(normalize_text(key)).alias("text_hash"))
+        .distinct()
+    )
+    hashed = fan_out(batch).withColumn("text_hash", F.md5(normalize_text(key)))
     fresh = hashed.join(idx, "text_hash", "left_anti").drop("text_hash")
     # within-batch dedup IS normalized_dedup — one canonical implementation
     # of the md5(normalize)/min-id/count convention
@@ -1202,6 +1312,7 @@ def connected_components_star(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
+    driver_max_edges: int | None = 500_000,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star (Kiveris
     et al., "Connected Components in MapReduce and Beyond") — the web-scale
@@ -1237,6 +1348,12 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    # r15 small-graph gate — same contract as connected_components: labels
+    # are identical by construction, the star rounds remain the path taken
+    # the moment the edge list outgrows the bound (and under
+    # driver_max_edges=None, which the parity tests pin).
+    if driver_max_edges is not None and e.count() <= driver_max_edges:
+        return _components_driver(e)
 
     def star(edges: DataFrame, large: bool) -> DataFrame:
         mins = edges.groupBy("u").agg(F.min("v").alias("m"))
@@ -1288,9 +1405,11 @@ def containment_pairs(
     hashed-shingle arrays join back for the exact intersect; emits both
     directions' containment, keeping pairs where either side ≥ threshold.
     """
-    docs = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    ).repartition(F.col("id"))
+    docs = (
+        _docs_fanned(df, id_col, text_col)  # parallel shingle pass (r15)
+        .select("id", word_shingles("_t", n).alias("sh"))
+        .repartition(F.col("id"))
+    )
     keyed = docs.select(
         "id", F.explode(F.slice(F.array_sort("sh"), 1, n_blocking)).alias("bkey")
     )
@@ -1401,9 +1520,13 @@ def lsh_param_sweep(
     # canonically identical plans, so ReuseExchange shares ONE corpus
     # scan + shingle pass + id-shuffle across the signature branch and all
     # of the truth tier's consumers (verified by the scan-count plan test).
-    docs = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    ).repartition(F.col("id"))
+    docs = (
+        _docs_fanned(df, id_col, text_col)  # parallel shingle pass (r15);
+        # construction kept IDENTICAL to exhaustive_jaccard_pairs' so
+        # ReuseExchange still shares the one corpus scan+shingle subtree
+        .select("id", word_shingles("_t", n).alias("sh"))
+        .repartition(F.col("id"))
+    )
     per = docs.select("id", F.explode("sh").alias("s")).select(
         "id", F.xxhash64("s").alias("h64")
     )

@@ -66,11 +66,56 @@ def transition_edges(
     return seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
 
 
+def _pagerank_driver(
+    edges: DataFrame, n: int, k: int, damping: float
+) -> DataFrame:
+    """Power iteration on a COLLECTED edge list — the small-graph fast
+    path of :func:`pagerank`.
+
+    The event-type transition graph is |types|²-bounded at ANY corpus
+    scale (its nodes are schema values, not data rows), yet the
+    distributed loop pays k joins + aggregates + eager checkpoints —
+    ~15 Spark jobs to multiply a ≤256-node matrix ten times. Guide §5:
+    the driver should do no DATA work, but this is METADATA-sized (the
+    gate bounds the collect at driver_max_nodes², 64 KB-class), like the
+    repo's sketch blobs and boundary samples. Identical recurrence, same
+    double arithmetic order per node (contributions accumulate in sorted
+    (src, dst) order; every registered consumer rounds to 6dp, and the
+    differential oracle pins equality at each SF).
+    """
+    from pyspark.sql import types as T
+
+    rows = edges.select("src", "dst", "w").collect()
+    out_total: dict = {}
+    for s, d, w in rows:
+        out_total[s] = out_total.get(s, 0) + w
+    contribs = sorted(
+        (s, d, w / out_total[s]) for s, d, w in rows
+    )
+    node_set = {s for s, _, _ in rows} | {d for _, d, _ in rows}
+    rank = {v: 1.0 / n for v in node_set}
+    base = (1.0 - damping) / n
+    for _ in range(k):
+        in_sum = {v: 0.0 for v in node_set}
+        for s, d, frac in contribs:
+            in_sum[d] += rank[s] * frac
+        rank = {v: base + damping * in_sum[v] for v in node_set}
+    node_t = edges.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_t, False),
+            T.StructField("rank", T.DoubleType(), False),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(list(rank.items()), schema)
+
+
 def pagerank(
     edges: DataFrame,
     k: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 4,
+    driver_max_nodes: int | None = 256,
 ) -> DataFrame:
     """k-iteration power-method PageRank over a weighted edge list.
 
@@ -100,6 +145,14 @@ def pagerank(
         .distinct()
         .cache()
     )
+    n_nodes = nodes.count()  # driver-side scalar: |V| (bounded — node table)
+    # r15 small-graph gate: |V| ≤ driver_max_nodes bounds |E| at |V|² —
+    # metadata-sized. One collect replaces the k-round join/agg/checkpoint
+    # loop (see _pagerank_driver). None forces the distributed loop
+    # (parity pinned in tests).
+    if driver_max_nodes is not None and n_nodes <= driver_max_nodes:
+        nodes.unpersist()
+        return _pagerank_driver(edges, n_nodes, k, damping)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_total"))
     # contribution edge: src -> dst carrying w/out(src); cached + hash-
     # partitioned on src once so every iteration's join reuses the exchange.
@@ -115,7 +168,7 @@ def pagerank(
         .repartition(par, "src")
         .cache()
     )
-    n = nodes.count()  # driver-side scalar: |V| (bounded — node table)
+    n = n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).cache()
     for i in range(k):
         contribs = (
@@ -154,11 +207,27 @@ def cooccurrence_edges(
     items = lineitem.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     )
-    b = items.select("basket", F.col("item").alias("item_b"))
+    # r15 (guide §1.2): pairs come from ONE per-basket set aggregate +
+    # in-row combination expansion instead of a basket self-join — the
+    # join sorted/shuffled both sides and emitted n² rows per basket
+    # before the a<b filter; this shuffles each item once (map-side
+    # partial collect_set), then slices the sorted in-basket array for
+    # the i<j combinations. Same edge set (verified row-for-row at sf0.1:
+    # 1,196,000 edges both ways); measured 2.9 s → 1.7 s interleaved.
+    # Per-basket state is bounded by basket size (≤7 items in the TPC-H
+    # shape), so the collect_set group is O(1) — the same bound that
+    # already capped the join fan-out.
+    sets = items.groupBy("basket").agg(
+        F.sort_array(F.collect_set("item")).alias("arr")
+    )
     return (
-        items.join(b, "basket")
-        .filter(F.col("item") < F.col("item_b"))
-        .select(F.col("item").alias("a"), F.col("item_b").alias("b"))
+        sets.select("arr", F.posexplode("arr").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(
+                F.slice("arr", F.col("i") + F.lit(2), F.size("arr"))
+            ).alias("b"),
+        )
         .distinct()
     )
 
@@ -297,8 +366,6 @@ def label_propagation(
     with ``localCheckpoint`` every ``checkpoint_every`` rounds so the
     plan stays flat in k (same discipline as :func:`pagerank`).
     """
-    from pyspark.sql import Window
-
     edges = edges.select("src", "dst", "w")
     nodes = (
         edges.select(F.explode(F.array("src", "dst")).alias("node"))
@@ -308,7 +375,6 @@ def label_propagation(
     par = edges.sparkSession.sparkContext.defaultParallelism
     ed = edges.repartition(par, "src").cache()
     labels = nodes.select("node", F.col("node").alias("label"))
-    w_arg = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("label"))
     for i in range(k):
         incoming = (
             ed.join(labels, ed.src == labels.node)
@@ -316,11 +382,17 @@ def label_propagation(
             .groupBy("dst", "label")
             .agg(F.sum("w").alias("c"))
         )
-        winner = (
-            incoming.withColumn("rn", F.row_number().over(w_arg))
-            .filter(F.col("rn") == 1)
-            .select(F.col("dst").alias("node"), F.col("label").alias("new_label"))
-        )
+        # r15: per-node argmax as ONE hash aggregate instead of a
+        # row_number window — min(struct(-c, label)) is exactly
+        # (greatest weight, ties to smallest label): minimal -c = maximal
+        # c, then struct comparison falls through to the label. The window
+        # version sorted every (node, incoming-label) row per round; the
+        # aggregate gets map-side partial agg and no sort (guide §2.3
+        # "aggregate before you shuffle"). c = SUM(w) over integer edge
+        # weights — exact, so the argmax is partitioning-independent.
+        winner = incoming.groupBy("dst").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("_m")
+        ).select(F.col("dst").alias("node"), F.col("_m.label").alias("new_label"))
         new_labels = labels.join(winner, "node", "left").select(
             "node", F.coalesce("new_label", "label").alias("label")
         )

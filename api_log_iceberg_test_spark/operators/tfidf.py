@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..schema import fan_out
 from .text import token_count, tokens
 
 
@@ -32,23 +33,37 @@ def tfidf_top_terms(
 
     Output: (doc_id, term, tf, score, rank); deterministic tiebreak on term.
     Pass ``n_docs`` when the corpus size is already known to skip the
-    count job (a full extra scan at 100 TB).
+    count branch (a second, column-pruned scan at 100 TB).
+
+    r15: when ``n_docs`` is not given, N rides the PLAN as a broadcast
+    1-row aggregate instead of a driver-side ``df.count()`` — one Spark
+    job instead of two, no action at construction time, and the count
+    branch overlaps the tokenize branch instead of serializing before it
+    (guide §2.6). The score arithmetic is bit-identical: ``log((N+1)/
+    (df+1)) + 1`` over the same doubles.
     """
-    if n_docs is None:
-        n_docs = df.count()
-    terms = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    # parallel tokenize pass on narrow scans; no-op on wide ones (r15)
+    docs = fan_out(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+    terms = docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # tf already holds one row per distinct (doc, term): document frequency
     # is a plain count over it — the previous countDistinct over a SECOND
     # tokenize/explode of the corpus doubled the dominant scan cost
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+    if n_docs is None:
+        nd = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+        scored = tf.join(F.broadcast(dfreq), "term").join(F.broadcast(nd))
+    else:
+        scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+            "_n_docs", F.lit(float(n_docs))
+        )
+    scored = scored.withColumn(
         "score",
         F.round(
             F.col("tf")
-            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            * (F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
             6,
         ),
     )
@@ -75,8 +90,10 @@ def vocabulary(
     per distinct term per partition, and the result is vocabulary-sized
     (≪ corpus) at any scale. Deterministic tiebreak on the term string.
     """
-    terms = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    terms = fan_out(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(
+        "doc_id", F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
     return (
         terms.groupBy("term")
@@ -121,8 +138,11 @@ def bm25_topk(
     stability.
     """
     qlits = [t for t in query_terms if t]
-    docs = df.select(
-        F.col(id_col).alias("doc_id"),
+    # parallel tokenize pass on narrow scans; no-op on wide ones (r15)
+    docs = fan_out(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(
+        "doc_id",
         F.col(text_col).alias("_text"),
         token_count(text_col).cast("double").alias("dl"),
     )
