@@ -2059,12 +2059,10 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the file-stat tightness a zorder rewrite buys for pruning."""
     from . import layout
 
-    # r15: the Morton interleave + partial agg otherwise run serially on a
-    # narrow scan's one map task (fan_out no-op on wide scans; all
-    # aggregates here are exact ints — partitioning-independent)
-    li = fan_out(
-        load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    ).select(
+    # r15 note: a fan_out here was MEASURED as a regression (0.47→1.29 s
+    # interleaved): the Morton interleave is cheap codegen bit-math, and
+    # round-robining 600k rows costs more than the serial pass saves.
+    li = load_table(spark, sf_dir, "lineitem").select(
         (F.col("l_partkey") % 256).alias("pk"),
         (F.col("l_suppkey") % 256).alias("sk"),
     )
@@ -2739,12 +2737,10 @@ def q_pruning_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     row ordering; one scan per layout, 16-file stats frames."""
     from . import layout
 
-    # r15: the Morton interleave + partial agg otherwise run serially on a
-    # narrow scan's one map task (fan_out no-op on wide scans; all
-    # aggregates here are exact ints — partitioning-independent)
-    li = fan_out(
-        load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    ).select(
+    # r15 note: a fan_out here was MEASURED as a regression (0.47→1.29 s
+    # interleaved): the Morton interleave is cheap codegen bit-math, and
+    # round-robining 600k rows costs more than the serial pass saves.
+    li = load_table(spark, sf_dir, "lineitem").select(
         (F.col("l_partkey") % 256).alias("pk"),
         (F.col("l_suppkey") % 256).alias("sk"),
     )
@@ -3653,7 +3649,9 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast the CDF instead (same output, bounded state) — noted, exact
     window kept here for the oracle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
     from pyspark.sql import Window
 
     scored = docs.select(
@@ -5769,7 +5767,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     mx = docs.agg(F.max("doc_id").alias("mx"))
     sliced = (
-        docs.join(F.broadcast(mx))
+        fan_out(docs.select("doc_id", "text")).join(F.broadcast(mx))
         .select(
             F.expr("(doc_id * 10) div (mx + 1)").alias("slice"),
             F.explode(dedup.word_shingles("text", 3)).alias("tri"),

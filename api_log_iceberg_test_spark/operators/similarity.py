@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..schema import fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential double-precision dot product of two float arrays."""
@@ -74,7 +76,10 @@ def cosine_topk_bruteforce(
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(
+    # r15: the per-pair dot products evaluate map-side; fan_out keeps a
+    # narrow scan from pinning them to one core (no-op on wide scans;
+    # exact expressions — result is partitioning-independent)
+    c = fan_out(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
@@ -164,6 +169,10 @@ def cosine_topk_numpy(
                 }
             )
 
+    # r15 note: a fan_out before this mapInPandas was MEASURED as a
+    # regression on the sibling PQ path (0.99→1.36 s interleaved): 32
+    # tiny Arrow tasks cost more in per-task setup than one serial BLAS
+    # pass over a bench-scale corpus. Left on the scan's partitioning.
     partial = corpus.mapInPandas(
         part_topk, "query_id long, neighbor_id long, cosine double"
     )
@@ -327,7 +336,11 @@ def cosine_topk_ivf(
             .select(*df.columns, F.col("centroid_id").alias(out))
         )
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # r15: fan_out so the per-row centroid scoring runs at cluster
+    # parallelism on narrow scans (exact expressions; no-op on wide scans)
+    c = fan_out(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
 
     c_cells = best_cells(c, "c_vec", "cell", 1)
@@ -539,7 +552,7 @@ def embedding_neardup_pairs(
     p0 = F.coalesce(
         F.try_divide(F.element_at(F.col(vec_col), 1), nv), F.lit(0.0)
     )
-    base = corpus.select(
+    base = fan_out(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         nv.alias("_n"),
@@ -735,6 +748,8 @@ def cosine_topk_pq(
                 }
             )
 
+    # r15 note: a fan_out before this mapInPandas MEASURED 0.99→1.36 s
+    # (regression) — per-task Arrow setup dominates a bench-scale corpus.
     partial = corpus.mapInPandas(
         part_topk, "query_id long, neighbor_id long, score double"
     )

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..schema import fan_out
+
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic. Deliberately small and explicit so the oracle SQL can inline
 #: the identical lists.
@@ -356,6 +358,9 @@ def unigram_lm_scores(
     broadcast, so an open-vocab 100 TB corpus (billions of distinct terms)
     changes nothing structurally.
     """
+    # r15 note: a fan_out before this tokenize was MEASURED as a wash-to-
+    # regression (0.67→0.71 s interleaved) — the plain split is too cheap
+    # to pay a round-robin exchange for at bench scale; left serial.
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
@@ -396,6 +401,8 @@ def bpe_pair_counts(
     tokens. All pair extraction is codegen substring arithmetic — no HOFs,
     no Python.
     """
+    # r15 note: fan_out here measured 0.40→0.53 s (regression) — see
+    # unigram_lm_scores; the split-only pass stays serial on narrow scans.
     tok = df.select(F.explode(tokens(text_col)).alias("word")).filter(
         F.col("word") != ""
     )

@@ -384,9 +384,12 @@ def test_table_profile_no_expand_explosion(spark, sf_dir):
     """countDistinct over 5 columns uses EXPAND (5× row multiplier) — that
     is the expected single-pass plan; what must NOT appear is one scan per
     column (already guarded) or a shuffle per column: at most the expand's
-    single pair of exchanges."""
+    single pair of exchanges plus the r15 fan_out round-robin (which
+    parallelizes the expand+partial-agg map stage on narrow scans; each
+    exchange prints twice in formatted explain — tree + details)."""
     plan = _plan(spark, sf_dir, "q_table_profile")
-    assert plan.count("Exchange") <= 4, plan
+    assert plan.count("Exchange") <= 6, plan
+    assert plan.count("FileScan") <= 1 or plan.count("Scan parquet") <= 1, plan
 
 
 def test_ivm_deltas_broadcast_bases_probe(spark, sf_dir):
@@ -592,6 +595,9 @@ _BNLJ_ALLOWLIST = {
     "q_hybrid_rrf",
     "q_interpolate_gaps",
     "q_lm_quality",
+    # r15: tf-idf attaches its 1-row corpus count N via broadcast crossJoin
+    # (replaced the driver-side df.count() job) — bounded by contract
+    "q_tfidf_top_terms",
     # r06: the sweep report joins its 4 config rows against the 1-row
     # truth-count aggregate (broadcast crossJoin) — bounded by contract
     "q_lsh_param_sweep",

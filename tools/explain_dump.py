@@ -32,7 +32,11 @@ def main() -> None:
     qs = em.queries()
     for name in names:
         df = qs[name](spark, sf_dir)
-        # mirror bench measurement conditions (noop sink over the full frame)
+        # EXECUTE first (noop sink, the bench's action) so AQE's FINAL
+        # plan — with ReusedExchange / AQEShuffleRead / runtime join
+        # rewrites — is what gets recorded, not the pre-execution tree
+        # that still shows duplicated subtrees.
+        df.write.mode("overwrite").format("noop").save()
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
