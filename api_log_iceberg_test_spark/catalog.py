@@ -77,4 +77,6 @@ def describe_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """S8: column inventory of one table (``DESCRIBE``-shaped, stable cols)."""
     df = load_table(spark, sf_dir, table)
     rows = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
-    return spark.createDataFrame(rows, ["col_name", "data_type"])
+    from .schema import local_rows_df
+
+    return local_rows_df(spark, rows, ["col_name", "data_type"])

@@ -356,6 +356,22 @@ def exhaustive_jaccard_pairs(
             F.transform("sh", lambda s: F.xxhash64(s))
         ).alias("hv"),
     )
+    return _exhaustive_pairs_from_hashed(hashed, threshold)
+
+
+def _exhaustive_pairs_from_hashed(hashed: DataFrame, threshold: float) -> DataFrame:
+    """The prefix-filter/PPJoin/PPJoin+ pipeline of
+    :func:`exhaustive_jaccard_pairs`, starting from its ``(id, hv)``
+    frame (hv = ascending-sorted xxhash64 shingle hashes).
+
+    Split out in r15 so :func:`lsh_param_sweep` can feed BOTH its truth
+    tier and its MinHash signature branch from ONE materialized
+    shingle+hash pass: the tiers live in separately compiled plans
+    (localCheckpoint boundaries), where ReuseExchange cannot share the
+    corpus scan, and a stage profile showed the shingle regex pass
+    running 3x per sweep execution. Values are unchanged — this is the
+    same code, same expressions, same join order.
+    """
     m = F.size("hv")
     # ⌈t·m⌉ with a 1e-9 cushion BELOW: if the fp product lands 1 ulp
     # ABOVE an exact integer (e.g. 0.7·10), a raw ceil would overcount
@@ -482,7 +498,12 @@ def _components_driver(e: DataFrame, id_name: str = "doc_id") -> DataFrame:
         ]
     )
     data = [(x, comp_min[find(x)]) for x in parent]
-    return e.sparkSession.createDataFrame(data, schema)
+    # Arrow-batched local relation: the labels are referenced by several
+    # downstream actions per query, and the pickled-list path would fork
+    # defaultParallelism Python workers on every one (r15, guide §4).
+    from ..schema import local_rows_df
+
+    return local_rows_df(e.sparkSession, data, schema)
 
 
 def connected_components(
@@ -1515,21 +1536,29 @@ def lsh_param_sweep(
             )
     p = F.lit(_MERSENNE31)
     ab = minhash_ab(seed, num_perm)
-    # Build the signature input as the SAME (id, sh) repartitioned subtree
-    # ngram_jaccard_pairs constructs internally for the truth tier below —
-    # canonically identical plans, so ReuseExchange shares ONE corpus
-    # scan + shingle pass + id-shuffle across the signature branch and all
-    # of the truth tier's consumers (verified by the scan-count plan test).
-    docs = (
-        _docs_fanned(df, id_col, text_col)  # parallel shingle pass (r15);
-        # construction kept IDENTICAL to exhaustive_jaccard_pairs' so
-        # ReuseExchange still shares the one corpus scan+shingle subtree
-        .select("id", word_shingles("_t", n).alias("sh"))
-        .repartition(F.col("id"))
+    # r15 restructure (guide §1.2/§2.4): ONE materialized shingle+hash
+    # pass feeds every tier. The signature branch and the truth tier live
+    # in separately COMPILED plans (the localCheckpoint boundaries below),
+    # where ReuseExchange cannot share a subtree — a stage profile showed
+    # the corpus shingle regex pass (the sweep's dominant per-row cost)
+    # executing 3x per run. Both tiers consume the identical xxhash64
+    # shingle hashes, so one checkpointed (id, sorted hv) frame serves
+    # the per-permutation MIN aggregates (order-insensitive), the
+    # prefix-filter slices (need the sort), and the verification arrays.
+    # Values are unchanged: same hashes, same MIN results, same truth
+    # pairs (pinned by the oracle at 3 SFs and the exhaustive-tier
+    # bruteforce test).
+    hashed = (
+        _docs_fanned(df, id_col, text_col)  # parallel shingle pass (r15)
+        .select(
+            "id",
+            F.array_sort(
+                F.transform(word_shingles("_t", n), lambda s: F.xxhash64(s))
+            ).alias("hv"),
+        )
+        .localCheckpoint(eager=False)
     )
-    per = docs.select("id", F.explode("sh").alias("s")).select(
-        "id", F.xxhash64("s").alias("h64")
-    )
+    per = hashed.select("id", F.explode("hv").alias("h64"))
     hp = F.pmod(F.col("h64"), p)
     docs_sig = (
         per.groupBy("id")
@@ -1570,20 +1599,24 @@ def lsh_param_sweep(
         .dropDuplicates(["bands", "id_a", "id_b"])
     )
     # sampled mode (the contract default): absolute ground truth from the
-    # exhaustive prefix-filtered tier; full-corpus opt-in keeps the
-    # near-linear blocking heuristic (documented relative recall)
-    truth_fn = (
-        exhaustive_jaccard_pairs if sample_fraction is not None
-        else ngram_jaccard_pairs
-    )
-    truth = (
-        truth_fn(
+    # exhaustive prefix-filtered tier, fed from the SAME checkpointed
+    # hash frame as the signatures (r15 — no second corpus pass);
+    # full-corpus opt-in keeps the near-linear blocking heuristic
+    # (documented relative recall), which needs the string shingles for
+    # its lexicographic blocking keys and so derives its own pass.
+    truth_src = (
+        _exhaustive_pairs_from_hashed(hashed, threshold)
+        if sample_fraction is not None
+        else ngram_jaccard_pairs(
             df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
         )
+    )
+    truth = (
+        truth_src
         .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
         # two consumers (capture join + 1-row count): materialize the
-        # pair-set-sized truth tier once instead of re-running its corpus
-        # scan + blocking join per consumer
+        # pair-set-sized truth tier once instead of re-running its
+        # blocking join per consumer
         .localCheckpoint(eager=False)
     )
     per_cfg = (

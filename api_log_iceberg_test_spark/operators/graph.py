@@ -107,7 +107,12 @@ def _pagerank_driver(
             T.StructField("rank", T.DoubleType(), False),
         ]
     )
-    return edges.sparkSession.createDataFrame(list(rank.items()), schema)
+    # Arrow-batched local relation, not a pickled-row parallelize: the
+    # latter forks defaultParallelism Python workers per downstream
+    # action just to deserialize ≤256 rows (r15, guide §4).
+    from ..schema import local_rows_df
+
+    return local_rows_df(edges.sparkSession, list(rank.items()), schema)
 
 
 def pagerank(

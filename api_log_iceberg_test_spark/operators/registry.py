@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schema import fan_out, load_table
+from ..schema import fan_out, load_table, local_rows_df
 from . import (
     cdc,
     chunking,
@@ -415,7 +415,8 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 1000.0, 2))
         .withColumn("c_mktsegment", F.lit("UPSERTED"))
     )
-    new_rows = spark.createDataFrame(
+    new_rows = local_rows_df(
+        spark,
         [(10_000_001, "Customer#new1", 1.0, "NEW"), (10_000_002, "Customer#new2", 2.0, "NEW")],
         ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
     )
@@ -494,7 +495,8 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "c_mktsegment", F.when(upd, F.lit("MIGRATED")).otherwise(F.col("c_mktsegment"))
     )
-    inserts = spark.createDataFrame(
+    inserts = local_rows_df(
+        spark,
         [(10_000_001, 111.11, "NEW"), (10_000_002, 222.22, "NEW")],
         ["c_custkey", "c_acctbal", "c_mktsegment"],
     )
@@ -1554,7 +1556,12 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = dedup.ngram_contamination(corpus, bench, n=5).select(
         "doc_id", F.lit(True).alias("_cont")
     )
-    base = corpus.select(
+    # r15: the quality/token regex pass otherwise runs on the narrow
+    # scan's ONE task — and twice, because the final orderBy's range
+    # sampling re-executes the un-exchanged pipeline (every join here is
+    # broadcast, so no exchange sits below the sort). fan_out widens the
+    # pass and its shuffle output is reused by the sampling job.
+    base = fan_out(corpus.select("doc_id", "text")).select(
         "doc_id",
         text.token_count("text").cast("long").alias("n_tokens"),
         text.quality_score("text").alias("quality"),
@@ -2627,7 +2634,8 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import skew
 
     ev = load_table(spark, sf_dir, "events")
-    dim = spark.createDataFrame(
+    dim = local_rows_df(
+        spark,
         [("click", 1.0), ("view", 0.5), ("purchase", 5.0),
          ("signup", 3.0), ("error", 0.0)],
         ["event_type", "weight"],
@@ -3006,38 +3014,54 @@ ORACLE["q_benford_audit"] = """
 def table_profile(
     df: DataFrame, cols: list[str], exact: bool = True, rsd: float = 0.02
 ) -> DataFrame:
-    """Single-pass column profiler (the Deequ/Glue-crawler shape): one wide
-    aggregate computes per-column null count, distinct count, and
-    min/max rendered as strings, then unpivots to one row per column —
-    the automated data-profile a catalog attaches to every table. One
-    scan, one 1-row agg, |columns|-row output; no per-column jobs.
+    """Column profiler (the Deequ/Glue-crawler shape): per-column null
+    count, distinct count, and min/max rendered as strings, one row per
+    column — the automated data-profile a catalog attaches to every table.
 
-    ``exact`` gates the distinct strategy (the VERDICT-r04-noted trade,
-    now code rather than comment): exact multi-column countDistinct plans
-    an EXPAND (|columns|× row multiplier before the partial agg) — right
-    at audit scale and pinned by the oracle; ``exact=False`` swaps in
-    HLL++ ``approx_count_distinct`` (±rsd), which drops the expand
-    entirely — the 100 TB default, plan-guarded in tests."""
+    ``exact`` gates the distinct strategy AND the plan shape (the
+    VERDICT-r04-noted trade, now code rather than comment):
+
+    - ``exact=False`` (the 100 TB default): ONE wide single-pass
+      aggregate — HLL++ ``approx_count_distinct`` (±rsd) for every
+      column in one scan, no row multiplication — then a ``stack``
+      unpivot. Plan-guarded in tests (one scan, no Expand).
+    - ``exact=True``: one single-distinct aggregate PER COLUMN, unioned.
+      The multi-column-exact single-pass alternative plans an EXPAND
+      (|columns|+1 row multiplier, every expanded row driving a wide
+      partial-agg hash table): measured 35 s of executor time at sf0.1
+      vs ~3 s for the union of per-column branches (2.6 s → 0.66 s
+      wall, −75%, identical rows — r15, guide §1.2). Each branch scans
+      ONLY its own column (parquet column pruning), so the union reads
+      the same bytes as the one wide scan and each branch's partial
+      aggregate is scan-parallel at any scale.
+    """
+    if exact:
+        parts = []
+        for c in cols:
+            parts.append(
+                df.select(c).agg(
+                    F.lit(c).alias("column_name"),
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                        "null_count"
+                    ),
+                    F.countDistinct(c).alias("n_distinct"),
+                    F.min(F.col(c).cast("string")).alias("min_str"),
+                    F.max(F.col(c).cast("string")).alias("max_str"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("column_name")
     aggs = []
     for c in cols:
-        distinct = (
-            F.countDistinct(c)
-            if exact
-            else F.approx_count_distinct(c, rsd=rsd)
-        )
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            distinct.alias(f"{c}__distinct"),
+            F.approx_count_distinct(c, rsd=rsd).alias(f"{c}__distinct"),
             F.min(F.col(c).cast("string")).alias(f"{c}__min"),
             F.max(F.col(c).cast("string")).alias(f"{c}__max"),
         ]
-    # r15: the EXPAND (|cols|+1 row multiplier) and the partial aggregate
-    # run in the map stage — on a narrow scan (one file/row group) that is
-    # one core doing |cols|+1 × |rows| aggregate updates serially. fan_out
-    # widens it to cluster parallelism; no-op on wide scans. Every
-    # aggregate here is order-insensitive and exact (integer sums, distinct
-    # counts, string min/max), so the result is partitioning-independent.
-    wide = fan_out(df.select(*cols)).agg(*aggs)
+    wide = df.select(*cols).agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
     )
@@ -4063,8 +4087,8 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
     n_docs = docs.count()  # driver-side scalar; one combinable count job
     n_in_pairs = comp.count()
-    singles = spark.createDataFrame(
-        [(1, n_docs - n_in_pairs)], "cluster_size int, n_clusters long"
+    singles = local_rows_df(
+        spark, [(1, n_docs - n_in_pairs)], "cluster_size int, n_clusters long"
     ).select(F.col("cluster_size").cast("long"), F.col("n_clusters"))
     return (
         dist.select(
@@ -6839,7 +6863,8 @@ def q_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             prev_rows = rows_total
-        return spark.createDataFrame(
+        return local_rows_df(
+            spark,
             out,
             "commit_seq long, batches_committed long, files_live long, "
             "rows_total long, rows_added long, is_live boolean",

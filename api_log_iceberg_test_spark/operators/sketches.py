@@ -184,7 +184,9 @@ def cms_estimate_counts(spark, merged, keys: list) -> DataFrame:
     confidence; for heavy hitters over small key domains the estimate is
     exact in practice (collision-free rows)."""
     data = [(k, int(merged.estimateCount(k)) if merged else 0) for k in keys]
-    return spark.createDataFrame(data, "key string, est_cnt long")
+    from ..schema import local_rows_df
+
+    return local_rows_df(spark, data, "key string, est_cnt long")
 
 
 def kll_window_drift(

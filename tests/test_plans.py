@@ -381,15 +381,21 @@ def test_compaction_plan_windows_partition_by_day(spark, sf_dir):
 
 
 def test_table_profile_no_expand_explosion(spark, sf_dir):
-    """countDistinct over 5 columns uses EXPAND (5× row multiplier) — that
-    is the expected single-pass plan; what must NOT appear is one scan per
-    column (already guarded) or a shuffle per column: at most the expand's
-    single pair of exchanges plus the r15 fan_out round-robin (which
-    parallelizes the expand+partial-agg map stage on narrow scans; each
-    exchange prints twice in formatted explain — tree + details)."""
+    """r15 exact shape: one single-distinct aggregate per column, unioned —
+    NO Expand anywhere (the multi-column-exact single-pass plan's
+    |cols|+1 row multiplier measured 35 s of executor time at sf0.1 vs
+    ~3 s for the union), and each branch scans ONLY its own column (one
+    column-pruned scan per column, so the union reads the same bytes as
+    the old single wide scan)."""
     plan = _plan(spark, sf_dir, "q_table_profile")
-    assert plan.count("Exchange") <= 6, plan
-    assert plan.count("FileScan") <= 1 or plan.count("Scan parquet") <= 1, plan
+    assert "Expand" not in plan, plan
+    import re
+
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) <= 5, plan
+    # every scan must be pruned to a single column
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert m.group(1).count(",") == 0, m.group(0)
 
 
 def test_ivm_deltas_broadcast_bases_probe(spark, sf_dir):

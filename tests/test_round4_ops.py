@@ -689,9 +689,11 @@ def test_benford_chi2_flags_uniform_prices(spark, sf_dir):
     assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-4
 
 
-def test_table_profile_single_scan(spark, sf_dir):
-    """The profiler computes all columns in ONE pass: exactly one
-    FileScan in the final plan, and distinct/null counts are exact."""
+def test_table_profile_one_pruned_scan_per_column(spark, sf_dir):
+    """r15 exact shape: one single-distinct branch per column (no Expand —
+    see test_plans.test_table_profile_no_expand_explosion), each branch's
+    scan pruned to exactly its own column, so the union reads the same
+    bytes as the old single wide scan; distinct/null counts are exact."""
     import __spark_entry__ as em
 
     q = em.queries()["q_table_profile"]
@@ -701,8 +703,11 @@ def test_table_profile_single_scan(spark, sf_dir):
     )
     import re
 
-    # one "(n) Scan parquet" detail entry == one scan node in the plan
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    # one "(n) Scan parquet" detail entry per profiled column, each pruned
+    # to a single-column ReadSchema
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 5, plan
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert m.group(1).count(",") == 0, m.group(0)
     prof = {r["column_name"]: r for r in df.collect()}
     assert prof["o_orderkey"]["null_count"] == 0
     assert prof["o_orderstatus"]["n_distinct"] == 3
@@ -728,7 +733,9 @@ def test_table_profile_approx_variant_drops_expand(spark, sf_dir):
 
     exact_df = table_profile(o, cols, exact=True)
     approx_df = table_profile(o, cols, exact=False, rsd=0.02)
-    assert "Expand" in plan_of(exact_df)
+    # r15: the exact path is now the per-column union — NO Expand there
+    # either; what distinguishes approx is the single wide scan.
+    assert "Expand" not in plan_of(exact_df)
     p_approx = plan_of(approx_df)
     assert "Expand" not in p_approx, p_approx
     import re
