@@ -207,37 +207,39 @@ def ngram_jaccard_pairs(
     degrades gracefully. ``None`` (default) disables, keeping the operator
     byte-exact with its SQL oracle.
     """
-    # One pass computes the shingle arrays, then a repartition on id
-    # materializes them into a single exchange that EVERY consumer (blocking
-    # explode ×2 via the self-join, verification joins ×2) reuses — without
-    # it each branch re-runs the tokenize/shingle subtree from the scan.
-    # Both derived columns (blocking keys, hashed shingles) are computed
-    # DOWNSTREAM of the exchange: deriving them upstream makes the blocking
-    # branch prune the shared subtree to (id, bkeys) and the verification
-    # branch to (id, hv) — canonically different subtrees, so exchange reuse
-    # silently misses and the corpus is scanned and shingled twice (the
-    # round-4 MinHash audit found the identical pattern there). With every
-    # consumer pruning to exactly (id, sh), the final adaptive plan shows
-    # one FileScan + three ReusedExchange; the shuffle carries the string
-    # shingle arrays (compresses well, and one shuffle pass costs less than
-    # a second scan+regex pass over the corpus).
-    # Candidates carry only ids through the join + distinct; the (large)
-    # hash arrays join back afterwards. Jaccard verification runs on
+    # ONE pass computes everything any consumer needs — the n_blocking
+    # smallest shingles (lexicographic STRINGS, the oracle-replayable
+    # blocking keys) and the xxhash64'd shingle array for verification —
+    # and a lazy localCheckpoint materializes that NARROW frame once for
+    # all four consumers (blocking explode ×2 via the self-join,
+    # verification joins ×2). Until r15 the sharing point was a
+    # repartition(id) exchange carrying the full STRING shingle arrays
+    # (deriving the columns upstream of an exchange makes each consumer
+    # prune a canonically different subtree, so ReuseExchange misses —
+    # the checkpoint has no such trap, so derivation can move BELOW it
+    # and the fat strings never ship): ~1.5 KB/doc shuffled vs ~450 B/doc
+    # checkpointed (3 short strings + ~50 longs) — guide §2.3 "shuffle
+    # keys and metadata instead of payloads". Measured 1.26 → 1.14 s
+    # interleaved at sf0.1 with bit-identical pairs.
+    # Candidates carry only ids through the join + distinct; the hash
+    # arrays join back afterwards. Jaccard verification runs on
     # xxhash64'd arrays: long intersects are far cheaper than string
     # intersects and the value is identical absent a 64-bit collision
     # inside one pair (~1e-13/pair).
     # r15: the shingle regex runs AFTER fan_out so a narrow scan doesn't
     # serialize it on one core (see _docs_fanned; no-op on wide scans).
-    docs = (
+    sh = word_shingles("_t", n)
+    frame = (
         _docs_fanned(df, id_col, text_col)
-        .select("id", word_shingles("_t", n).alias("sh"))
-        .repartition(F.col("id"))
+        .select(
+            "id",
+            F.slice(F.array_sort(sh), 1, n_blocking).alias("bkeys"),
+            F.transform(sh, lambda s: F.xxhash64(s)).alias("hv"),
+        )
+        .localCheckpoint(eager=False)
     )
     keyed = cap_buckets(
-        docs.select(
-            "id",
-            F.explode(F.slice(F.array_sort("sh"), 1, n_blocking)).alias("bkey"),
-        ),
+        frame.select("id", F.explode("bkeys").alias("bkey")),
         ["bkey"],
         max_bucket_size,
     )
@@ -248,7 +250,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    hashed = docs.select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hv"))
+    hashed = frame.select("id", "hv")
     pairs = (
         cands.join(hashed.select(F.col("id").alias("id_a"), F.col("hv").alias("sh_a")), "id_a")
         .join(hashed.select(F.col("id").alias("id_b"), F.col("hv").alias("sh_b")), "id_b")
