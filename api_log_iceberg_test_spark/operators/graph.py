@@ -327,9 +327,18 @@ def triangle_counts(
     # well past bench scale, but NOT unconditionally: gated above.
     au = hint(adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u")))
     av = hint(adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v")))
+    # r15 (guide §2): the per-edge neighbor-array intersection is this
+    # operator's heaviest compute and — both closure joins being
+    # broadcasts — runs at the checkpointed edge list's (coalesced-small)
+    # partitioning. fan_out widens it to cluster parallelism when
+    # narrower (no-op on wide inputs; measured 2.56 → 2.11 s at sf0.1,
+    # identical counts — intersection sets don't depend on row layout).
+    from ..schema import fan_out
+
+    probe = fan_out(oriented)
     closed = (
-        oriented.join(au, oriented.src == F.col("u"))
-        .join(av, oriented.dst == F.col("v"))
+        probe.join(au, probe.src == F.col("u"))
+        .join(av, probe.dst == F.col("v"))
         .select(
             "src",
             "dst",
