@@ -188,6 +188,15 @@ def range_boundaries(
                 k = int(sess.sparkContext.defaultParallelism)
             except Exception:  # pragma: no cover — no usable context
                 k = 200
+            # the substitution changes bucket counts — make it visible
+            # instead of silently degrading balance (ADVICE r14)
+            import warnings
+
+            warnings.warn(
+                "range_boundaries: spark.sql.shuffle.partitions="
+                f"{raw!r} is not an integer; using {k} buckets instead",
+                stacklevel=2,
+            )
     if k < 1:
         raise ValueError(f"num_buckets must be >= 1, got {k}")
     try:

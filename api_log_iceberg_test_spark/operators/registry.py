@@ -1194,8 +1194,9 @@ def q_lineterm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     text ending ``'… bar \x85'`` deleted the INTERIOR space and glued
     ``bar\x85`` into one token, silently diverging from the DuckDB oracle
     (RE2 ``$`` = absolute end). This query appends a deterministic
-    terminator suffix per doc (``doc_id % 5``: none / NEL / U+2028 /
-    U+2029 / space-then-NEL — the last is the exact glue shape) and runs
+    terminator suffix per doc (``doc_id % 6``: none / NEL / U+2028 /
+    U+2029 / space-then-NEL (the exact glue shape) / space-then-VT,
+    the whitespace-class residue) and runs
     both tokenizer families over it: repetition signals (text.py
     ``norm_text`` path) and word-shingle counts (dedup.py shingling path).
     Hash-green requires absolute-end semantics in every anchor.

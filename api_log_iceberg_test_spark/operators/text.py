@@ -5,6 +5,13 @@ All pure Column expressions (regexp + higher-order functions) so they run
 inside whole-stage codegen at 100 TB — a corpus-wide quality pass is one
 narrow projection over the scan, no shuffle at all. Each has an exact DuckDB
 oracle because the same algorithm is expressible in both SQL dialects.
+
+NOTE on casing: ENGINE-side code uses plain ``F.lower()`` everywhere. The
+Java-equivalent ``jlower`` machinery in :mod:`.casing` is an ORACLE-side
+equivalence shim only — it rewrites the DuckDB SQL's ``lower()`` (utf8proc
+SIMPLE case mapping) to reproduce the JVM's FULL Unicode mapping that
+``F.lower()`` already applies. Spark code never needs it; the asymmetry is
+deliberate (the engine defines the semantics, the oracle imitates them).
 """
 
 from __future__ import annotations

@@ -192,7 +192,7 @@ def test_bpe_pair_counts_single_char_words(spark):
 def test_lineterm_tokens_query_pins_absolute_end_anchors(spark):
     """q_lineterm_tokens must tokenize terminator-final text with
     absolute-end (\\z / RE2 $) semantics: the ' \\x85' suffix branch
-    (doc_id % 5 == 4) keeps the terminator as its OWN token; Java `$`
+    (doc_id % 6 == 4) keeps the terminator as its OWN token; Java `$`
     semantics would strip the interior space and glue it onto the last
     word (VERDICT r13 #1)."""
     from pyspark.sql import functions as F
