@@ -50,6 +50,50 @@ def _docs_fanned(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
     )
 
+def _pairs_from_buckets(
+    keyed: DataFrame,
+    key_cols: list[str],
+    id_col: str = "id",
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Distinct candidate id pairs (id_a < id_b) sharing a blocking key —
+    via ONE per-key set aggregate + in-row i<j combinations instead of the
+    bucket SELF-JOIN (r16, guide §2.3 "aggregate before you shuffle"; the
+    same rewrite that took graph.cooccurrence_edges from 2.9 s to 1.7 s in
+    r15).
+
+    The self-join shape shuffled the keyed explode, sorted/probed it
+    against itself, emitted s² rows per bucket BEFORE the id_a < id_b
+    filter, then paid a dedup shuffle. Here each bucket shuffles once into
+    a map-side-combinable ``collect_set``, and the sorted in-bucket id
+    array expands to exactly the i < j combinations in-row. Output set is
+    identical: the self-join's (a.id < b.id over the bucket cross product,
+    deduped) is precisely all unordered id pairs within a bucket, deduped
+    across buckets — what the combination expansion emits. Per-bucket
+    state is s ids (the same s the join held in one partition to build its
+    s² output), so the skew bound is unchanged; pathological buckets are
+    dropped upstream by :func:`cap_buckets` exactly as before.
+
+    ``carry`` lists key columns to keep on the output pairs (e.g. the
+    sweep's ``bands`` config id); pair dedup then runs per carry-group.
+    """
+    carry = carry or []
+    sets = keyed.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_set(id_col)).alias("_ids")
+    )
+    return (
+        sets.select(*carry, "_ids", F.posexplode("_ids").alias("_i", "id_a"))
+        .select(
+            *carry,
+            "id_a",
+            F.explode(
+                F.slice("_ids", F.col("_i") + F.lit(2), F.size("_ids"))
+            ).alias("id_b"),
+        )
+        .dropDuplicates([*carry, "id_a", "id_b"])
+    )
+
+
 # Mersenne prime 2^31-1: modulus for the MinHash universal-hash family.
 # Chosen so a·h+b never exceeds int64 under ANSI arithmetic (a, h < 2^31 ⇒
 # product < 2^62). A 31-bit minhash space adds ~|shingles|/2^31 collision
@@ -243,13 +287,9 @@ def ngram_jaccard_pairs(
         ["bkey"],
         max_bucket_size,
     )
-    cands = (
-        keyed.alias("a")
-        .join(keyed.alias("b"), "bkey")
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # r16: per-bucket set aggregate + in-row combinations replaces the
+    # bucket self-join (see _pairs_from_buckets — identical pair set).
+    cands = _pairs_from_buckets(keyed, ["bkey"])
     hashed = frame.select("id", "hv")
     pairs = (
         cands.join(hashed.select(F.col("id").alias("id_a"), F.col("hv").alias("sh_a")), "id_a")
@@ -700,8 +740,15 @@ def minhash_lsh_pairs(
     # scans / 0 reuse. Verified: 1 FileScan + 3 ReusedExchange at sf0.001
     # AND sf0.1, and an A/B against a localCheckpoint variant showed no
     # timing difference (tests/test_plans.py::test_minhash_corpus_scanned_once).
+    # The explicit isnotnull(id) keeps every consumer's canonical subtree
+    # IDENTICAL (r16): the verification joins push IsNotNull(id) below the
+    # exchange, while the candidate branch's groupBy pushes nothing — two
+    # canonically different subtrees would each scan the corpus. A NULL id
+    # can never reach the output on any path (collect_set skips nulls; the
+    # join keys rejected them before), so the filter is a no-op on results.
     per = (
         _docs_fanned(df, id_col, text_col)  # parallel shingle pass (r15)
+        .filter(F.col("id").isNotNull())
         .select("id", F.explode(word_shingles("_t", n)).alias("s"))
         .select("id", F.xxhash64("s").alias("h64"))
         .repartition(F.col("id"))
@@ -730,14 +777,11 @@ def minhash_lsh_pairs(
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
     banded = cap_buckets(banded, ["band", "bhash"], max_bucket_size)
 
-    # ids-only through the bucket join + distinct; arrays join back after
-    cands = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bhash"])
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # ids-only candidates; r16: per-bucket set aggregate + in-row
+    # combinations replaces the bucket self-join (see _pairs_from_buckets
+    # — identical pair set, one shuffle of the band keys instead of two
+    # join-side exchanges + the s²-row pre-filter blow-up).
+    cands = _pairs_from_buckets(banded, ["band", "bhash"])
     # hashed-shingle verification (see ngram_jaccard_pairs)
     shs = hv_docs.select("id", F.col("hv64").alias("hv"))
     pairs = (
@@ -1436,6 +1480,12 @@ def containment_pairs(
     keyed = docs.select(
         "id", F.explode(F.slice(F.array_sort("sh"), 1, n_blocking)).alias("bkey")
     )
+    # r16 note: the _pairs_from_buckets set-aggregate rewrite was measured
+    # HERE and reverted — interleaved A/B at sf0.1 under the widened AQE
+    # coalescing read 0.703 → 0.831 s (+18%): this operator's keyed
+    # explode is the n_blocking-smallest keys only (no inverted index), so
+    # the self-join is small and its two SMJ sides parallelize better than
+    # the non-codegen ObjectHashAggregate the rewrite trades them for.
     cands = (
         keyed.alias("a")
         .join(keyed.alias("b"), "bkey")
@@ -1550,6 +1600,10 @@ def lsh_param_sweep(
     # Values are unchanged: same hashes, same MIN results, same truth
     # pairs (pinned by the oracle at 3 SFs and the exhaustive-tier
     # bruteforce test).
+    # eager=True (r16): both tier threads below read this frame — the lazy
+    # variant would let two concurrent first-actions race to compute the
+    # same partitions (duplicate shingle work); materializing once up
+    # front costs the same job the first consumer paid anyway.
     hashed = (
         _docs_fanned(df, id_col, text_col)  # parallel shingle pass (r15)
         .select(
@@ -1558,28 +1612,87 @@ def lsh_param_sweep(
                 F.transform(word_shingles("_t", n), lambda s: F.xxhash64(s))
             ).alias("hv"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    per = hashed.select("id", F.explode("hv").alias("h64"))
-    hp = F.pmod(F.col("h64"), p)
-    docs_sig = (
-        per.groupBy("id")
-        .agg(
-            *[
-                F.min(F.pmod(F.lit(a) * hp + F.lit(b), p)).alias(f"_m{i}")
-                for i, (a, b) in enumerate(ab)
-            ]
+
+    def build_sig() -> DataFrame:
+        per = hashed.select("id", F.explode("hv").alias("h64"))
+        hp = F.pmod(F.col("h64"), p)
+        return (
+            per.groupBy("id")
+            .agg(
+                *[
+                    F.min(F.pmod(F.lit(a) * hp + F.lit(b), p)).alias(f"_m{i}")
+                    for i, (a, b) in enumerate(ab)
+                ]
+            )
+            .select(
+                "id",
+                F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig"),
+            )
+            # every config's band explode re-slices this one frame — the
+            # lazy checkpoint materializes the signature pass ONCE (|docs|
+            # rows of 32 longs, far smaller than the shingled corpus)
+            # instead of letting the consumer subtrees re-scan the corpus
+            .localCheckpoint(eager=False)
         )
-        .select(
-            "id",
-            F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig"),
+
+    def build_truth() -> DataFrame:
+        # sampled mode (the contract default): absolute ground truth from
+        # the exhaustive prefix-filtered tier, fed from the SAME
+        # checkpointed hash frame as the signatures (r15 — no second
+        # corpus pass); full-corpus opt-in keeps the near-linear blocking
+        # heuristic (documented relative recall), which needs the string
+        # shingles for its lexicographic blocking keys and so derives its
+        # own pass.
+        truth_src = (
+            _exhaustive_pairs_from_hashed(hashed, threshold)
+            if sample_fraction is not None
+            else ngram_jaccard_pairs(
+                df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+            )
         )
-        # every config's two self-join sides re-slice this one frame — the
-        # lazy checkpoint materializes the signature pass ONCE (|docs| rows
-        # of 32 longs, far smaller than the shingled corpus) instead of
-        # letting 8 consumer subtrees re-scan and re-shingle the corpus
-        .localCheckpoint(eager=False)
-    )
+        return (
+            truth_src.select(
+                F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+            )
+            # two consumers (capture join + 1-row count): materialize the
+            # pair-set-sized truth tier once instead of re-running its
+            # blocking join per consumer
+            .localCheckpoint(eager=False)
+        )
+
+    # r16 (guide §2.6 overlap independent jobs): each tier's checkpoint
+    # construction eagerly runs its AQE shuffle-stage jobs, and the two
+    # tiers are independent once `hashed` is materialized — built
+    # sequentially they serialize ~all of the sweep's heavy jobs, so the
+    # signature aggregate's stage tails left the cluster idle while the
+    # truth tier waited. Two driver threads submit them concurrently
+    # (InheritableThread so JVM thread-local job properties inherit); the
+    # DataFrames they return are composed into one final plan exactly as
+    # before, so the result is unchanged.
+    from pyspark import InheritableThread
+
+    tier_out: dict = {}
+    tier_err: dict = {}
+
+    def _run_tier(key: str, fn) -> None:
+        try:
+            tier_out[key] = fn()
+        except BaseException as e:  # re-raised on the caller thread below
+            tier_err[key] = e
+
+    threads = [
+        InheritableThread(target=_run_tier, args=("sig", build_sig)),
+        InheritableThread(target=_run_tier, args=("truth", build_truth)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for e in tier_err.values():
+        raise e
+    docs_sig, truth = tier_out["sig"], tier_out["truth"]
 
     def banded_for(bands: int) -> DataFrame:
         return docs_sig.select(
@@ -1593,33 +1706,11 @@ def lsh_param_sweep(
     banded = banded_for(band_grid[0])
     for b in band_grid[1:]:
         banded = banded.unionByName(banded_for(b))
-    cands = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["bands", "band", "bhash"])
-        .select("bands", F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["bands", "id_a", "id_b"])
-    )
-    # sampled mode (the contract default): absolute ground truth from the
-    # exhaustive prefix-filtered tier, fed from the SAME checkpointed
-    # hash frame as the signatures (r15 — no second corpus pass);
-    # full-corpus opt-in keeps the near-linear blocking heuristic
-    # (documented relative recall), which needs the string shingles for
-    # its lexicographic blocking keys and so derives its own pass.
-    truth_src = (
-        _exhaustive_pairs_from_hashed(hashed, threshold)
-        if sample_fraction is not None
-        else ngram_jaccard_pairs(
-            df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
-        )
-    )
-    truth = (
-        truth_src
-        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
-        # two consumers (capture join + 1-row count): materialize the
-        # pair-set-sized truth tier once instead of re-running its
-        # blocking join per consumer
-        .localCheckpoint(eager=False)
+    # r16: per-bucket set aggregate + in-row combinations replaces the
+    # bucket self-join (see _pairs_from_buckets — identical pair set per
+    # config; "bands" rides along as the carry/group column).
+    cands = _pairs_from_buckets(
+        banded, ["bands", "band", "bhash"], carry=["bands"]
     )
     per_cfg = (
         cands.join(truth.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left")

@@ -738,35 +738,37 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
-    l1 = (
+    late = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
         .select("l_orderkey", "l_suppkey", "o_orderdate")
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    # r16 (guide §2.3 aggregate-before-shuffle, §2.4 one partitioning
+    # reused): the EXISTS/NOT-EXISTS pair is evaluated as two per-order
+    # distinct-supplier counts instead of a semi + anti join that
+    # re-shuffled lineitem three times (l1, the full-fact l2 probe, and
+    # l3 ≡ l1 recomputed). For a late line of supplier s in order o:
+    #   EXISTS line with suppkey ≠ s         ⇔ |distinct suppkeys of o| ≥ 2
+    #     (s itself is in o's supplier set, so any second member differs);
+    #   NOT EXISTS late line with suppkey ≠ s ⇔ |distinct LATE suppkeys| = 1
+    #     (s is late, so the late-supplier set is exactly {s}).
+    # Row-for-row identical to the join form (verified vs the r15 plan at
+    # sf0.01/sf0.1 and by the unchanged oracle): the semi/anti joins never
+    # duplicated l1 rows, and the counts are per-order constants. Every
+    # aggregate and join here keys on l_orderkey, so the plan establishes
+    # that partitioning once; suppkeys are non-null by schema, so
+    # count_distinct sees every line the != predicates saw.
+    n_supp = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count_distinct("l_suppkey").alias("_ns")
     )
-    l3 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
-        .select(
-            F.col("l_orderkey").alias("o3_orderkey"),
-            F.col("l_suppkey").alias("o3_suppkey"),
-        )
+    n_late = late.groupBy(F.col("l_orderkey").alias("_lk")).agg(
+        F.count_distinct("l_suppkey").alias("_nls")
     )
     waiting = (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l_suppkey") != F.col("o2_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("o3_orderkey"))
-            & (F.col("l_suppkey") != F.col("o3_suppkey")),
-            "left_anti",
-        )
+        late.join(n_supp, late.l_orderkey == F.col("_ok"))
+        .join(n_late, late.l_orderkey == F.col("_lk"))
+        .filter((F.col("_ns") >= 2) & (F.col("_nls") == 1))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
     )
     return (
         waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)

@@ -206,10 +206,13 @@ def local_rows_df(spark, rows, schema):
     faithfully: an empty list, or a None anywhere (pandas would coerce a
     numeric column with None to float64/NaN — a silent type change).
     """
+    # ADVICE r15: normalize up front — the any() None-scan below would
+    # partially consume a generator input, silently truncating the frame.
+    rows = list(rows)
     if rows and not any(v is None for r in rows for v in r):
         import pandas as pd
 
-        return spark.createDataFrame(pd.DataFrame(list(rows)), schema=schema)
+        return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
     return spark.createDataFrame(rows, schema)
 
 

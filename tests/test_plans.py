@@ -393,9 +393,13 @@ def test_table_profile_no_expand_explosion(spark, sf_dir):
 
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) <= 5, plan
-    # every scan must be pruned to a single column
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        assert m.group(1).count(",") == 0, m.group(0)
+    # every scan must be pruned to a single column. ADVICE r15: assert the
+    # regex actually matched — a format drift that matches nothing would
+    # otherwise pass vacuously.
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) >= 5, plan
+    for s in schemas:
+        assert s.count(",") == 0, s
 
 
 def test_ivm_deltas_broadcast_bases_probe(spark, sf_dir):
