@@ -311,6 +311,12 @@ def triangle_counts(
             .alias("e")
         )
         .select("e.src", "e.dst")
+        # r16: two consumers (adjacency aggregate + closure probe) would
+        # each re-read the edge checkpoint and re-run both orientation
+        # joins; one lazy checkpoint computes the oriented list once
+        # (measured 1.94 → 1.81 s on the co-occurrence graph at sf0.1,
+        # identical counts).
+        .localCheckpoint(eager=False)
     )
     # Node-iterator closure via adjacency-list intersection, NOT an
     # exploded wedge join: materializing Σ outdeg² wedge rows and joining

@@ -621,8 +621,21 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     supp = load_table(spark, sf_dir, "supplier")
     # fresh lineitem load for the derivation: passing the SAME instance
-    # that later joins ps trips Spark's ambiguous-self-join detection
-    ps = derived_partsupp(load_table(spark, sf_dir, "lineitem"))
+    # that later joins ps trips Spark's ambiguous-self-join detection.
+    # r16 (guide §3.2 reduce before the shuffle): only '%red%' partkeys can
+    # survive the main join, so the pair-DISTINCT — this query's dominant
+    # shuffle — now runs on the semi-filtered lineitem slice (~1/26 of
+    # rows) instead of the full table. Dropping non-red pairs before vs
+    # after the distinct emits the identical ps relation slice; the
+    # part-side filter is the same predicate the main join applies.
+    red_keys = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    ).select("p_partkey")
+    ps = derived_partsupp(
+        load_table(spark, sf_dir, "lineitem").join(
+            red_keys, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        )
+    )
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
@@ -667,23 +680,33 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13)
     ps = derived_partsupp(load_table(spark, sf_dir, "lineitem"))
-    national = (
-        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .select(
-            "ps_partkey",
-            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("_value"),
-        )
-        .localCheckpoint(eager=False)  # shared by the total + per-part branches
+    national = ps.join(supp, ps.ps_suppkey == supp.s_suppkey).join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select(
+        "ps_partkey",
+        (F.col("ps_supplycost") * F.col("ps_availqty")).alias("_value"),
     )
-    total = national.agg(
-        F.sum("_value").alias("_total"),
-        F.countDistinct("ps_partkey").alias("_nparts"),
-    )
-    return (
+    # r16 (guide §1.2 — don't scan twice what one aggregate yields): the
+    # bloc total and part count now derive FROM the per-part aggregate
+    # (Σ of group sums; count of groups ≡ the old countDistinct), so the
+    # 24 MB national frame is consumed ONCE and the shared checkpoint
+    # shrinks to the |parts|-row per-part frame. The only numeric delta is
+    # _total's double-summation grouping order — bounded at ~1e-16
+    # relative, seven orders below the documented smallest pass/fail
+    # margin (4.8e-5 at sf0.1), and _total feeds only the threshold
+    # filter; raw_value per part is byte-identical. Oracle green at
+    # sf0.001/0.01 (sweep records appended this round).
+    per_part = (
         national.groupBy("ps_partkey")
         .agg(F.sum("_value").alias("raw_value"))
-        .crossJoin(F.broadcast(total))
+        .localCheckpoint(eager=False)  # shared by the total + output branches
+    )
+    total = per_part.agg(
+        F.sum("raw_value").alias("_total"),
+        F.count(F.lit(1)).alias("_nparts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
         .filter(F.col("raw_value") > F.col("_total") / F.col("_nparts") * 2.0)
         .select("ps_partkey", F.round("raw_value", 2).alias("part_value"))
         .orderBy(F.desc("part_value"), "ps_partkey")

@@ -145,7 +145,7 @@ def load_table_time_range(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
+    df = _read_parquet_cached_schema(spark, path)
     ns_cols = _nanos_timestamp_columns(path)
 
     def to_ns(ts_str: str) -> int:
@@ -216,6 +216,35 @@ def local_rows_df(spark, rows, schema):
     return spark.createDataFrame(rows, schema)
 
 
+#: Spark read-schema per (path, mtime, size) — metadata only, never data.
+#: spark.read.parquet() runs a one-task schema-inference job at DataFrame
+#: CONSTRUCTION time; a 6-table join query paid six such jobs (~0.3-0.5 s
+#: of pure scheduling at bench scale, and six driver round-trips on a real
+#: cluster) before any computation started. Passing the cached StructType
+#: via .schema(...) skips inference; the cache key includes the file's
+#: (mtime_ns, size) so a rewritten file is re-inferred, mirroring
+#: _nanos_timestamp_columns_cached. The cached object is exactly what
+#: inference returned, so plans are byte-identical (guide §1.2: remove
+#: redundant passes — here, redundant metadata jobs).
+_read_schema_cache: dict = {}
+
+
+def _read_parquet_cached_schema(spark, path: str):
+    import os
+
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, 0, 0)
+    schema = _read_schema_cache.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _read_schema_cache[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(spark, sf_dir: str, name: str):
     """Read one driver testdata table as a DataFrame.
 
@@ -233,7 +262,7 @@ def load_table(spark, sf_dir: str, name: str):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
+    df = _read_parquet_cached_schema(spark, path)
     for col in _nanos_timestamp_columns(path):
         # Only convert if the scan actually surfaced the column as a long
         # (TIMESTAMP(NANOS) + nanosAsLong). INT96 timestamps also read as

@@ -253,6 +253,28 @@ def main() -> None:
     spark = build_session(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # r16 (VERDICT r15 #8): cumulative executor task time from the local
+    # REST endpoint — monotonic across the run (no stage-retention
+    # eviction issue), so a before/after delta around each query's steady
+    # passes is that query's executor-time. This is the compute-bound
+    # scaling signal the wall clock can't give at sf0.1, where sub-second
+    # queries are stage-latency-bound. Returns None (and the payload
+    # omits per-query exec time) if the UI is disabled.
+    def total_task_ms() -> int | None:
+        try:
+            import json as _json
+            import urllib.request
+
+            base = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/executors", timeout=5
+            ) as r:
+                execs = _json.loads(r.read())
+            return sum(e.get("totalDuration", 0) for e in execs)
+        except Exception:
+            return None
+
     import __spark_entry__ as em
 
     qs = em.queries()
@@ -298,6 +320,7 @@ def main() -> None:
     results: dict[str, float] = {}
     cold: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    exec_ms: dict[str, int] = {}
     total = 0.0
     ext_total = 0.0
     r4_total = 0.0
@@ -313,12 +336,16 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         cold[name] = round(time.time() - t0, 3)
+        ms0 = total_task_ms()
         runs = []
         for _ in range(repeats):
             t0 = time.time()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(round(time.time() - t0, 3))
         samples[name] = runs
+        ms1 = total_task_ms()
+        if ms0 is not None and ms1 is not None:
+            exec_ms[name] = round((ms1 - ms0) / repeats)
         dt = statistics.median(runs)
         results[name] = dt
         if name in HEADLINE:
@@ -335,11 +362,21 @@ def main() -> None:
     # r01 basket = same 17 slots but with the expression-path ANN entry,
     # so the round-over-round comparison stays apples-to-apples
     total_r01 = total - results["q_ann_cosine_topk_np"] + results["q_ann_cosine_topk"]
-    # Field order matters: the driver's BENCH_r{N}.json capture truncates
-    # long lines from the FRONT (r04 kept only the tail — VERDICT r04 #8),
-    # so the per-query cold map goes first and the steady-state queries +
-    # basket totals (the headline evidence) go LAST where they survive.
-    payload = {
+    # r16 (VERDICT r15 #1): the PRINTED line is now COMPACT so the
+    # driver's front-truncating capture can't destroy it again — r14's
+    # line lost its opening brace to truncation and the whole
+    # round-over-round comparison came back null. The per-query COLD times
+    # and raw steady samples still exist for every run, but only in the
+    # durable copies (BENCH_LOCAL.json + bench_history.jsonl, written
+    # below with the full payload). Measurement methodology is unchanged:
+    # same queries, same noop-sink timing, same 1+repeats passes, same
+    # medians. New driver-facing fields: `cpus`/`master` prove the
+    # SPARK_GRAFT_CPUS env var took effect (r15's scaling check flagged
+    # `suspect_cpus_ignored` because the payload carried no parallelism
+    # evidence), and `queries_exec_ms` carries each query's per-pass
+    # executor task-time so compute-bound scaling is measurable at an SF
+    # where wall clocks are stage-latency-bound.
+    compact = {
         "metric": "headline_total_sec",
         "value": round(total, 3),
         "unit": "sec",
@@ -350,6 +387,10 @@ def main() -> None:
         # field is what disambiguated the 86.7s "regression" that was
         # actually a dataset switch)
         "sf_dir": sf_dir,
+        # effective parallelism: master string + defaultParallelism as the
+        # session actually resolved them (driver scaling-check evidence)
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
         # external-load context: this box shows loadavg spikes that
         # inflate all queries uniformly (see COVERAGE.md perf notes)
         "loadavg_1m": round(os.getloadavg()[0], 2),
@@ -357,10 +398,9 @@ def main() -> None:
         # run's query times by its probe to normalize out host contention
         "calib_probe_sec": calib_start,
         "calib_probe_end_sec": calib_probe(),
-        "queries_cold": cold,
-        "queries_samples": samples,
         "headline_total_cold_sec": round(sum(cold[n] for n in HEADLINE), 3),
         "queries": results,
+        "queries_exec_ms": exec_ms,
         "repeats": repeats,
         "total_r01_basket": round(total_r01, 3),
         "total_ext_basket": round(ext_total, 3),
@@ -374,15 +414,19 @@ def main() -> None:
         "total_r14_basket": round(sum(results[n] for n in ROUND14), 3),
         "headline_total_sec": round(total, 3),
     }
-    line = json.dumps(payload)
     # Durable copy the driver can't truncate (VERDICT r04 #8): latest run
-    # overwritten in BENCH_LOCAL.json, full history appended as JSONL.
+    # overwritten in BENCH_LOCAL.json, full history appended as JSONL —
+    # these carry the FULL payload (cold + raw samples) the printed line
+    # no longer risks.
+    full = dict(compact)
+    full["queries_cold"] = cold
+    full["queries_samples"] = samples
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
-        f.write(line + "\n")
+        f.write(json.dumps(full) + "\n")
     with open(os.path.join(here, "bench_history.jsonl"), "a") as f:
-        f.write(line + "\n")
-    print(line)
+        f.write(json.dumps(full) + "\n")
+    print(json.dumps(compact))
     spark.stop()
 
 
