@@ -272,6 +272,16 @@ def ngram_jaccard_pairs(
     # inside one pair (~1e-13/pair).
     # r15: the shingle regex runs AFTER fan_out so a narrow scan doesn't
     # serialize it on one core (see _docs_fanned; no-op on wide scans).
+    # Checkpoint lifetime trade (ADVICE r15): localCheckpoint(eager=False)
+    # frames are never explicitly unpersisted — the blocks live in executor
+    # storage for the session (evictable under memory pressure, and freed
+    # with the DataFrame's RDD on GC), and lineage is DROPPED, so executor
+    # loss after materialization fails the job instead of recomputing.
+    # Both are accepted here: the frame is answer-adjacent-sized (~450
+    # B/doc), and the queries are batch jobs where a retry-from-scratch on
+    # executor loss is the normal failure mode. Callers that embed this
+    # operator in a long-lived session and need the storage back can
+    # unpersist via the returned plan's RDD after their terminal action.
     sh = word_shingles("_t", n)
     frame = (
         _docs_fanned(df, id_col, text_col)
@@ -1644,7 +1654,13 @@ def lsh_param_sweep(
         # corpus pass); full-corpus opt-in keeps the near-linear blocking
         # heuristic (documented relative recall), which needs the string
         # shingles for its lexicographic blocking keys and so derives its
-        # own pass.
+        # own pass. Known cost of that opt-in (ADVICE r15): the corpus is
+        # shingled twice — once for `hashed` above, once inside
+        # ngram_jaccard_pairs, whose one-frame checkpoint bundles the
+        # string blocking keys WITH its hash arrays. Removing the second
+        # pass would mean teaching ngram_jaccard_pairs to accept a
+        # precomputed hash frame; not worth the API split for an explicit
+        # opt-in path no registered query takes.
         truth_src = (
             _exhaustive_pairs_from_hashed(hashed, threshold)
             if sample_fraction is not None

@@ -1581,6 +1581,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.join(comp, "doc_id", "left")
         .join(cont, "doc_id", "left")
         .select("doc_id", "n_tokens", "quality", disposition.alias("disposition"))
+        # r16: materialize the per-doc disposition before the global sort —
+        # the orderBy's range partitioner SAMPLES its input first, and with
+        # only broadcast joins below there is no exchange to reuse, so the
+        # sampling pass re-ran the quality/token regex legs end to end
+        # (stage profile: two ~3 s-executor 32-task regex stages per run).
+        # The checkpoint is the answer-sized per-doc frame; rows and order
+        # are unchanged (A/B 1.48 → 1.33 s, ordered parity exact).
+        .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )
 
@@ -3035,6 +3043,13 @@ def table_profile(
       ONLY its own column (parquet column pruning), so the union reads
       the same bytes as the one wide scan and each branch's partial
       aggregate is scan-parallel at any scale.
+
+    Exact-mode input assumption (ADVICE r15): the "same bytes as one wide
+    scan" claim holds for COLUMN-PRUNABLE scans (parquet/ORC file reads —
+    every registered caller). On a computed, non-columnar input DataFrame
+    each per-column branch re-executes the whole upstream plan |cols|
+    times; cache or localCheckpoint such an input first, or use the
+    approx (single-pass) mode.
     """
     if exact:
         parts = []
